@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import graft.functions.ExactAgg._
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional grouping (rollup / cube / grouping sets), set
+  * operations, and distinct — all absent from the reference
+  * (SURVEY.md §2.9/§2.6); declared extension surface.
+  *
+  * NULL ordering: Spark's ASC default is NULLS FIRST, DuckDB's is NULLS
+  * LAST — every oracle ORDER BY over a rollup/cube column says NULLS
+  * FIRST explicitly.
+  */
+object Grouping {
+
+  /** q16 — rollup over the region→nation hierarchy of customers. */
+  val q16 = QueryDef.sql("q16_rollup_region_nation",
+    """SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer c
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY ROLLUP(r.r_name, n.n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+    Seq("customer", "nation", "region").foreach(t =>
+      T.load(s, d, t).createOrReplaceTempView(t))
+    s.sql(
+      """SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP(r.r_name, n.n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** q17 — cube over return flag × line status. */
+  val q17 = QueryDef.sql("q17_cube_flag_status",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    T.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  /** q18 — GROUPING SETS via the SQL surface (spark.sql over temp views). */
+  val q18 = QueryDef.sql("q18_grouping_sets",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, o_orderpriority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((CAST(year(o_orderdate) AS INTEGER)), (o_orderpriority), ())
+      |ORDER BY order_year NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+    T.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT year(o_orderdate) AS order_year, o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
+        |ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** q19 — set algebra: symmetric difference of two customer cohorts
+    * (BUILDING-segment vs big-spender) via UNION / INTERSECT / EXCEPT. */
+  val q19 = QueryDef.sql("q19_cohort_symmetric_diff",
+    """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |     b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice >= 300000e0)
+      |SELECT k FROM (
+      |  (SELECT k FROM a UNION SELECT k FROM b)
+      |  EXCEPT
+      |  (SELECT k FROM a INTERSECT SELECT k FROM b)) t
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    val a = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val b = T.orders(s, d).filter(col("o_totalprice") >= 300000.0)
+      .select(col("o_custkey").as("k")).distinct()
+    a.union(b).distinct()
+      .except(a.intersect(b))
+      .orderBy("k")
+  }
+
+  /** q20 — distinct projection (shuffle-dedup on the pair). */
+  val q20 = QueryDef.sql("q20_distinct_brand_type",
+    """SELECT DISTINCT p_brand, p_type FROM part
+      |ORDER BY p_brand, p_type""".stripMargin) { (s, d) =>
+    T.part(s, d).select("p_brand", "p_type").distinct().orderBy("p_brand", "p_type")
+  }
+
+  /** q21r — approx distinct (HLL++): engine-defined estimate → rows-only
+    * check (DuckDB's approx_count_distinct uses a different sketch). */
+  val q21r = QueryDef.rowsOnly("q21r_approx_distinct") { (s, d) =>
+    T.lineitem(s, d).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      countDistinct(col("l_suppkey")).as("exact_supps"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(q16, q17, q18, q19, q20, q21r)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Smoke + invariants for the declared query surface at sf0.001.
+  * (Value-level correctness is the driver's DuckDB oracle gate at sf0.01;
+  * tools/parity.py reproduces it locally.) */
+class QuerySurfaceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every declared query runs and yields a deterministic schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("every oracle key exists in queries") {
+    val qs = SparkEntry.queries.keySet
+    SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"orphan oracle $k"))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q01 aggregates are exact-decimal stable across partitionings") {
+    val a = SparkEntry.queries("q01_pricing_summary")(spark, sf).collect()
+    val b = operators.Relational.q01.fn(spark, sf).repartition(7).collect()
+    // same rows regardless of partitioning (sum is decimal-exact)
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+  }
+
+  test("q02 top-k is ordered") {
+    val rows = SparkEntry.queries("q02_topk_orders")(spark, sf).collect()
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.zip(prices.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("q19 symmetric difference disjoint from intersection") {
+    val df = SparkEntry.queries("q19_cohort_symmetric_diff")(spark, sf)
+    assert(df.count() > 0)
+  }
+}
