@@ -15,7 +15,10 @@ object SparkEntry {
     operators.Relational.defs ++
       operators.Windows.defs ++
       operators.Grouping.defs ++
-      operators.Scalars.defs
+      operators.Scalars.defs ++
+      operators.TextAnalysis.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

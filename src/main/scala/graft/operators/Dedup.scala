@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents`: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. Declared north-star extension (BASELINE.json);
+  * absent from the reference (SURVEY.md §2.9).
+  *
+  * Scale design (the point of each algorithm):
+  *  - exact: one hash-groupBy — a single shuffle on md5(text).
+  *  - n-gram Jaccard: shingle inverted-index self-join. Common-shingle
+  *    pruning (drop df > 100) bounds the per-shingle join fanout, which
+  *    is what keeps the pair count near-linear at 100 TB (a stop-shingle
+  *    appearing in 1M docs would otherwise emit 10^12 pairs).
+  *  - MinHash LSH: per-doc k=8 signature (one groupBy), candidates from
+  *    signature-component equality (band join) — never all-pairs. The
+  *    candidate set, not the corpus square, feeds exact verification.
+  *  - SimHash: 32-bit fingerprint per doc; banded on 4 bytes so any pair
+  *    within Hamming ≤ 6 shares ≥ 0 bands probabilistically (with 4
+  *    bands, ≤ 3 differing bits guarantees a shared band by pigeonhole).
+  *
+  * All hashing is md5-derived (portable across engines — murmur/xxhash
+  * seeds differ), so every step is oracle-checkable in DuckDB.
+  */
+object Dedup {
+
+  /** Distinct 3-token shingles per doc, with common-shingle pruning. */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+    val sh0 = toks
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
+      .distinct()
+    val df = sh0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 100)
+    sh0.join(df, "s").select("doc_id", "s")
+  }
+
+  /** Oracle-side equivalent of [[shingles]] (DuckDB CTEs). */
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split(text,' ') t FROM documents
+      |         WHERE len(string_split(text,' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, UNNEST(list_transform(range(1, len(t)-1),
+      |    i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s FROM toks)),
+      |dfr AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfr USING(s) WHERE dfr.df <= 100)""".stripMargin
+
+  /** Jaccard over the pruned shingle sets for all co-shingling pairs. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jaccard", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+  }
+
+  private val jaccardCte =
+    s"""$shingleCte,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |jac AS (SELECT da, db, c, c * 1e0 / (sa.n + sb.n - c) AS jaccard
+       |        FROM pairs JOIN sizes sa ON sa.doc_id = da
+       |                   JOIN sizes sb ON sb.doc_id = db)""".stripMargin
+
+  /** dd01 — exact dedup: canonical survivor (min doc_id) per distinct
+    * content hash. One shuffle; identity when no dups exist. */
+  val dd01 = QueryDef.sql("dd01_exact_dedup",
+    """SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
+      |       COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY survivor_id""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+      .orderBy("survivor_id")
+  }
+
+  /** dd02 — n-gram Jaccard near-dup pairs (threshold 0.5). */
+  val dd02 = QueryDef.sql("dd02_ngram_jaccard",
+    s"""WITH $jaccardCte
+       |SELECT da, db, c AS common_shingles, jaccard
+       |FROM jac WHERE jaccard >= 0.5e0
+       |ORDER BY jaccard DESC, da, db""".stripMargin) { (s, d) =>
+    jaccardPairs(s, d)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"), col("c").as("common_shingles"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("da"), col("db"))
+  }
+
+  /** dd03 — MinHash LSH: k=8 md5-derived min-hash components; candidate
+    * pairs share ≥1 component; exact-Jaccard verification ≥ 0.3. */
+  val dd03 = QueryDef.sql("dd03_minhash_lsh",
+    s"""WITH $jaccardCte,
+       |sig AS (SELECT doc_id, i, MIN(md5(i||':'||s)) AS m
+       |        FROM sh, generate_series(0, 7) g(i) GROUP BY doc_id, i),
+       |cand AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS matches
+       |         FROM sig a JOIN sig b ON a.i = b.i AND a.m = b.m AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2)
+       |SELECT cand.da, cand.db, matches * 1e0 / 8 AS est_sim, jac.jaccard
+       |FROM cand JOIN jac ON cand.da = jac.da AND cand.db = jac.db
+       |WHERE jac.jaccard >= 0.3e0
+       |ORDER BY jac.jaccard DESC, cand.da, cand.db""".stripMargin) { (s, d) =>
+    val sh = shingles(s, d)
+    val sig = sh
+      .select(col("doc_id"), explode(expr("sequence(0, 7)")).as("i"), col("s"))
+      .withColumn("h", md5(concat(col("i").cast("string"), lit(":"), col("s"))))
+      .groupBy("doc_id", "i").agg(min("h").as("m"))
+    val cand = sig.as("a")
+      .join(sig.as("b"),
+        col("a.i") === col("b.i") && col("a.m") === col("b.m") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("matches"))
+    val jac = jaccardPairs(s, d).select(col("da"), col("db"), col("jaccard"))
+    cand.join(jac, Seq("da", "db"))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("da"), col("db"), (col("matches") * lit(1.0) / 8).as("est_sim"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("da"), col("db"))
+  }
+
+  /** dd04 — SimHash over shingle features: 32-bit fingerprint, 4-byte
+    * band join for candidates, Hamming ≤ 6 output. */
+  val dd04 = QueryDef.sql("dd04_simhash",
+    s"""WITH $shingleCte,
+       |th AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h FROM sh),
+       |bits AS (SELECT doc_id, j,
+       |           SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sb
+       |         FROM th, generate_series(0, 31) g(j) GROUP BY doc_id, j),
+       |hash AS (SELECT doc_id,
+       |           CAST(SUM(CASE WHEN sb > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS sim_hash
+       |         FROM bits GROUP BY doc_id),
+       |banded AS (SELECT doc_id, sim_hash, k, (sim_hash >> (8*k)) & 255 AS band
+       |           FROM hash, generate_series(0, 3) g(k)),
+       |cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db, x.sim_hash ha, y.sim_hash hb
+       |         FROM banded x JOIN banded y
+       |           ON x.k = y.k AND x.band = y.band AND x.doc_id < y.doc_id)
+       |SELECT da, db, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+       |ORDER BY hamming, da, db""".stripMargin) { (s, d) =>
+    val th = shingles(s, d)
+      .withColumn("h", conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"))
+    val bits = th
+      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END")).as("sb"))
+    val hash = bits
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN sb > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END")).as("sim_hash"))
+    val banded = hash
+      .select(col("doc_id"), col("sim_hash"), explode(expr("sequence(0, 3)")).as("k"))
+      .withColumn("band", expr("shiftright(sim_hash, 8*k) & 255"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.k") === col("y.k") && col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        col("x.sim_hash").as("ha"), col("y.sim_hash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+      .filter(col("hamming") <= 6)
+      .select("da", "db", "hamming")
+      .orderBy("hamming", "da", "db")
+  }
+
+  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04)
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (ARRAY<FLOAT>, dim 64).
+  * Declared north-star extension (BASELINE.json); no reference analogue.
+  *
+  * ss01 is the exact baseline: brute-force cosine top-k. The per-pair
+  * work is a codegen'd `aggregate(zip_with(...))` fold — floats widen to
+  * double before multiply, accumulation is sequential, so the score is
+  * bit-reproducible and oracle-checkable (DuckDB list_sum over the same
+  * double products; note DuckDB's own list_dot_product accumulates in
+  * float32 and does NOT match).
+  *
+  * ss02 is the scale path: random-hyperplane LSH. Each vector gets a
+  * small bucket id; queries only scan their own bucket. At 100 TB the
+  * bucket id becomes the shuffle/partition key (and with more planes a
+  * multi-probe scheme), turning an O(N·Q) scan into O(Q·N/2^planes).
+  * The ±1 hyperplane weights are md5-derived at build time and embedded
+  * as literals in BOTH the Spark plan and the oracle SQL, so the two
+  * engines run the identical projection.
+  *
+  * Scale notes: the query side of both joins is broadcast (queries ≪
+  * corpus); the corpus side is a narrow scan — no corpus-corpus shuffle.
+  */
+object Similarity {
+
+  private val dotExpr =
+    "aggregate(zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  private def cosine(qe: String, ne: String): String =
+    s"${dotExpr.format(qe, ne)} / (sqrt(${dotExpr.format(qe, qe)}) * sqrt(${dotExpr.format(ne, ne)}))"
+
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def duckCosine(qe: String, ne: String): String =
+    s"${duckDot(qe, ne)} / (sqrt(${duckDot(qe, qe)}) * sqrt(${duckDot(ne, ne)}))"
+
+  /** ss01 — exact top-5 cosine neighbors for query vectors (vec_id<10). */
+  val ss01 = QueryDef.sql("ss01_cosine_topk",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS nid, embedding AS ne FROM embeddings),
+       |scored AS (
+       |  SELECT qid, nid, ${duckCosine("qe", "ne")} AS cos_sim
+       |  FROM q, c WHERE qid <> nid)
+       |SELECT qid, nid, rank, cos_sim FROM (
+       |  SELECT qid, nid, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS INTEGER) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val e = T.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos_sim", expr(cosine("qe", "ne")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "nid", "rank", "cos_sim")
+      .orderBy("qid", "rank")
+  }
+
+  /** Deterministic ±1 hyperplane weights: w(plane, dim) from md5 —
+    * computed once at build time, embedded as literals on both engines. */
+  private val planes: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(4, 64) { (p, dim) =>
+      val h = md.digest(s"$p:$dim".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  private def planeArraySql(p: Int): String =
+    planes(p).map(w => if (w > 0) "1e0" else "-1e0").mkString("[", ", ", "]")
+
+  private def planeArraySpark(p: Int): String =
+    planes(p).map(w => if (w > 0) "1D" else "-1D").mkString("array(", ", ", ")")
+
+  /** Bucket id expression: sign bit per hyperplane projection. */
+  private def bucketSpark(col0: String): String =
+    (0 until 4).map { p =>
+      s"(CASE WHEN ${dotExpr.format(col0, planeArraySpark(p))} > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def bucketDuck(col0: String): String =
+    (0 until 4).map { p =>
+      val dot = s"list_sum(list_transform(range(1, len($col0)+1), i -> CAST($col0[i] AS DOUBLE) * (${planeArraySql(p)})[i]))"
+      s"(CASE WHEN $dot > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** ss02 — ANN via random-hyperplane LSH: top-3 within the query's
+    * bucket (approximate; bucket-miss neighbors are by-design absent). */
+  val ss02 = QueryDef.sql("ss02_ann_lsh",
+    s"""WITH b AS (SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.qid, b.vec_id AS nid, ${duckCosine("q.qe", "b.embedding")} AS cos_sim
+       |  FROM q JOIN b ON q.bucket = b.bucket AND q.qid <> b.vec_id)
+       |SELECT qid, nid, rank, cos_sim FROM (
+       |  SELECT qid, nid, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS INTEGER) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val e = T.embeddings(s, d)
+    val b = e.withColumn("bucket", expr(bucketSpark("embedding")))
+    val q = b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    b.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos_sim", expr(cosine("qe", "embedding")))
+      .withColumnRenamed("vec_id", "nid")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "nid", "rank", "cos_sim")
+      .orderBy("qid", "rank")
+  }
+
+  /** ss03 — recall of the LSH path vs the exact baseline (rows-only:
+    * it is a derived diagnostic; determinism already covered above). */
+  val ss03 = QueryDef.rowsOnly("ss03_ann_recall") { (s, d) =>
+    val exact = ss01.fn(s, d).select(col("qid"), col("nid")).withColumn("in_exact", lit(1))
+    val approx = ss02.fn(s, d).select(col("qid"), col("nid"))
+    val hit = approx.join(exact, Seq("qid", "nid"), "left")
+      .groupBy("qid").agg(sum(coalesce(col("in_exact"), lit(0))).as("hits"), count(lit(1)).as("returned"))
+    hit.agg(
+      (sum("hits") * lit(1.0) / sum("returned")).as("precision_vs_top5"),
+      count(lit(1)).as("n_queries"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(ss01, ss02, ss03)
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, corpus profiling, fingerprinting, language-ID.
+  *
+  * The reference's text surface is tokenize/stopword/stem over book files
+  * (`LDAClustering.scala:132-139`); these ops are the training-data-
+  * pipeline generalization (declared north-star extension, BASELINE.json).
+  *
+  * Everything is a codegen'd built-in expression (split / size / filter
+  * lambdas / translate) — no Scala UDFs — so whole-stage codegen covers
+  * each query end-to-end and the ops scale as pure narrow maps + one
+  * final aggregate. At 100 TB: per-doc ops are embarrassingly parallel;
+  * the groupBy(lang) aggregates are low-cardinality hash aggs with
+  * map-side partials.
+  */
+object TextAnalysis {
+
+  private val stop = "('the','a','of')"
+
+  /** ta01 — token counting per language (whitespace tokenization). */
+  val ta01 = QueryDef.sql("ta01_token_stats",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) / COUNT(*) AS avg_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .withColumn("nt", size(split(col("text"), " ")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt").cast("long")).as("total_tokens"),
+        (sum(col("nt").cast("long")) / count(lit(1))).as("avg_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+  }
+
+  /** ta02 — per-document quality score: lexical-diversity, length and
+    * stopword-density components, deterministic double arithmetic. */
+  val ta02 = QueryDef.sql("ta02_quality_score",
+    s"""SELECT doc_id, nt, nd,
+       |  (nd * 1e0) / nt AS distinct_ratio,
+       |  (nonspace * 1e0) / nt AS avg_wlen,
+       |  (nstop * 1e0) / nt AS stop_ratio,
+       |  0.3e0 * ((nd * 1e0) / nt) + 0.4e0 * least((nt * 1e0) / 100e0, 1e0)
+       |    + 0.3e0 * (1e0 - (nstop * 1e0) / nt) AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text,' ')) AS INTEGER) AS nt,
+       |    CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS nd,
+       |    CAST(length(replace(text,' ','')) AS INTEGER) AS nonspace,
+       |    CAST(len(list_filter(string_split(text,' '), x -> x IN $stop)) AS INTEGER) AS nstop
+       |  FROM documents) t
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"), col("text"))
+      .select(col("doc_id"),
+        size(col("t")).as("nt"),
+        size(array_distinct(col("t"))).as("nd"),
+        length(translate(col("text"), " ", "")).as("nonspace"),
+        expr(s"size(filter(t, x -> x IN $stop))").as("nstop"))
+      .select(col("doc_id"), col("nt"), col("nd"),
+        (col("nd") * lit(1.0) / col("nt")).as("distinct_ratio"),
+        (col("nonspace") * lit(1.0) / col("nt")).as("avg_wlen"),
+        (col("nstop") * lit(1.0) / col("nt")).as("stop_ratio"),
+        (lit(0.3) * (col("nd") * lit(1.0) / col("nt")) +
+          lit(0.4) * least(col("nt") * lit(1.0) / lit(100.0), lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("nstop") * lit(1.0) / col("nt"))).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** ta03 — corpus profile per (lang, source): marker-term prevalence. */
+  val ta03 = QueryDef.sql("ta03_corpus_profile",
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  SUM(CASE WHEN strpos(text, 'spark') > 0 THEN 1 ELSE 0 END) * 1e0 / COUNT(*) AS pct_spark,
+      |  SUM(CASE WHEN strpos(text, 'the') > 0 THEN 1 ELSE 0 END) * 1e0 / COUNT(*) AS pct_the,
+      |  CAST(SUM(n_chars) AS BIGINT) / COUNT(*) AS avg_chars
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(when(instr(col("text"), "spark") > 0, 1).otherwise(0)) * lit(1.0) / count(lit(1))).as("pct_spark"),
+        (sum(when(instr(col("text"), "the") > 0, 1).otherwise(0)) * lit(1.0) / count(lit(1))).as("pct_the"),
+        (sum(col("n_chars")) / count(lit(1))).as("avg_chars"))
+      .orderBy("lang", "source")
+  }
+
+  /** ta04 — document fingerprinting: content hash + order-insensitive
+    * bag-of-words hash (md5 is portable across engines). */
+  val ta04 = QueryDef.sql("ta04_fingerprints",
+    """SELECT doc_id,
+      |  md5(text) AS fp_exact,
+      |  md5(array_to_string(list_sort(string_split(text,' ')),' ')) AS fp_bag
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"),
+        md5(col("text")).as("fp_exact"),
+        md5(array_join(array_sort(split(col("text"), " ")), " ")).as("fp_bag"))
+      .orderBy("doc_id")
+  }
+
+  /** ta05 — language-ID by marker-term voting (n-gram-heuristic shape):
+    * deterministic score per language, fixed-precedence argmax, reported
+    * as a confusion matrix against the labeled `lang` column. */
+  val ta05 = QueryDef.sql("ta05_langid_confusion",
+    """SELECT lang, predicted, COUNT(*) AS n
+      |FROM (
+      |  SELECT lang,
+      |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |         WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |         WHEN s_fr >= s_zh THEN 'fr'
+      |         ELSE 'zh' END AS predicted
+      |  FROM (
+      |    SELECT lang,
+      |      len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS s_en,
+      |      len(list_filter(string_split(text,' '), x -> x IN ('join','merge'))) AS s_de,
+      |      len(list_filter(string_split(text,' '), x -> x IN ('sort','hash'))) AS s_es,
+      |      len(list_filter(string_split(text,' '), x -> x IN ('scan','filter'))) AS s_fr,
+      |      len(list_filter(string_split(text,' '), x -> x IN ('stream','batch'))) AS s_zh
+      |    FROM documents) t) p
+      |GROUP BY lang, predicted
+      |ORDER BY lang, predicted""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(col("lang"), split(col("text"), " ").as("t"))
+      .select(col("lang"),
+        expr("size(filter(t, x -> x IN ('the','a')))").as("s_en"),
+        expr("size(filter(t, x -> x IN ('join','merge')))").as("s_de"),
+        expr("size(filter(t, x -> x IN ('sort','hash')))").as("s_es"),
+        expr("size(filter(t, x -> x IN ('scan','filter')))").as("s_fr"),
+        expr("size(filter(t, x -> x IN ('stream','batch')))").as("s_zh"))
+      .withColumn("predicted",
+        expr("""CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+               |     WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+               |     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+               |     WHEN s_fr >= s_zh THEN 'fr'
+               |     ELSE 'zh' END""".stripMargin))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  val defs: Seq[QueryDef] = Seq(ta01, ta02, ta03, ta04, ta05)
+}
