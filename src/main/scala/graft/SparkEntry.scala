@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Scalars.defs ++
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
-      operators.Similarity.defs
+      operators.Similarity.defs ++
+      operators.MlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,127 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.{DistributedLDAModel, LDA, LDAModel, LocalLDAModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LDA topic-clustering pipeline — the reference's core capability
+  * (`LDAClustering.scala:20-96`, `LDALoader.scala:11-215`) re-expressed
+  * on spark.ml.
+  *
+  * Parameter mapping (SURVEY.md §2.4 A6):
+  *  - optimizer "em" | "online"; online gets the reference's minibatch
+  *    robustness tweak `0.05 + 1/corpusSize` (`LDAClustering.scala:43`).
+  *  - docConcentration/topicConcentration −1 → mllib auto
+  *    (α = 50/k + 1, β = 1.1), same as the persisted reference models.
+  *  - checkpointInterval 10 (EM lineage truncation).
+  *  - the corpus fed to LDA is the TF·IDF-floored matrix, NOT integer
+  *    counts — the reference's quirk (`LDAClustering.scala:23,61`).
+  *  - a seed is always pinned (the reference never set one — SURVEY.md
+  *    §7 risk 2 — which made its runs irreproducible; we fix that).
+  *
+  * Scale: EM builds a GraphX doc-term graph (memory ∝ corpus nonzeros —
+  * the known ceiling); online is the 100 TB path (minibatched variational
+  * updates, corpus never fully materialized per iteration). The loader-
+  * side inference is cluster-wide `model.transform`, not the reference's
+  * per-book driver loop (SURVEY.md §3.2 boundary note).
+  */
+object LdaPipeline {
+
+  final case class Params(
+      k: Int = 5,
+      maxIterations: Int = 50,
+      algorithm: String = "em",
+      docConcentration: Double = -1,
+      topicConcentration: Double = -1,
+      vocabSize: Int = 2900000,
+      checkpointInterval: Int = 10,
+      seed: Long = 42L)
+
+  final case class Fitted(model: LDAModel, vocab: Array[String], corpus: DataFrame)
+
+  /** Full train: tokens DataFrame(doc_id, tokens) → fitted LDA + vocab.
+    * Mirrors SURVEY.md §3.3's dataflow with Catalyst-planned stages. */
+  def train(spark: SparkSession, tokens: DataFrame, params: Params): Fitted = {
+    val nonEmpty = tokens.filter(size(col("tokens")) > 0) // P7
+    val counts = Vectorize.wordCounts(nonEmpty)
+    val vocab = Vectorize.buildVocab(counts, params.vocabSize)
+    val tf = Vectorize.countVectors(nonEmpty, vocab)
+    val corpusSize = tf.count()
+    val idf = Vectorize.fitIdf(tf).idf.toArray
+    val corpus = Vectorize.tfidfWithFloor(spark, tf, idf).cache()
+
+    val lda = new LDA()
+      .setK(params.k)
+      .setMaxIter(params.maxIterations)
+      .setFeaturesCol("features")
+      .setCheckpointInterval(params.checkpointInterval)
+      .setSeed(params.seed)
+    if (params.docConcentration > 0) lda.setDocConcentration(params.docConcentration)
+    if (params.topicConcentration > 0) lda.setTopicConcentration(params.topicConcentration)
+    params.algorithm.toLowerCase match {
+      case "em" => lda.setOptimizer("em")
+      case "online" =>
+        lda.setOptimizer("online")
+          .setSubsamplingRate(math.min(1.0, 0.05 + 1.0 / corpusSize))
+      case other =>
+        throw new IllegalArgumentException(s"Only em, online are supported but got $other.")
+    }
+    Fitted(lda.fit(corpus), vocab, corpus)
+  }
+
+  /** A8 — topic descriptions with term indices resolved through the
+    * vocabulary (broadcast lookup, not a driver loop). */
+  def describeTopics(spark: SparkSession, fitted: Fitted, maxTermsPerTopic: Int): DataFrame = {
+    val vocabB = spark.sparkContext.broadcast(fitted.vocab)
+    val resolve = udf((idx: Seq[Int]) => idx.map(vocabB.value(_)))
+    fitted.model.describeTopics(maxTermsPerTopic)
+      .withColumn("terms", resolve(col("termIndices")))
+      .select("topic", "terms", "termWeights")
+  }
+
+  /** A10 — argmax with the reference's last-wins tie-break
+    * (`LDALoader.scala:131-140` uses `<=`, so the LAST maximal index
+    * wins). */
+  val argmaxLastWins = udf { (v: org.apache.spark.ml.linalg.Vector) =>
+    var best = 0
+    var bestW = Double.NegativeInfinity
+    v.foreachActive { (i, w) =>
+      if (w >= bestW) { best = i; bestW = w } // >= → last max wins
+    }
+    best
+  }
+
+  /** A9+A10 — cluster-side topic assignment for every document. */
+  def assignTopics(fitted: Fitted, docs: DataFrame): DataFrame =
+    fitted.model.transform(docs)
+      .withColumn("main_topic", argmaxLastWins(col("topicDistribution")))
+
+  /** A11 — books-per-topic histogram (the loader's driver arrays as one
+    * hash aggregate). */
+  def topicHistogram(assigned: DataFrame, nameCol: String): DataFrame =
+    assigned
+      .groupBy("main_topic")
+      .agg(count(lit(1)).as("n_docs"), sort_array(collect_list(col(nameCol))).as("docs"))
+      .orderBy("main_topic")
+
+  /** K1/K2 — persistence: ml writer (JSON metadata + parquet, the same
+    * layout family as the reference's `models/LdaModel_*`) + vocab text. */
+  def save(fitted: Fitted, path: String): Unit = {
+    fitted.model.write.overwrite().save(s"$path/model")
+    val spark = fitted.corpus.sparkSession
+    import spark.implicits._
+    Seq(fitted.vocab.mkString(",")).toDF("vocab")
+      .coalesce(1).write.mode("overwrite").text(s"$path/vocabulary")
+  }
+
+  /** S4/S5 — load a persisted model + vocabulary. */
+  def load(spark: SparkSession, path: String, algorithm: String): (LDAModel, Array[String]) = {
+    val model = algorithm.toLowerCase match {
+      case "em" => DistributedLDAModel.load(s"$path/model")
+      case _ => LocalLDAModel.load(s"$path/model")
+    }
+    val vocab = spark.read.text(s"$path/vocabulary")
+      .head.getString(0).split(",")
+    (model, vocab)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import graft.ml.{LdaPipeline, Vectorize}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference pipeline's dataflow operators as driver-checkable
+  * queries over the `documents` table: word count (A1), vocabulary
+  * ranking (T1), document frequency (A4), TF-weighting, and the LDA
+  * train/infer surface (A6-A11, rows-only — an ML fit has no SQL oracle).
+  */
+object MlQueries {
+
+  /** tf01 — A1 word count: explode + partial/final hash agg (the
+    * reference's flatMap + reduceByKey). */
+  val tf01 = QueryDef.sql("tf01_word_count",
+    """SELECT term, COUNT(*) AS cnt
+      |FROM (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents) t
+      |GROUP BY term
+      |ORDER BY cnt DESC, term
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(100)
+  }
+
+  /** tf02 — T1 frequency-ranked vocabulary: index = rank, ties broken by
+    * term (the reference's tie order was partition-dependent; pinned
+    * here — SURVEY.md §7 risk 2). */
+  val tf02 = QueryDef.sql("tf02_vocab_rank",
+    """SELECT term, cnt,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) - 1 AS INTEGER) AS vocab_id
+      |FROM (
+      |  SELECT term, COUNT(*) AS cnt
+      |  FROM (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents) u
+      |  GROUP BY term) c
+      |ORDER BY vocab_id""".stripMargin) { (s, d) =>
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+    T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("vocab_id", row_number().over(w) - 1)
+      .orderBy("vocab_id")
+  }
+
+  /** tf03 — A4 document frequency with the reference's minDocFreq=2 cut. */
+  val tf03 = QueryDef.sql("tf03_doc_freq",
+    """SELECT term, COUNT(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents) t
+      |GROUP BY term
+      |HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY df DESC, term""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("term"))
+  }
+
+  /** tf04 — per-(doc,term) TF weighting with a rational idf surrogate
+    * (m+1)/(df+1): exact double arithmetic, so oracle-checkable. The
+    * true ln-based mllib IDF formula (and its 0.0001 zero-floor, A5) is
+    * covered by LdaPipelineSpec — ln's last-ulp varies across libm
+    * implementations, so it has no hash-stable SQL oracle. */
+  val tf04 = QueryDef.sql("tf04_tf_weighting",
+    """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+      |dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+      |m AS (SELECT COUNT(*) AS m FROM documents)
+      |SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+      |  tf.tf * ((m.m + 1e0) / (dfr.df + 1e0)) AS weight
+      |FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN m
+      |ORDER BY weight DESC, tf.doc_id, tf.term
+      |LIMIT 200""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val m = docs.agg(count(lit(1)).as("m"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(m))
+      .withColumn("weight", col("tf") * ((col("m") + lit(1.0)) / (col("df") + lit(1.0))))
+      .select("doc_id", "term", "tf", "df", "weight")
+      .orderBy(col("weight").desc, col("doc_id"), col("term"))
+      .limit(200)
+  }
+
+  private def ldaFit(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val tokens = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    LdaPipeline.train(s, tokens,
+      LdaPipeline.Params(k = 5, maxIterations = 15, algorithm = "online", seed = 42L))
+  }
+
+  /** ml01 — A6+A8: online-LDA topics with resolved terms (rows-only:
+    * the fit is engine-defined; determinism pinned via seed). */
+  val ml01 = QueryDef.rowsOnly("ml01_lda_topics") { (s, d) =>
+    val fitted = ldaFit(s, d)
+    LdaPipeline.describeTopics(s, fitted, 10)
+      .select(col("topic"), concat_ws(" ", col("terms")).as("top_terms"))
+      .orderBy("topic")
+  }
+
+  /** ml02 — A9+A10+A11: per-doc main topic (last-wins argmax) histogram. */
+  val ml02 = QueryDef.rowsOnly("ml02_lda_doc_topics") { (s, d) =>
+    val fitted = ldaFit(s, d)
+    LdaPipeline.assignTopics(fitted, fitted.corpus)
+      .groupBy("main_topic")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("main_topic")
+  }
+
+  /** ml03 — A2/A3/A7: corpus + model summary statistics. */
+  val ml03 = QueryDef.rowsOnly("ml03_lda_model_stats") { (s, d) =>
+    import s.implicits._
+    val fitted = ldaFit(s, d)
+    val corpusSize = fitted.corpus.count()
+    val activeTerms = Vectorize.activeTermCount(fitted.corpus)
+    val ll = fitted.model.logLikelihood(fitted.corpus)
+    Seq((corpusSize, fitted.vocab.length, activeTerms, ll / corpusSize))
+      .toDF("corpus_size", "vocab_size", "active_terms", "avg_log_likelihood")
+  }
+
+  val defs: Seq[QueryDef] = Seq(tf01, tf02, tf03, tf04, ml01, ml02, ml03)
+}

@@ -1,0 +1,78 @@
+package graft.ml
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextPrepSpec extends AnyFunSuite {
+
+  /** The reference's exact regex (LDAClustering.scala:283-284) used as a
+    * behavioral oracle: our re-expressed class must strip the same chars. */
+  private val referenceRegex =
+    """[» « ! @ # $ % ^ & * ( ) _ + - − , ” " ’ ' ; : . ` ? --]"""
+
+  test("specialCharClass is equivalent to the reference regex (P3)") {
+    val interesting = "a-b*c&d=e~f" :: "x+y,z.w" :: "«quoted»" :: "don’t" ::
+      "a_b^c`d?e" :: "1-2/3<4>5" :: "tab\tnew\nline" :: Nil
+    interesting.foreach { s =>
+      assert(s.replaceAll(TextPrep.specialCharClass, " ") ==
+        s.replaceAll(referenceRegex, " "), s"mismatch on: $s")
+    }
+    // property check: agreement on 2000 seeded-random strings over a pool
+    // of ASCII printables + the regex's unicode members + letters
+    val pool = ("abcXYZ012 !\"#$%&'()*+,-./:;<=>?@[]^_`{|}~" + "»«−”’àßщ中").toCharArray
+    val rnd = new scala.util.Random(42)
+    (1 to 2000).foreach { _ =>
+      val s = Array.fill(rnd.nextInt(40))(pool(rnd.nextInt(pool.length))).mkString
+      assert(s.replaceAll(TextPrep.specialCharClass, " ") ==
+        s.replaceAll(referenceRegex, " "), s"mismatch on: ${s.toList}")
+    }
+  }
+
+  test("documented P3 quirk: ranges swallow & * + , - but keep = ~") {
+    assert("a-b*c&d=e~f".replaceAll(TextPrep.specialCharClass, " ") == "a b c d=e~f")
+  }
+
+  test("porter stemmer: canonical vectors from Porter's paper") {
+    val cases = Map(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+      "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+      "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+      "hissing" -> "hiss", "fizzed" -> "fizz", "failing" -> "fail",
+      "filing" -> "file",
+      "happy" -> "happi", "sky" -> "sky",
+      "relational" -> "relat", "conditional" -> "condit",
+      "rational" -> "ration",
+      "valenci" -> "valenc", "hesitanci" -> "hesit", "digitizer" -> "digit",
+      "conformabli" -> "conform", "radicalli" -> "radic",
+      "differentli" -> "differ", "vileli" -> "vile", "analogousli" -> "analog",
+      "vietnamization" -> "vietnam", "predication" -> "predic",
+      "operator" -> "oper", "feudalism" -> "feudal",
+      "decisiveness" -> "decis", "hopefulness" -> "hope",
+      "callousness" -> "callous", "formaliti" -> "formal",
+      "sensitiviti" -> "sensit", "sensibiliti" -> "sensibl",
+      "triplicate" -> "triplic", "formative" -> "form", "formalize" -> "formal",
+      "electriciti" -> "electr", "electrical" -> "electr", "hopeful" -> "hope",
+      "goodness" -> "good",
+      "revival" -> "reviv", "allowance" -> "allow", "inference" -> "infer",
+      "airliner" -> "airlin", "gyroscopic" -> "gyroscop",
+      "adjustable" -> "adjust", "defensible" -> "defens",
+      "irritant" -> "irrit", "replacement" -> "replac", "adjustment" -> "adjust",
+      "dependent" -> "depend", "adoption" -> "adopt", "homologou" -> "homolog",
+      "communism" -> "commun", "activate" -> "activ", "angulariti" -> "angular",
+      "homologous" -> "homolog", "effective" -> "effect", "bowdlerize" -> "bowdler",
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controll" -> "control", "roll" -> "roll")
+    cases.foreach { case (in, want) =>
+      assert(PorterStemmer.stem(in) == want, s"stem($in) = ${PorterStemmer.stem(in)}, want $want")
+    }
+  }
+
+  test("heuristic lemma: suffix rules") {
+    assert(TextPrep.heuristicLemma("running") == "run")
+    assert(TextPrep.heuristicLemma("ponies") == "pony")
+    assert(TextPrep.heuristicLemma("cats") == "cat")
+    assert(TextPrep.heuristicLemma("was") == "was") // ≤3 untouched
+  }
+}
