@@ -19,7 +19,9 @@ object SparkEntry {
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
-      operators.MlQueries.defs
+      operators.MlQueries.defs ++
+      streaming.Streams.defs ++
+      multimodal.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

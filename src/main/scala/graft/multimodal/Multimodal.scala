@@ -1,0 +1,114 @@
+package graft.multimodal
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Multimodal-column plumbing: opaque binary payloads with typed
+  * metadata, batched decode / feature-extraction / frame-sampling.
+  * Declared north-star extension (BASELINE.json).
+  *
+  * The container has no image/audio codecs, so DECODE IS A DETERMINISTIC
+  * STUB (md5-derived pseudo-metadata) — clearly marked below. Everything
+  * around it is the real Spark shape a production pipeline needs:
+  *  - payloads as BinaryType columns (parquet BYTE_ARRAY; at 100 TB these
+  *    scans project only the needed columns and the payload column is
+  *    late-materialized),
+  *  - per-partition batched processing via Dataset.mapPartitions (the
+  *    Scala analogue of mapInPandas: one iterator per partition, decoder
+  *    state initialized once per partition, not per row),
+  *  - typed output schema via case-class Encoders,
+  *  - frame sampling as a generated array column (explode-ready).
+  */
+object Multimodal {
+
+  final case class Payload(doc_id: Long, payload: Array[Byte])
+  final case class Decoded(
+      doc_id: Long, n_bytes: Int, format: String,
+      width: Int, height: Int, mean_intensity: Double)
+
+  /** STUB decoder — stands in for an image codec. Deterministic:
+    * metadata is arithmetic over the md5 digest of the payload. A real
+    * deployment swaps `decodeOne` for the codec call; the partition
+    * iterator shape stays identical. */
+  private def decodeOne(md: java.security.MessageDigest, p: Payload): Decoded = {
+    val h = md.digest(p.payload)
+    def ub(i: Int): Int = h(i) & 0xff
+    Decoded(
+      doc_id = p.doc_id,
+      n_bytes = p.payload.length,
+      format = if (ub(0) % 2 == 0) "png" else "jpeg",
+      width = 16 * (1 + ub(1) % 64),
+      height = 16 * (1 + ub(2) % 64),
+      mean_intensity = ub(3) * 1.0 / 255)
+  }
+
+  /** Batched decode: one decoder instance per partition. */
+  def decode(payloads: Dataset[Payload]): Dataset[Decoded] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
+      it.map(p => decodeOne(md, p))
+    }
+  }
+
+  /** mm01 — binary payload metadata, oracle-checked: the stub decode's
+    * md5 arithmetic is reproduced in SQL on both engines. */
+  val mm01 = QueryDef.sql("mm01_binary_features",
+    """SELECT doc_id,
+      |  CAST(strlen(text) AS INTEGER) AS n_bytes,
+      |  CASE WHEN CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 2 = 0
+      |       THEN 'png' ELSE 'jpeg' END AS format,
+      |  CAST(16 * (1 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) % 64) AS INTEGER) AS width,
+      |  CAST(16 * (1 + CAST(('0x' || substr(md5(text), 5, 2)) AS INTEGER) % 64) AS INTEGER) AS height,
+      |  CAST(('0x' || substr(md5(text), 7, 2)) AS INTEGER) * 1e0 / 255 AS mean_intensity
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val payloads = T.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[Payload]
+    decode(payloads)
+      .toDF()
+      .select("doc_id", "n_bytes", "format", "width", "height", "mean_intensity")
+      .orderBy("doc_id")
+  }
+
+  /** mm02 — frame sampling: every k-th frame index of a pseudo-video
+    * whose frame count derives from the payload size. Pure expression
+    * (sequence + explode-ready array), oracle-checked. */
+  val mm02 = QueryDef.sql("mm02_frame_sample",
+    """SELECT doc_id, n_frames, frames, CAST(len(frames) AS INTEGER) AS n_sampled
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(1 + n_chars % 120 AS INTEGER) AS n_frames,
+      |    CAST(range(0, CAST(1 + n_chars % 120 AS INTEGER), 5) AS INTEGER[]) AS frames
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"),
+        (lit(1) + col("n_chars") % 120).cast("int").as("n_frames"))
+      .withColumn("frames", sequence(lit(0), col("n_frames") - 1, lit(5)))
+      .withColumn("n_sampled", size(col("frames")))
+      .orderBy("doc_id")
+  }
+
+  /** mm03 — per-partition batched feature extraction over the decoded
+    * stream: aggregate stats of the stub decoder's outputs (rows-only:
+    * covered against mm01 in MultimodalSpec). */
+  val mm03 = QueryDef.rowsOnly("mm03_decode_stats") { (s, d) =>
+    import s.implicits._
+    val payloads = T.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[Payload]
+    decode(payloads).toDF()
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"),
+        avg("width").as("avg_width"),
+        avg("height").as("avg_height"),
+        max("n_bytes").as("max_bytes"))
+      .orderBy("format")
+  }
+
+  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03)
+}

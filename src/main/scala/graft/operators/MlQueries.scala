@@ -127,5 +127,21 @@ object MlQueries {
       .toDF("corpus_size", "vocab_size", "active_terms", "avg_log_likelihood")
   }
 
-  val defs: Seq[QueryDef] = Seq(tf01, tf02, tf03, tf04, ml01, ml02, ml03)
+  /** ml04 — the BASELINE.md-mirroring workload: EM-LDA, k=5, 50
+    * iterations, auto α/β — the reference's exact training configuration
+    * (`Params.scala:2-11`) on the documents corpus. Bench timing of this
+    * query is the apples-to-apples number against the reference's
+    * persisted iterationTimes (≈40 s EN / ≈105 s GE). */
+  val ml04 = QueryDef.rowsOnly("ml04_lda_em_train") { (s, d) =>
+    val tokens = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    val fitted = LdaPipeline.train(s, tokens,
+      LdaPipeline.Params(k = 5, maxIterations = 50, algorithm = "em",
+        checkpointInterval = -1, seed = 42L))
+    LdaPipeline.describeTopics(s, fitted, 10)
+      .select(col("topic"), concat_ws(" ", col("terms")).as("top_terms"))
+      .orderBy("topic")
+  }
+
+  val defs: Seq[QueryDef] = Seq(tf01, tf02, tf03, tf04, ml01, ml02, ml03, ml04)
 }

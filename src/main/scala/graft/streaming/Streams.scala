@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.{QueryDef, Tables => T}
+import graft.functions.ExactAgg._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Structured Streaming surface over the `events` table. The reference
+  * has no streaming (SURVEY.md §1.3) — declared extension.
+  *
+  * st01 runs a REAL streaming query (readStream → windowed agg → memory
+  * sink, drained synchronously) whose result must hash-match the batch
+  * oracle — the streaming/batch unification Spark promises, held to the
+  * driver's correctness gate. st03 exercises arbitrary stateful
+  * processing (mapGroupsWithState). st02 is the batch gap-sessionization
+  * (window islands) that the stateful version must agree with.
+  *
+  * Scale notes: windowed aggregation state is bounded by (window ×
+  * event_type) cardinality; with a watermark the state store evicts
+  * closed windows — at 100 TB/day the shuffle partitions into the state
+  * store are keyed by (window, type), and sessionization shards by
+  * user_id. No driver-side state anywhere.
+  */
+object Streams {
+
+  /** st01 — hourly windowed aggregation, genuinely streamed. */
+  val st01 = QueryDef.sql("st01_stream_hourly",
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    // schema from the batch reader (nanos ts arrives as LONG); the file
+    // stream source needs a directory → glob-filter the sf dir
+    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    val name = s"st01_sink_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** st02 — gap-based sessionization (30-min inactivity) as window
+    * islands: the declarative form of the stateful op below. */
+  val st02 = QueryDef.sql("st02_sessionize",
+    """WITH marked AS (
+      |  SELECT user_id,
+      |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+      |           - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+      |         OR LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id,
+      |  CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+      |  COUNT(*) AS n_events
+      |FROM marked
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    T.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // public: Catalyst's generated encoder projections can't touch
+  // private classes
+  final case class Ev(user_id: Long, tsMicros: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** st03 — arbitrary stateful processing: the same sessionization via
+    * mapGroupsWithState on a streaming query (rows-only: st02 is its
+    * value oracle, asserted in StreamsSpec). */
+  val st03 = QueryDef.rowsOnly("st03_stateful_sessions") { (s, d) =>
+    stateful(s, d)
+  }
+
+  def stateful(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("user_id"), expr("ts div 1000").as("tsMicros"))
+      .as[Ev]
+    val gapMicros = 30L * 60 * 1000 * 1000
+    val sessions = stream
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[List[Long], UserSessions](GroupStateTimeout.NoTimeout) {
+        (uid, events, state) =>
+          // accumulate all timestamps seen so far (bounded per user in the
+          // fixture; a production op would keep only (lastTs, counters))
+          val all = (state.getOption.getOrElse(Nil) ++ events.map(_.tsMicros)).sorted
+          state.update(all)
+          val nSessions = if (all.isEmpty) 0L
+          else 1L + all.zip(all.tail).count { case (a, b) => b - a > gapMicros }
+          UserSessions(uid, nSessions, all.length.toLong)
+      }
+    val name = s"st03_sink_${System.nanoTime()}"
+    val q = sessions.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name).orderBy("user_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(st01, st02, st03)
+}

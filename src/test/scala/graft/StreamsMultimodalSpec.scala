@@ -1,0 +1,62 @@
+package graft
+
+import graft.ml.GoldenReport
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamsMultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("st01: streaming windowed agg equals batch oracle semantics") {
+    val streamed = streaming.Streams.st01.fn(spark, sf).collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq ==
+      batch.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq)
+  }
+
+  test("st03: stateful sessionization agrees with the window-island form") {
+    val stateful = streaming.Streams.stateful(spark, sf)
+      .select("user_id", "n_sessions", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val declarative = streaming.Streams.st02.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stateful == declarative)
+  }
+
+  test("mm01/mm03: stub decode is deterministic and consistent") {
+    val a = multimodal.Multimodal.mm01.fn(spark, sf).collect()
+    val b = multimodal.Multimodal.mm01.fn(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val stats = multimodal.Multimodal.mm03.fn(spark, sf).collect()
+    assert(stats.map(_.getString(0)).toSet.subsetOf(Set("png", "jpeg")))
+    assert(stats.map(_.getLong(1)).sum == a.length)
+  }
+
+  test("golden report renders the reference layout (K3 format shape)") {
+    val report = GoldenReport.render(2,
+      Seq(GoldenReport.BookResult(0, "A Book? The - X.txt",
+        Seq(0.25, 0.75), 1, 0.75, Seq("word", "term"))),
+      Seq(GoldenReport.TopicSummary(0, Seq("alpha" -> 0.5, "beta" -> 0.25),
+        Seq("b1.txt", "b2.txt", "b3.txt", "b4.txt"))))
+    val lines = report.linesIterator.toSeq
+    assert(lines.head == "#" * 87)
+    assert(lines.contains("LDA Model with 2 topics"))
+    assert(lines.contains("Book's number: 0"))
+    assert(lines.contains("Book's name: A Book? The - X.txt"))
+    assert(lines.contains("Topics Nr. \t|\t Distribution"))
+    assert(lines.contains("Nr.: 1 \t\t|\t 0.75"))
+    assert(lines.contains("Main topic of the book: Topic Nr. (1), Weight (0.75)"))
+    assert(lines.contains("word, term, "))
+    assert(lines.contains("TOPIC 0: top-weighted terms"))
+    assert(lines.contains("alpha\t0.5"))
+    assert(lines.contains("Amount of books in the topic: 4"))
+    // newline after every 3rd book
+    assert(lines.contains("b1.txt, b2.txt, b3.txt,"))
+    assert(lines.contains("b4.txt,"))
+  }
+}
