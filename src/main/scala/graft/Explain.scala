@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of selected queries
+  * so scan pushdown (PushedFilters/ReadSchema), join strategies
+  * (BroadcastHashJoin vs SortMergeJoin), and WholeStageCodegen coverage
+  * can be reviewed. Usage: runMain graft.Explain [sfDir] [name...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.tail.toSeq
+      else Seq("q01_pricing_summary", "q03_revenue_by_customer",
+        "q05_local_supplier_revenue", "q19_cohort_symmetric_diff",
+        "dd02_ngram_jaccard", "ss01_cosine_topk")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -143,5 +143,64 @@ object MlQueries {
       .orderBy("topic")
   }
 
-  val defs: Seq[QueryDef] = Seq(tf01, tf02, tf03, tf04, ml01, ml02, ml03, ml04)
+  /** tf05 — T2: per-document term ranking (the loader's per-book token
+    * sort, `LDALoader.scala:86-94`, as one windowed query). */
+  val tf05 = QueryDef.sql("tf05_top_terms_per_doc",
+    """SELECT doc_id, term, tf, rnk FROM (
+      |  SELECT doc_id, term, tf,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS INTEGER) AS rnk
+      |  FROM (
+      |    SELECT doc_id, term, COUNT(*) AS tf
+      |    FROM (SELECT doc_id, UNNEST(string_split(text,' ')) AS term FROM documents) u
+      |    GROUP BY doc_id, term) c) r
+      |WHERE rnk <= 5 AND doc_id < 50
+      |ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term"))
+    T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5 && col("doc_id") < 50)
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** tf06 — E1: order-preserving array intersect (the loader's
+    * top-words ∩ topic-vocabulary, `LDALoader.scala:154-155`): each
+    * doc's token array ∩ the corpus's 10 most frequent terms, keeping
+    * left-operand order (Spark array_intersect == Scala intersect
+    * == DuckDB list_intersect? DuckDB's is NOT order-stable, so the
+    * oracle re-derives it with list_filter + list_contains). */
+  val tf06 = QueryDef.sql("tf06_doc_top10_intersect",
+    """WITH top10 AS (
+      |  SELECT list(term) AS terms FROM (
+      |    SELECT term, COUNT(*) AS cnt
+      |    FROM (SELECT UNNEST(string_split(text,' ')) AS term FROM documents) u
+      |    GROUP BY term ORDER BY cnt DESC, term LIMIT 10) t),
+      |dd AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text,' '),
+      |      (x, i) -> list_position(string_split(text,' '), x) = i) AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  list_filter(toks, x -> list_contains(top10.terms, x)) AS common_terms
+      |FROM dd, top10
+      |WHERE doc_id < 50
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val top10 = docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(10)
+      .agg(collect_list(col("term")).as("terms"))
+    docs
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .crossJoin(broadcast(top10))
+      .select(col("doc_id"), array_intersect(col("toks"), col("terms")).as("common_terms"))
+      .filter(col("doc_id") < 50)
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(tf01, tf02, tf03, tf04, tf05, tf06, ml01, ml02, ml03, ml04)
 }
