@@ -1,0 +1,57 @@
+package graft
+
+import graft.ml._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The reference's own training workload (BASELINE.md): EM-LDA, k=5,
+  * 50 iterations, English Gutenberg corpus (51 books / 29 MB), run
+  * through this engine's pipeline. Reports preprocessing and training
+  * separately — the reference's 40 s baseline is the sum of
+  * `iterationTimes` (training only; its CoreNLP preprocessing is
+  * outside that number).
+  *
+  * Usage: runMain graft.BookBench [booksDir] [stopwordsFile]
+  */
+object BookBench {
+  def main(args: Array[String]): Unit = {
+    val books = args.headOption.getOrElse(
+      "/root/reference/TextClustering/src/main/resources/books/English")
+    val stopFile = if (args.length > 1) args(1)
+      else "/root/reference/TextClustering/src/main/resources/stopWords_EN.txt"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val stops = CorpusReader.readStopwords(spark, stopFile)
+    val t0 = System.nanoTime()
+    val docs = Pipeline.withDocIds(CorpusReader.readBooks(spark, books))
+    val tokens = docs.select(col("doc_id"),
+      TextPrep.tokenizeFilterStem(
+        TextPrep.filterSpecialCharacters(TextPrep.lemmatizeUdf(col("text"))),
+        stops).as("tokens"))
+      .filter(size(col("tokens")) > 0)
+      .cache()
+    val nDocs = tokens.count() // materialize prep
+    val counts = Vectorize.wordCounts(tokens)
+    val vocab = Vectorize.buildVocab(counts, 2900000)
+    val tf = Vectorize.countVectors(tokens, vocab)
+    val idf = Vectorize.fitIdf(tf).idf.toArray
+    val corpus = Vectorize.tfidfWithFloor(spark, tf, idf).coalesce(8).cache()
+    corpus.count()
+    val tPrep = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val lda = new org.apache.spark.ml.clustering.LDA()
+      .setK(5).setMaxIter(50).setOptimizer("em")
+      .setFeaturesCol("features").setSeed(42L)
+    val model = lda.fit(corpus)
+    val tTrain = (System.nanoTime() - t1) / 1e9
+
+    println(f"""{"workload":"en_books_em_lda","docs":$nDocs,"vocab":${vocab.length},"preprocess_sec":$tPrep%.1f,"train_sec":$tTrain%.1f,"baseline_train_sec":40.8}""")
+    spark.stop()
+  }
+}

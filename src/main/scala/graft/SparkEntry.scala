@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.MlQueries.defs ++
+      operators.Advanced.defs ++
       streaming.Streams.defs ++
       multimodal.Multimodal.defs
 

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: polynomial rolling hash of a string —
+  * `acc = (acc * 31 + unit) mod (2^31 - 1)` over UTF-16 units — the
+  * document-fingerprinting primitive (rolling hash) as a whole-stage-
+  * codegen'd expression rather than a Scala UDF: no serialization
+  * boundary, the loop is inlined into the generated stage.
+  *
+  * (Preference order per the build brief: built-ins > custom Expression >
+  * custom operator > mapPartitions. md5-based fingerprints use
+  * built-ins; this covers the rolling-hash family the built-ins lack.)
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"poly_hash requires STRING, got ${child.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * 31L + s.charAt(i)) % 2147483647L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val str = ctx.freshName("str")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |java.lang.String $str = $c.toString();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $str.length(); $i++) {
+         |  $acc = ($acc * 31L + (long) $str.charAt($i)) % 2147483647L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  /** Register `poly_hash` in the session's function registry so it is
+    * usable from SQL text and `expr("poly_hash(...)")`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
+}

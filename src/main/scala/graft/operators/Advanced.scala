@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import graft.functions.{ExactAgg, PolyHash}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced composition surface: as-of/attribution join, ordered string
+  * aggregation, exact percentiles, and a native codegen'd expression.
+  */
+object Advanced {
+
+  /** q30 — as-of attribution: each purchase event attributed to the
+    * user's most recent preceding click. Composed from a forward-filled
+    * window (one shuffle by user_id) instead of an inequality join —
+    * the scale-correct form of an AS-OF join when both sides share a
+    * partition key. */
+  val q30 = QueryDef.sql("q30_asof_attribution",
+    """SELECT event_id, user_id,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) - last_click_us AS gap_us
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'click'
+      |                    THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+      |  FROM events) t
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    T.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("last_click_us",
+        last(when(col("event_type") === "click", col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        (col("us") - col("last_click_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** q31 — ordered string aggregation: deterministic via sort-then-join
+    * (Spark's collect_set order is undefined; array_sort pins it). */
+  val q31 = QueryDef.sql("q31_segment_nations",
+    """SELECT c_mktsegment,
+      |  array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+      |  COUNT(*) AS n_customers
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val c = T.customer(s, d)
+    val n = T.nation(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("c_mktsegment")
+      .agg(array_join(array_sort(collect_set(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q32 — the native PolyHash expression (rolling-hash fingerprint,
+    * whole-stage-codegen'd; oracle recomputes the identical recurrence
+    * via list_reduce). */
+  val q32 = QueryDef.sql("q32_rolling_hash",
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    T.documents(s, d)
+      .select(col("doc_id"), expr("poly_hash(text)").as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** q33 — exact interpolated percentiles of order value per status. */
+  val q33 = QueryDef.sql("q33_percentiles",
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.25) AS p25,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.75) AS p75,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    T.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33)
+}
