@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Similarity.defs ++
       operators.MlQueries.defs ++
       operators.Advanced.defs ++
+      operators.Extras.defs ++
       streaming.Streams.defs ++
       multimodal.Multimodal.defs
 
