@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // measured: sf0.1 bench is fastest at 8g (84s vs 94s@16g, 109s@32g —
+  // G1 behaves worse for many small queries on huge heaps); only the
+  // big-vocab book corpus wants more (SPARK_DRIVER_MEM=16g for
+  // graft.BookBench: 123s@8g → 74s@16g)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
