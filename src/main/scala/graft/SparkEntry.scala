@@ -22,6 +22,7 @@ object SparkEntry {
       operators.MlQueries.defs ++
       operators.Advanced.defs ++
       operators.Extras.defs ++
+      operators.Storage.defs ++
       streaming.Streams.defs ++
       multimodal.Multimodal.defs
 

@@ -136,5 +136,35 @@ object Similarity {
       count(lit(1)).as("n_queries"))
   }
 
-  val defs: Seq[QueryDef] = Seq(ss01, ss02, ss03)
+  /** ss04 — IVF-style ANN: k-means coarse quantizer (ml.KMeans, pinned
+    * seed) assigns each vector to a cell; queries scan only their own
+    * cell. The inverted-file layout is the standard billion-scale ANN
+    * design: at 100 TB the cell id is the partition key and nprobe>1
+    * adds neighboring cells. Rows-only (KMeans centroids have no SQL
+    * oracle); recall vs the exact baseline is asserted in
+    * SimilaritySpec. */
+  val ss04 = QueryDef.rowsOnly("ss04_ann_ivf") { (s, d) => ivf(s, d) }
+
+  def ivf(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = T.embeddings(s, d)
+      .withColumn("v", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(8).setSeed(42L).setFeaturesCol("v")
+      .setPredictionCol("cell").fit(e)
+    val cells = km.transform(e).select(col("vec_id"), col("embedding"), col("cell"))
+    val q = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    cells.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos_sim", expr(cosine("qe", "embedding")))
+      .withColumnRenamed("vec_id", "nid")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "nid", "rank", "cos_sim")
+      .orderBy("qid", "rank")
+  }
+
+  val defs: Seq[QueryDef] = Seq(ss01, ss02, ss03, ss04)
 }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import graft.functions.ExactAgg._
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators — the physical-design levers that matter at
+  * 100 TB: partitioned layouts (partition pruning), bucketed layouts
+  * (shuffle-free joins), plus the remaining join variants (outer) and
+  * bag-semantics set ops.
+  */
+object Storage {
+
+  /** q38 — partitioned write + pruned read: documents written
+    * partitionBy(lang), read back with a partition filter. The oracle
+    * reads the original table directly, so a hash match proves the
+    * partitioned layout is lossless AND the pruned subset is exact.
+    * (`graft.Explain` on this query shows PartitionFilters with no
+    * lang column in the data scan.) */
+  val q38 = QueryDef.sql("q38_partition_pruning",
+    """SELECT source, COUNT(*) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE lang IN ('en', 'de')
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    T.documents(s, d).write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("lang").isin("en", "de")) // partition-pruned scan
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+      .orderBy("source")
+  }
+
+  /** q39 — bucketed co-located join: orders and lineitem saved bucketed
+    * by the join key; the join then needs NO shuffle on either side
+    * (asserted in StorageSpec via the physical plan). Oracle = the same
+    * join over the plain tables. */
+  val q39 = QueryDef.sql("q39_bucketed_join",
+    """SELECT o.o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY o.o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    bucketedJoin(s, d)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** The bucketed join itself (shared with the plan assertion in
+    * StorageSpec). Bucket count 8 on the join key both sides. */
+  def bucketedJoin(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val (to, tl) = ("graft_bkt_orders", "graft_bkt_lineitem")
+    if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tl)) {
+      T.orders(s, d).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
+      T.lineitem(s, d).write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+    }
+    val o = s.table(to)
+    val l = s.table(tl)
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+  }
+
+  /** q40 — outer-join variants: full outer customer⋈orders with null
+    * accounting (customers without orders + orphan order keys). */
+  val q40 = QueryDef.sql("q40_full_outer_join",
+    """SELECT
+      |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS customers_without_orders,
+      |  SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS orphan_orders,
+      |  COUNT(*) AS total_rows,
+      |  CAST(SUM(CAST(coalesce(o_totalprice, 0e0) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin) { (s, d) =>
+    val c = T.customer(s, d)
+    val o = T.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .agg(
+        sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("customers_without_orders"),
+        sum(when(col("c_custkey").isNull, 1).otherwise(0)).as("orphan_orders"),
+        count(lit(1)).as("total_rows"),
+        dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_value"))
+  }
+
+  /** q41 — bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep
+    * multiplicities (vs q19's set semantics). */
+  val q41 = QueryDef.sql("q41_bag_set_ops",
+    """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+      |     b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'F')
+      |SELECT k, COUNT(*) AS n FROM (
+      |  SELECT k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) i
+      |  UNION ALL
+      |  SELECT k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) e) u
+      |GROUP BY k
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    val li = T.lineitem(s, d)
+    val a = li.filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k"))
+    val b = li.filter(col("l_linestatus") === "F").select(col("l_suppkey").as("k"))
+    a.intersectAll(b).union(a.exceptAll(b))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+  }
+
+  /** q42 — null semantics: nullif/coalesce/null-safe equality and
+    * null-aware counting over a derived nullable column. */
+  val q42 = QueryDef.sql("q42_null_semantics",
+    """SELECT
+      |  COUNT(*) AS n_rows,
+      |  COUNT(disc) AS n_nonnull,
+      |  SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS n_null,
+      |  CAST(SUM(CAST(coalesce(disc, -1e0) AS DECIMAL(18,2))) AS DOUBLE) AS coalesced_sum,
+      |  SUM(CASE WHEN disc IS NOT DISTINCT FROM 0.05e0 THEN 1 ELSE 0 END) AS nullsafe_eq_05
+      |FROM (SELECT nullif(l_discount, 0e0) AS disc FROM lineitem) t""".stripMargin) { (s, d) =>
+    T.lineitem(s, d)
+      .select(expr("nullif(l_discount, 0D)").as("disc"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("disc")).as("n_nonnull"),
+        sum(when(col("disc").isNull, 1).otherwise(0)).as("n_null"),
+        dsum(coalesce(col("disc"), lit(-1.0))).as("coalesced_sum"),
+        sum(when(col("disc") <=> lit(0.05), 1).otherwise(0)).as("nullsafe_eq_05"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(q38, q39, q40, q41, q42)
+}

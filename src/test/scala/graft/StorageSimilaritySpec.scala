@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StorageSimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q38 partitioned read prunes partitions (PartitionFilters)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part_spec").toString
+    Tables.documents(spark, sf).write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    val pruned = spark.read.parquet(tmp).filter(col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"expected partition pruning in plan:\n$plan")
+    // pruned read equals direct filter
+    val a = pruned.count()
+    val b = Tables.documents(spark, sf).filter(col("lang") === "en").count()
+    assert(a == b)
+  }
+
+  test("q39 bucketed join plans without shuffle exchanges") {
+    val joined = operators.Storage.bucketedJoin(spark, sf)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+  }
+
+  test("ss04 IVF ANN returns ranked neighbors with sane recall") {
+    val ivf = operators.Similarity.ivf(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = operators.Similarity.ss01.fn(spark, sf)
+      .filter(col("rank") <= 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall > 0.2, s"IVF recall vs exact top-3 too low: $recall")
+    // determinism: same seed, same result
+    val again = operators.Similarity.ivf(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivf)
+  }
+}
