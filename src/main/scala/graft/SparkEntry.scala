@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Advanced.defs ++
       operators.Extras.defs ++
       operators.Storage.defs ++
+      operators.Reshape.defs ++
       streaming.Streams.defs ++
       multimodal.Multimodal.defs
 
