@@ -122,5 +122,64 @@ object Storage {
         sum(when(col("disc") <=> lit(0.05), 1).otherwise(0)).as("nullsafe_eq_05"))
   }
 
-  val defs: Seq[QueryDef] = Seq(q38, q39, q40, q41, q42)
+  /** q48 — CSV sink + source round-trip (header + explicit schema on
+    * re-read; oracle reads the original parquet — a hash match proves
+    * the CSV writer/reader round-trips types and quoting losslessly). */
+  val q48 = QueryDef.sql("q48_csv_roundtrip",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+      |  min(c_name) AS first_name
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val c = T.customer(s, d)
+    c.write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.schema(c.schema).option("header", "true").csv(tmp)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("c_acctbal")).as("total_bal"),
+        min("c_name").as("first_name"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q49 — statistical aggregates from exact moments: native corr/stddev
+    * accumulate doubles order-dependently (no stable hash), so the
+    * moments Σx, Σy, Σxy, Σx², n are summed exactly in decimal (2-dec
+    * inputs → 4-dec products) and the textbook formulas run once in
+    * double — deterministic AND engine-portable. */
+  val q49 = QueryDef.sql("q49_exact_moment_stats",
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+      |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_disc
+      |FROM m
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val D4 = DecimalType(18, 4)
+    T.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_discount")).as("sy"),
+        dsum(col("l_quantity") * col("l_discount"), D4).as("sxy"),
+        dsum(col("l_quantity") * col("l_quantity"), D4).as("sxx"),
+        dsum(col("l_discount") * col("l_discount"), D4).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("stddev_qty"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q38, q39, q40, q41, q42, q48, q49)
 }
