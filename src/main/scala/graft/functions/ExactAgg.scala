@@ -22,6 +22,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 object ExactAgg {
   val D2: DecimalType = DecimalType(18, 2)
 
+  /** Scale-4: lossless for products of two 2-decimal columns
+    * (quantity × discount); smallest scale → widest exact-total range. */
+  val D4: DecimalType = DecimalType(18, 4)
+
   /** Scale-6 variant for products of 2-decimal columns. Not scale 8: the
     * final decimal→double cast is only bit-identical across engines while
     * the scaled integer total fits in 2^53 (DuckDB converts via int128 →

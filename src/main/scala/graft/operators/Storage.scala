@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object Storage {
 
+  /** Scratch dir for layout round-trip queries. Lives in the system tmp
+    * (ephemeral per driver round); one per invocation so concurrent
+    * sessions can't collide. */
+  private def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
   /** q38 — partitioned write + pruned read: documents written
     * partitionBy(lang), read back with a partition filter. The oracle
     * reads the original table directly, so a hash match proves the
@@ -24,7 +30,7 @@ object Storage {
       |WHERE lang IN ('en', 'de')
       |GROUP BY source
       |ORDER BY source""".stripMargin) { (s, d) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val tmp = scratchDir("graft_part")
     T.documents(s, d).write.mode("overwrite").partitionBy("lang").parquet(tmp)
     s.read.parquet(tmp)
       .filter(col("lang").isin("en", "de")) // partition-pruned scan
@@ -132,7 +138,7 @@ object Storage {
       |FROM customer
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val tmp = scratchDir("graft_csv")
     val c = T.customer(s, d)
     c.write.mode("overwrite").option("header", "true").csv(tmp)
     s.read.schema(c.schema).option("header", "true").csv(tmp)
@@ -163,8 +169,6 @@ object Storage {
       |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_disc
       |FROM m
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.types.DecimalType
-    val D4 = DecimalType(18, 4)
     T.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
