@@ -183,5 +183,59 @@ object Dedup {
       .orderBy("hamming", "da", "db")
   }
 
-  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04)
+  /** dd05 — transitive duplicate clusters: connected components over
+    * the near-dup pair graph (Jaccard ≥ 0.5), so A≈B≈C collapses to one
+    * cluster even when A≉C directly — the form a dedup pipeline actually
+    * needs to pick one survivor per group.
+    *
+    * Implementation is iterative min-label propagation over the edge
+    * list (each round = one shuffle join + min-agg; the driver loop
+    * only checks convergence on an aggregate — no vertex data ever
+    * leaves the cluster). Rounds needed = graph diameter, and each
+    * round's cost is |edges| — the standard scalable CC shape. The
+    * oracle computes the same fixpoint as a recursive CTE.
+    */
+  val dd05 = QueryDef.sql("dd05_dup_clusters",
+    s"""WITH RECURSIVE $jaccardCte,
+       |edges AS (
+       |  SELECT da AS a, db AS b FROM jac WHERE jaccard >= 0.5e0
+       |  UNION SELECT db, da FROM jac WHERE jaccard >= 0.5e0),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, CAST(least(a, MIN(b)) AS BIGINT) AS cluster_id
+       |FROM reach
+       |GROUP BY a
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"))
+    val edges = pairs
+      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .distinct().cache()
+    // min-label propagation to fixpoint (bounded by component diameter)
+    var labels = edges.select(col("da").as("id"))
+      .union(edges.select(col("db").as("id"))).distinct()
+      .withColumn("label", col("id")).cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val prop = edges
+        .join(labels, edges("db") === labels("id"))
+        .select(edges("da").as("id"), col("label"))
+        .union(labels.select("id", "label"))
+        .groupBy("id").agg(min("label").as("label"))
+        .cache()
+      val changed = prop.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = prop
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05)
 }

@@ -166,5 +166,45 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  val defs: Seq[QueryDef] = Seq(ss01, ss02, ss03, ss04)
+  /** ss05 — multi-probe LSH: each query scans its own bucket plus the 4
+    * buckets at Hamming distance 1 in hyperplane-sign space (flip one
+    * plane's bit). Standard recall/cost dial for LSH at scale: nprobe=5
+    * here multiplies candidates ~5× and recovers most bucket-boundary
+    * misses without touching the corpus layout. Fully deterministic →
+    * oracled like ss02. */
+  val ss05 = QueryDef.sql("ss05_ann_multiprobe",
+    s"""WITH b AS (SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT qid, qe, UNNEST([bucket, xor(bucket, 1), xor(bucket, 2),
+       |                          xor(bucket, 4), xor(bucket, 8)]) AS pb
+       |  FROM q),
+       |scored AS (
+       |  SELECT p.qid, b.vec_id AS nid, ${duckCosine("p.qe", "b.embedding")} AS cos_sim
+       |  FROM probes p JOIN b ON p.pb = b.bucket AND p.qid <> b.vec_id)
+       |SELECT qid, nid, rank, cos_sim FROM (
+       |  SELECT qid, nid, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS INTEGER) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val e = T.embeddings(s, d)
+    val b = e.withColumn("bucket", expr(bucketSpark("embedding")))
+    val q = b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+      .withColumn("pb", explode(expr(
+        "array(bucket, bucket ^ 1, bucket ^ 2, bucket ^ 4, bucket ^ 8)")))
+      .drop("bucket")
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    b.join(broadcast(q), col("pb") === col("bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos_sim", expr(cosine("qe", "embedding")))
+      .withColumnRenamed("vec_id", "nid")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "nid", "rank", "cos_sim")
+      .orderBy("qid", "rank")
+  }
+
+  val defs: Seq[QueryDef] = Seq(ss01, ss02, ss03, ss04, ss05)
 }

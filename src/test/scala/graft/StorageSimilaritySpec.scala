@@ -26,6 +26,28 @@ class StorageSimilaritySpec extends AnyFunSuite {
       s"bucketed join must not shuffle:\n$plan")
   }
 
+  test("ss05 multi-probe strictly expands single-probe LSH candidates") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(operators.Similarity.ss01.fn(spark, sf))
+    val single = pairs(operators.Similarity.ss02.fn(spark, sf))
+    val multi = pairs(operators.Similarity.ss05.fn(spark, sf))
+    assert((multi & exact).size >= (single & exact).size,
+      "nprobe=5 must not lose recall vs nprobe=1")
+  }
+
+  test("dd05 clusters are canonical (min-id representative, closed)") {
+    val rows = operators.Dedup.dd05.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, cl) => assert(cl <= doc, s"cluster id $cl > member $doc") }
+    // every cluster representative is a member of its own cluster
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cl, members) =>
+      assert(members.exists(_._1 == cl), s"representative $cl missing from its cluster")
+    }
+  }
+
   test("ss04 IVF ANN returns ranked neighbors with sane recall") {
     val ivf = operators.Similarity.ivf(spark, sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
