@@ -29,12 +29,7 @@ object BookBench {
     val stops = CorpusReader.readStopwords(spark, stopFile)
     val t0 = System.nanoTime()
     val docs = Pipeline.withDocIds(CorpusReader.readBooks(spark, books))
-    val tokens = docs.select(col("doc_id"),
-      TextPrep.tokenizeFilterStem(
-        TextPrep.filterSpecialCharacters(TextPrep.lemmatizeUdf(col("text"))),
-        stops).as("tokens"))
-      .filter(size(col("tokens")) > 0)
-      .cache()
+    val tokens = Pipeline.prepTokens(docs, stops).cache()
     val nDocs = tokens.count() // materialize prep
     val counts = Vectorize.wordCounts(tokens)
     val vocab = Vectorize.buildVocab(counts, 2900000)

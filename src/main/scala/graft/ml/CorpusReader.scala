@@ -18,8 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object CorpusReader {
 
-  private val decodePath =
-    udf((p: String) => java.net.URLDecoder.decode(p, "UTF-8"))
+  /** input_file_name() yields a percent-encoded URI. URLDecoder is the
+    * wrong tool (it turns literal '+' into a space, corrupting names
+    * like "C++ Guide.txt"); URI.getPath decodes only %XX escapes. */
+  private val decodePath = udf { (p: String) =>
+    try new java.net.URI(p).getPath
+    catch { case _: java.net.URISyntaxException => p }
+  }
 
   def readBooks(spark: SparkSession, dir: String): DataFrame = {
     val parallelism = spark.sparkContext.defaultParallelism

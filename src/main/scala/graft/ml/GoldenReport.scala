@@ -8,11 +8,12 @@ import org.apache.spark.sql.DataFrame
   * the cluster computes everything (SURVEY.md §3.2 boundary note), the
   * driver only renders the final small rows.
   *
-  * Byte-format fidelity notes: Java double rendering (`0.354215...`,
-  * `8.44E-4`), tab/pipe column separators, `#`/`*`/`-` rule lines,
-  * newline after every 3rd book in the per-topic list, trailing comma-
-  * space after word lists — all as in the checked-in goldens
-  * (`TestOutput/Result_EN_1591723228815`).
+  * Byte format follows the reference's append sequence exactly
+  * (verified against `TestOutput/Result_EN_1591723228815`): rule-line
+  * widths, tab/pipe separators, Java double rendering, the trailing
+  * `", "` after every printed word, the per-topic book list's trailing
+  * separator with a newline after every 3rd book, and the
+  * `List of topics` banner.
   */
 object GoldenReport {
 
@@ -35,8 +36,8 @@ object GoldenReport {
     books.foreach { b =>
       sb.append(starRule).append('\n')
       sb.append(s"Book's number: ${b.number}\n")
-      sb.append(s"Book's name: ${b.name}\n\n")
-      sb.append(dashRule).append('\n')
+      sb.append(s"Book's name: ${b.name}\n")
+      sb.append('\n').append(dashRule).append('\n')
       sb.append("Topics Nr. \t|\t Distribution\n")
       sb.append(dashRule).append('\n')
       b.distribution.zipWithIndex.foreach { case (w, i) =>
@@ -47,46 +48,54 @@ object GoldenReport {
       sb.append(dashRule).append('\n')
       sb.append("Word. \t|\t TF\n")
       sb.append(dashRule).append('\n')
-      sb.append(b.topWords.map(_ + ", ").mkString).append('\n')
-      sb.append(starRule).append('\n')
-      sb.append('\n')
+      b.topWords.take(10).foreach(w => sb.append(s"$w, "))
+      sb.append('\n').append(starRule).append("\n\n")
     }
     sb.append(starRule).append('\n')
+    sb.append("List of topics\n")
+    sb.append(starRule).append('\n')
     topics.foreach { t =>
-      sb.append('\n').append(dashRule).append('\n')
+      sb.append(dashRule).append('\n')
       sb.append(s"TOPIC ${t.topic}: top-weighted terms\n")
       sb.append(dashRule).append('\n')
-      t.terms.foreach { case (term, w) => sb.append(s"$term\t$w\n") }
-      sb.append('\n').append(dashRule).append('\n')
+      t.terms.take(10).foreach { case (term, w) => sb.append(s"$term\t$w\n") }
+      sb.append('\n')
+      sb.append(dashRule).append('\n')
       sb.append(s"Amount of books in the topic: ${t.books.length}\n")
       sb.append(dashRule).append('\n')
-      sb.append("List of Books.\n")
+      sb.append("List of Books:\n")
       sb.append(dashRule).append('\n')
-      // newline after every 3rd book, ", " otherwise (LDALoader.scala:142-149)
+      // reference appends a trailing separator after EVERY book: "\n"
+      // after each 3rd within the topic, ", " otherwise
+      // (LDALoader.scala:142-149)
       t.books.zipWithIndex.foreach { case (name, i) =>
-        sb.append(name)
-        if ((i + 1) % 3 == 0 || i == t.books.length - 1) sb.append(",\n")
-        else sb.append(", ")
+        sb.append(name).append(if ((i + 1) % 3 == 0) "\n" else ", ")
       }
-      sb.append(dashRule).append('\n')
-      sb.append('\n').append(starRule).append('\n')
+      sb.append('\n').append(dashRule).append("\n\n")
     }
-    sb.append('\n').append(hashRule).append('\n')
+    sb.append(starRule).append("\n\n")
+    sb.append(hashRule).append('\n')
     sb.toString
   }
 
   /** Assemble the report from cluster-side results: one collect of small
-    * final rows (assigned docs + topic summaries). */
+    * final rows. `assigned` needs (doc_id, <nameCol>, topicDistribution,
+    * main_topic, top_words); `topics` is describeTopics output
+    * (topic, terms, termWeights). */
   def fromDataFrames(k: Int, assigned: DataFrame, topics: DataFrame,
       nameCol: String = "book_name"): String = {
+    val hasWords = assigned.columns.contains("top_words")
+    val cols = Seq("doc_id", nameCol, "topicDistribution", "main_topic") ++
+      (if (hasWords) Seq("top_words") else Nil)
     val books = assigned
-      .select("doc_id", nameCol, "topicDistribution", "main_topic")
+      .select(cols.head, cols.tail: _*)
       .collect()
       .sortBy(_.getLong(0))
       .map { r =>
         val dist = r.getAs[org.apache.spark.ml.linalg.Vector](2).toArray.toSeq
         val mt = r.getInt(3)
-        BookResult(r.getLong(0), r.getString(1), dist, mt, dist(mt), Nil)
+        val words = if (hasWords) r.getSeq[String](4).toSeq else Nil
+        BookResult(r.getLong(0), r.getString(1), dist, mt, dist(mt), words)
       }
     val topicRows = topics.collect().map { r =>
       TopicSummary(

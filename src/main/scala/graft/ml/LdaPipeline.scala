@@ -37,7 +37,14 @@ object LdaPipeline {
       checkpointInterval: Int = 10,
       seed: Long = 42L)
 
-  final case class Fitted(model: LDAModel, vocab: Array[String], corpus: DataFrame)
+  final case class Fitted(
+      model: LDAModel, vocab: Array[String], idf: Array[Double],
+      corpus: DataFrame) {
+    /** Drop the cached TF·IDF corpus. Call when done with a model in a
+      * long-lived session (e.g. training all 8 language corpora) so
+      * cached matrices don't accumulate in storage memory. */
+    def release(): Unit = corpus.unpersist()
+  }
 
   /** Full train: tokens DataFrame(doc_id, tokens) → fitted LDA + vocab.
     * Mirrors SURVEY.md §3.3's dataflow with Catalyst-planned stages. */
@@ -72,7 +79,7 @@ object LdaPipeline {
       case other =>
         throw new IllegalArgumentException(s"Only em, online are supported but got $other.")
     }
-    Fitted(lda.fit(corpus), vocab, corpus)
+    Fitted(lda.fit(corpus), vocab, idf, corpus)
   }
 
   /** A8 — topic descriptions with term indices resolved through the

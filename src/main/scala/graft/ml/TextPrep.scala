@@ -45,7 +45,10 @@ object TextPrep {
   def tokenizeFilterStem(text: Column, stopwords: Seq[String]): Column = {
     val toks = simpleTokenize(text)
     val stopArr = array(stopwords.map(lit): _*)
-    val filtered = filter(toks, t => not(array_contains(stopArr, t)) && length(t) >= 1)
+    // (the reference also checks length >= 1, but every tokenPattern
+    // alternative matches ≥1 char, so the stopword test is the only
+    // live predicate)
+    val filtered = filter(toks, t => not(array_contains(stopArr, t)))
     transform(filtered, PorterStemmer.stemUdf(_))
   }
 

@@ -125,7 +125,14 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name).orderBy("user_id")
+    // update-mode memory sink appends one row per user PER micro-batch;
+    // keep only the latest state (n_events is monotone within a user)
+    s.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("st"))
+      .select(col("user_id"), col("st.n_sessions").as("n_sessions"),
+        col("st.n_events").as("n_events"))
+      .orderBy("user_id")
   }
 
   val defs: Seq[QueryDef] = Seq(st01, st02, st03)

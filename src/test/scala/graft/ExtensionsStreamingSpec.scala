@@ -25,13 +25,21 @@ class ExtensionsStreamingSpec extends AnyFunSuite {
   test("watermarked append-mode windowed agg emits only closed windows") {
     val spark = TestSpark.spark
     import spark.implicits._
-    // deterministic multi-batch layout: events split by time range into
-    // 3 files, streamed one file per trigger so the watermark advances
-    // across batches
+    // deterministic multi-batch layout: events split into 3 time-ordered
+    // chunks written SEQUENTIALLY (file stream source orders by modTime,
+    // so the watermark advances monotonically and no event is late —
+    // a single repartitionByRange write gives arbitrary modTime order
+    // and out-of-order batches silently drop earlier events)
     val tmp = java.nio.file.Files.createTempDirectory("graft_wm").toString
     val ev = Tables.events(spark, TestSpark.sf)
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-    ev.repartitionByRange(3, col("ts")).write.mode("overwrite").parquet(tmp)
+    val tert = ev.withColumn("tert",
+      ntile(3).over(org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+    (1 to 3).foreach { i =>
+      tert.filter(col("tert") === i).drop("tert")
+        .coalesce(1).write.mode("append").parquet(tmp)
+      Thread.sleep(1200) // separate modTimes (FileStreamSource sort key)
+    }
 
     val schema = spark.read.parquet(tmp).schema
     val name = s"wm_sink_${System.nanoTime()}"

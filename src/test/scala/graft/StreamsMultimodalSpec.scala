@@ -52,11 +52,14 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(lines.contains("Nr.: 1 \t\t|\t 0.75"))
     assert(lines.contains("Main topic of the book: Topic Nr. (1), Weight (0.75)"))
     assert(lines.contains("word, term, "))
+    assert(lines.contains("List of topics"))
     assert(lines.contains("TOPIC 0: top-weighted terms"))
     assert(lines.contains("alpha\t0.5"))
     assert(lines.contains("Amount of books in the topic: 4"))
-    // newline after every 3rd book
-    assert(lines.contains("b1.txt, b2.txt, b3.txt,"))
-    assert(lines.contains("b4.txt,"))
+    assert(lines.contains("List of Books:"))
+    // bare newline after every 3rd book, ", " separator otherwise
+    // (trailing separator after the last book, as in the goldens)
+    assert(lines.contains("b1.txt, b2.txt, b3.txt"))
+    assert(lines.contains("b4.txt, "))
   }
 }
