@@ -93,5 +93,33 @@ object Advanced {
       .orderBy("o_orderstatus")
   }
 
-  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33)
+  /** q51 — theta (range) join: orders banded into value tiers via a
+    * non-equi join against a tiny boundary table. Plans as a
+    * BroadcastNestedLoopJoin — correct for a small build side; at scale
+    * a range join prefers bucketized boundaries (turn the theta join
+    * into an equi join on floor(value/step)). */
+  val q51 = QueryDef.sql("q51_theta_range_join",
+    """SELECT tier, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |JOIN (VALUES ('bronze', 0e0, 100000e0),
+      |             ('silver', 100000e0, 300000e0),
+      |             ('gold', 300000e0, 1000000000e0)) t(tier, lo, hi)
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY tier
+      |ORDER BY tier""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val tiers = Seq(
+      ("bronze", 0.0, 100000.0),
+      ("silver", 100000.0, 300000.0),
+      ("gold", 300000.0, 1e9)).toDF("tier", "lo", "hi")
+    T.orders(s, d)
+      .join(broadcast(tiers),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), ExactAgg.dsum(col("o_totalprice")).as("total"))
+      .orderBy("tier")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q51)
 }
