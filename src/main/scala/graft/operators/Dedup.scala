@@ -217,6 +217,12 @@ object Dedup {
     var labels = edges.select(col("da").as("id"))
       .union(edges.select(col("db").as("id"))).distinct()
       .withColumn("label", col("id")).cache()
+    // simple min-label propagation: one join + min-agg per round, rounds
+    // = component diameter. (A pointer-jumping variant — also folding in
+    // label-of-label per round for O(log d) rounds — was measured 2×
+    // SLOWER here: near-dup components are shallow, so the extra join
+    // per round outweighs the saved rounds. Revisit only if deep-chain
+    // components appear.)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
