@@ -41,6 +41,28 @@ class QuerySurfaceSpec extends AnyFunSuite {
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"orphan oracle $k"))
   }
 
+  test("query names are unique and oracles reference only real tables") {
+    val names = operators.Relational.defs ++ operators.Windows.defs ++
+      operators.Grouping.defs ++ operators.Scalars.defs ++
+      operators.TextAnalysis.defs ++ operators.Dedup.defs ++
+      operators.Similarity.defs ++ operators.MlQueries.defs ++
+      operators.Advanced.defs ++ operators.Extras.defs ++
+      operators.Storage.defs ++ operators.Reshape.defs ++
+      streaming.Streams.defs ++ multimodal.Multimodal.defs
+    assert(names.map(_.name).distinct.size == names.size, "duplicate query name")
+    assert(names.size == SparkEntry.queries.size, "module not wired into SparkEntry")
+    val tables = Tables.all.toSet
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val fromRefs = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val unknown = fromRefs -- tables -- Set("values") // CTE names resolve locally
+      // every unknown name must be a CTE defined inside the query itself
+      unknown.foreach(t =>
+        assert(sql.toLowerCase.contains(s"$t as (") || sql.toLowerCase.contains(s"$t(") ,
+          s"$name references unknown table $t"))
+    }
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
