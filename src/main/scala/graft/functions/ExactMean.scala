@@ -9,12 +9,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * arithmetic, so the result is identical under any partitioning —
   * the UDAF counterpart of ExactAgg's decimal-cast aggregates.
   */
-object ExactMean extends Aggregator[Double, (Long, Long), Double] {
+object ExactMean extends Aggregator[java.lang.Double, (Long, Long), Double] {
 
   override def zero: (Long, Long) = (0L, 0L)
 
-  override def reduce(b: (Long, Long), a: Double): (Long, Long) =
-    (b._1 + math.round(a * 100), b._2 + 1)
+  /** Boxed input so nulls are visible and SKIPPED — matching SQL
+    * AVG/COUNT(col) semantics (a primitive Double input would see null
+    * as 0.0 and count it). */
+  override def reduce(b: (Long, Long), a: java.lang.Double): (Long, Long) =
+    if (a == null) b else (b._1 + math.round(a * 100), b._2 + 1)
 
   override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
     (x._1 + y._1, x._2 + y._2)

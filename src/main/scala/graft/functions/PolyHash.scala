@@ -29,13 +29,18 @@ case class PolyHash(child: Expression) extends UnaryExpression {
         s"poly_hash requires STRING, got ${child.dataType.catalogString}")
   }
 
+  /** Folds over Unicode CODE POINTS (not UTF-16 units) so the recurrence
+    * is identical to the oracle's per-character `ord()` — surrogate
+    * pairs would otherwise hash as two units here and one code point
+    * there. */
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     var acc = 0L
     var i = 0
     while (i < s.length) {
-      acc = (acc * 31L + s.charAt(i)) % 2147483647L
-      i += 1
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % 2147483647L
+      i += Character.charCount(cp)
     }
     acc
   }
@@ -44,12 +49,16 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => {
       val str = ctx.freshName("str")
       val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
       val acc = ctx.freshName("acc")
       s"""
          |java.lang.String $str = $c.toString();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $str.length(); $i++) {
-         |  $acc = ($acc * 31L + (long) $str.charAt($i)) % 2147483647L;
+         |int $i = 0;
+         |while ($i < $str.length()) {
+         |  int $cp = $str.codePointAt($i);
+         |  $acc = ($acc * 31L + (long) $cp) % 2147483647L;
+         |  $i += java.lang.Character.charCount($cp);
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -35,7 +35,9 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def shingles(s: SparkSession, d: String): DataFrame =
-    shingleCache.getOrElseUpdate(d, {
+    // key includes the application id: a dir-only key would hand a
+    // DataFrame bound to a stopped SparkContext to a fresh session
+    shingleCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d", {
       val toks = T.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= 3)
@@ -225,7 +227,8 @@ object Dedup {
     // components appear.)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val maxRounds = 64 // >= any plausible near-dup component diameter
+    while (!converged && rounds < maxRounds) {
       val prop = edges
         .join(labels, edges("db") === labels("id"))
         .select(edges("da").as("id"), col("label"))
@@ -239,6 +242,9 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
+    // fail loudly rather than silently emitting a partial fixpoint that
+    // would hash-mismatch the oracle's full transitive closure
+    require(converged, s"dd05 label propagation did not converge in $maxRounds rounds")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }

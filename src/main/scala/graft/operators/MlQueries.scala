@@ -97,7 +97,8 @@ object MlQueries {
     scala.collection.concurrent.TrieMap.empty[String, LdaPipeline.Fitted]
 
   private def ldaFit(s: org.apache.spark.sql.SparkSession, d: String) =
-    fitCache.getOrElseUpdate(d, {
+    // application id in the key: see Dedup.shingleCache
+    fitCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d", {
       val tokens = T.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tokens"))
       LdaPipeline.train(s, tokens,

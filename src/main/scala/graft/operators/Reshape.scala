@@ -30,7 +30,7 @@ object Reshape {
       .filter(col("user_id") < 50)
       .groupBy("user_id")
       .pivot("event_type", eventTypes)
-      .agg(coalesce(count(lit(1)), lit(0L)))
+      .agg(count(lit(1))) // missing cells are nulled post-pivot → na.fill
       .na.fill(0L, eventTypes)
       .orderBy("user_id")
   }
@@ -69,7 +69,9 @@ object Reshape {
       |WHERE l.l_orderkey <= 100
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
     val l = T.lineitem(s, d).filter(col("l_orderkey") <= 100)
-    val o = T.orders(s, d)
+    // the key predicate transfers to orders through the equi-join, so the
+    // broadcast side is the small FILTERED table, not the full fact
+    val o = T.orders(s, d).filter(col("o_orderkey") <= 100)
     l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
       .select(l("l_orderkey"), l("l_linenumber"),
         datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))

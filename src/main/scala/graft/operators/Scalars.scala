@@ -85,7 +85,7 @@ object Scalars {
     * get_json_object and DuckDB's json_extract_string agree too, but the
     * regex keeps the oracle dependency-free). */
   val q25 = QueryDef.sql("q25_json_props",
-    """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k,
+    """SELECT CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS INTEGER) AS k,
       |       COUNT(*) AS n,
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events

@@ -58,7 +58,11 @@ object Storage {
   /** The bucketed join itself (shared with the plan assertion in
     * StorageSpec). Bucket count 8 on the join key both sides. */
   def bucketedJoin(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val (to, tl) = ("graft_bkt_orders", "graft_bkt_lineitem")
+    // table names carry a dataset-dir fingerprint: a fixed name would
+    // silently serve the FIRST dir's data to a later dir in the same
+    // session
+    val tag = java.lang.Integer.toHexString(d.hashCode).replace('-', 'n')
+    val (to, tl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
     if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tl)) {
       T.orders(s, d).write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
