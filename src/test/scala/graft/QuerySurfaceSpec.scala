@@ -67,6 +67,17 @@ class QuerySurfaceSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q52 native top-k aggregate equals the q11 window form") {
+    val agg = SparkEntry.queries("q52_topk_aggregate")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val win = SparkEntry.queries("q11_top_orders_per_customer")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+      .map { case (ck, rows) =>
+        ck -> rows.sortBy(_.getInt(3)).map(_.getLong(1)).toList
+      }
+    assert(agg == win, "TypedImperativeAggregate top-k must match window top-k")
+  }
+
   test("q01 aggregates are exact-decimal stable across partitionings") {
     val a = SparkEntry.queries("q01_pricing_summary")(spark, sf).collect()
     val b = operators.Relational.q01.fn(spark, sf).repartition(7).collect()
