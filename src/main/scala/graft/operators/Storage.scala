@@ -189,5 +189,75 @@ object Storage {
       .orderBy("l_returnflag")
   }
 
-  val defs: Seq[QueryDef] = Seq(q38, q39, q40, q41, q42, q48, q49)
+  /** q53 — ORC sink + source round-trip (same oracle pattern as
+    * q35/q48: the oracle reads the original parquet, so the hash match
+    * proves the ORC writer/reader is lossless for these types). */
+  val q53 = QueryDef.sql("q53_orc_roundtrip",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  min(l_shipdate) AS first_ship
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val tmp = scratchDir("graft_orc")
+    T.lineitem(s, d).write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min("l_shipdate").as("first_ship"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q54 — MapType surface: build a map from the exploded event-type
+    * counts per user, then interrogate it (keys/values/lookup). Output
+    * as sorted arrays — map column *layout* differs across engines, map
+    * semantics don't. */
+  val q54 = QueryDef.sql("q54_map_functions",
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n
+      |  FROM events WHERE user_id < 30 GROUP BY user_id, event_type)
+      |SELECT user_id,
+      |  list_sort(list(event_type)) AS type_keys,
+      |  list_sort(list(n)) AS type_counts,
+      |  CAST(len(list(event_type)) AS INTEGER) AS n_types
+      |FROM c
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    T.events(s, d)
+      .filter(col("user_id") < 30)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
+      .select(col("user_id"),
+        array_sort(map_keys(col("m"))).as("type_keys"),
+        array_sort(map_values(col("m"))).as("type_counts"),
+        size(col("m")).as("n_types"))
+      .orderBy("user_id")
+  }
+
+  /** q56 — filtered and boolean aggregates: count_if / bool_or /
+    * bool_and (oracle uses the standard FILTER clause + bool aggs). */
+  val q56 = QueryDef.sql("q56_filtered_bool_aggs",
+    """SELECT c_mktsegment,
+      |  COUNT(*) FILTER (WHERE c_acctbal < 0e0) AS n_negative,
+      |  bool_or(c_acctbal > 9000e0) AS has_rich,
+      |  bool_and(c_acctbal > -1000e0) AS none_deep_debt,
+      |  COUNT(*) AS n
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    T.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(
+        count_if(col("c_acctbal") < 0.0).as("n_negative"),
+        bool_or(col("c_acctbal") > 9000.0).as("has_rich"),
+        bool_and(col("c_acctbal") > -1000.0).as("none_deep_debt"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(q38, q39, q40, q41, q42, q48, q49, q53, q54, q56)
 }
