@@ -32,7 +32,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$fails}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$fails}"""
+    // Stop Spark BEFORE printing so no executor/shutdown logging can
+    // interleave with (or follow) the metric line; also persist a copy —
+    // the round-1 driver failed to tail-parse stdout (sbt appends
+    // "[success] ..." after our line).
     spark.stop()
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(s"BENCH_JSON: $line")
+    println(line)
   }
 }

@@ -3,18 +3,19 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.PolyHash
+import graft.functions.{PolyHash, TopKIds}
 
 /** SparkSessionExtensions entry point — the idiomatic deployment path
   * for this engine's native expressions: users add
   *
   *   spark.sql.extensions=graft.GraftExtensions
   *
-  * (or `.withExtensions(new GraftExtensions)`) and `poly_hash` is a
-  * first-class function in every session, SQL included — no per-session
-  * registration call. Kept minimal on purpose: the engine needs no
-  * custom Rule/Strategy (SURVEY.md §4 — every reference operator maps to
-  * built-ins/ml stages), so the only injection is the function library.
+  * (or `.withExtensions(new GraftExtensions)`) and `poly_hash` /
+  * `top_k_ids` are first-class functions in every session, SQL included
+  * — no per-session registration call. Kept minimal on purpose: the
+  * engine needs no custom Rule/Strategy (SURVEY.md §4 — every reference
+  * operator maps to built-ins/ml stages), so the only injection is the
+  * function library.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -22,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (children: Seq[Expression]) => PolyHash(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_ids"),
+      new ExpressionInfo(classOf[TopKIds].getName, "top_k_ids"),
+      (children: Seq[Expression]) => TopKIds.build(children)))
   }
 }

@@ -39,6 +39,19 @@ case class TopKIds(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // reject mistyped inputs at analysis time — update() casts blindly, so
+  // without this a DECIMAL value column would ClassCastException mid-job
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (valueExpr.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_ids value must be DOUBLE, got ${valueExpr.dataType.sql}")
+    else if (idExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_ids id must be BIGINT, got ${idExpr.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): Buf =
     scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
 
@@ -105,11 +118,23 @@ case class TopKIds(
 }
 
 object TopKIds {
+  /** Builder shared by [[register]] and [[graft.GraftExtensions]]:
+    * numeric value/id inputs are widened with implicit casts so
+    * `top_k_ids(decimal_col, int_col, 3)` works; non-numeric types still
+    * fail analysis via checkInputDataTypes. */
+  def build(exprs: Seq[Expression]): TopKIds = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    def castTo(e: Expression, t: DataType): Expression =
+      if (e.dataType == t) e
+      else if (Cast.canCast(e.dataType, t) &&
+        e.dataType.isInstanceOf[NumericType]) Cast(e, t)
+      else e // leave as-is → checkInputDataTypes reports it cleanly
+    TopKIds(castTo(exprs(0), DoubleType), castTo(exprs(1), LongType),
+      exprs(2).eval().asInstanceOf[Int])
+  }
+
   /** Register `top_k_ids(value, id, k)` (k must be a literal int). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "top_k_ids",
-      exprs => TopKIds(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Int]),
-      "scala_udf")
+      "top_k_ids", build, "scala_udf")
 }

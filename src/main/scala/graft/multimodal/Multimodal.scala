@@ -78,7 +78,9 @@ object Multimodal {
     * whose frame count derives from the payload size. Pure expression
     * (sequence + explode-ready array), oracle-checked. */
   val mm02 = QueryDef.sql("mm02_frame_sample",
-    """SELECT doc_id, n_frames, frames, CAST(len(frames) AS INTEGER) AS n_sampled
+    """SELECT doc_id, n_frames,
+      |  array_to_string(frames, ',') AS frames,
+      |  CAST(len(frames) AS INTEGER) AS n_sampled
       |FROM (
       |  SELECT doc_id,
       |    CAST(1 + n_chars % 120 AS INTEGER) AS n_frames,
@@ -90,6 +92,9 @@ object Multimodal {
         (lit(1) + col("n_chars") % 120).cast("int").as("n_frames"))
       .withColumn("frames", sequence(lit(0), col("n_frames") - 1, lit(5)))
       .withColumn("n_sampled", size(col("frames")))
+      // comma-join the frame indices: array cells break the driver's
+      // pandas sort; the sampling logic above stays array-typed
+      .withColumn("frames", array_join(col("frames").cast("array<string>"), ","))
       .orderBy("doc_id")
   }
 

@@ -124,17 +124,20 @@ object Advanced {
   /** q52 — native top-k-per-key aggregate (TypedImperativeAggregate):
     * map-side partial top-k instead of the window form's full per-key
     * sort (cf. q11, which computes the same answer the windowed way).
-    * The oracle is the ordered-list-slice form. */
+    * The oracle is the ordered-list-slice form. Output joined to a
+    * string (array cells break the driver's pandas sort). */
   val q52 = QueryDef.sql("q52_topk_aggregate",
     """SELECT o_custkey,
-      |  (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS top_orders
+      |  array_to_string((list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3], ',') AS top_orders
       |FROM orders
       |GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin) { (s, d) =>
     graft.functions.TopKIds.register(s)
     T.orders(s, d)
       .groupBy("o_custkey")
-      .agg(expr("top_k_ids(o_totalprice, o_orderkey, 3)").as("top_orders"))
+      .agg(array_join(
+        expr("top_k_ids(o_totalprice, o_orderkey, 3)").cast("array<string>"),
+        ",").as("top_orders"))
       .orderBy("o_custkey")
   }
 

@@ -190,7 +190,7 @@ object MlQueries {
       |      (x, i) -> list_position(string_split(text,' '), x) = i) AS toks
       |  FROM documents)
       |SELECT doc_id,
-      |  list_filter(toks, x -> list_contains(top10.terms, x)) AS common_terms
+      |  array_to_string(list_filter(toks, x -> list_contains(top10.terms, x)), ',') AS common_terms
       |FROM dd, top10
       |WHERE doc_id < 50
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -203,7 +203,10 @@ object MlQueries {
     docs
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
       .crossJoin(broadcast(top10))
-      .select(col("doc_id"), array_intersect(col("toks"), col("terms")).as("common_terms"))
+      // comma-join keeps left-operand order visible while staying
+      // sortable in the driver's pandas gate (no array cells)
+      .select(col("doc_id"),
+        array_join(array_intersect(col("toks"), col("terms")), ",").as("common_terms"))
       .filter(col("doc_id") < 50)
       .orderBy("doc_id")
   }

@@ -78,8 +78,8 @@ object Storage {
     * accounting (customers without orders + orphan order keys). */
   val q40 = QueryDef.sql("q40_full_outer_join",
     """SELECT
-      |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS customers_without_orders,
-      |  SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS orphan_orders,
+      |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS customers_without_orders,
+      |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_orders,
       |  COUNT(*) AS total_rows,
       |  CAST(SUM(CAST(coalesce(o_totalprice, 0e0) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin) { (s, d) =>
@@ -118,9 +118,9 @@ object Storage {
     """SELECT
       |  COUNT(*) AS n_rows,
       |  COUNT(disc) AS n_nonnull,
-      |  SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS n_null,
+      |  CAST(SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
       |  CAST(SUM(CAST(coalesce(disc, -1e0) AS DECIMAL(18,2))) AS DOUBLE) AS coalesced_sum,
-      |  SUM(CASE WHEN disc IS NOT DISTINCT FROM 0.05e0 THEN 1 ELSE 0 END) AS nullsafe_eq_05
+      |  CAST(SUM(CASE WHEN disc IS NOT DISTINCT FROM 0.05e0 THEN 1 ELSE 0 END) AS BIGINT) AS nullsafe_eq_05
       |FROM (SELECT nullif(l_discount, 0e0) AS disc FROM lineitem) t""".stripMargin) { (s, d) =>
     T.lineitem(s, d)
       .select(expr("nullif(l_discount, 0D)").as("disc"))
@@ -211,15 +211,16 @@ object Storage {
 
   /** q54 — MapType surface: build a map from the exploded event-type
     * counts per user, then interrogate it (keys/values/lookup). Output
-    * as sorted arrays — map column *layout* differs across engines, map
-    * semantics don't. */
+    * as sorted, comma-joined strings — map column *layout* differs
+    * across engines (and array cells break the driver's pandas sort),
+    * map semantics don't. */
   val q54 = QueryDef.sql("q54_map_functions",
     """WITH c AS (
       |  SELECT user_id, event_type, COUNT(*) AS n
       |  FROM events WHERE user_id < 30 GROUP BY user_id, event_type)
       |SELECT user_id,
-      |  list_sort(list(event_type)) AS type_keys,
-      |  list_sort(list(n)) AS type_counts,
+      |  array_to_string(list_sort(list(event_type)), ',') AS type_keys,
+      |  array_to_string(list_sort(list(n)), ',') AS type_counts,
       |  CAST(len(list(event_type)) AS INTEGER) AS n_types
       |FROM c
       |GROUP BY user_id
@@ -231,8 +232,8 @@ object Storage {
       .groupBy("user_id")
       .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
       .select(col("user_id"),
-        array_sort(map_keys(col("m"))).as("type_keys"),
-        array_sort(map_values(col("m"))).as("type_counts"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("type_keys"),
+        array_join(array_sort(map_values(col("m"))).cast("array<string>"), ",").as("type_counts"),
         size(col("m")).as("n_types"))
       .orderBy("user_id")
   }

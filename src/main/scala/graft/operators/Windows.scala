@@ -30,7 +30,8 @@ object Windows {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     T.orders(s, d)
-      .withColumn("rn", row_number().over(w))
+      // bigint to byte-match DuckDB's BIGINT row_number
+      .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= 3)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
       .orderBy("o_custkey", "rn")
@@ -105,7 +106,8 @@ object Windows {
       |ORDER BY quartile, c_mktsegment""".stripMargin) { (s, d) =>
     val w = Window.orderBy("c_acctbal", "c_custkey")
     T.customer(s, d)
-      .select(col("c_mktsegment"), col("c_acctbal"), ntile(4).over(w).as("quartile"))
+      .select(col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).cast("bigint").as("quartile"))
       .groupBy("quartile", "c_mktsegment")
       .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"))
       .orderBy("quartile", "c_mktsegment")

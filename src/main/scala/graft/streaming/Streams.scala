@@ -89,6 +89,8 @@ object Streams {
   // private classes
   final case class Ev(user_id: Long, tsMicros: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+  /** O(1)-per-user session state: last event time + counters. */
+  final case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
 
   /** st03 — arbitrary stateful processing: the same sessionization via
     * mapGroupsWithState on a streaming query (rows-only: st02 is its
@@ -107,15 +109,30 @@ object Streams {
     val gapMicros = 30L * 60 * 1000 * 1000
     val sessions = stream
       .groupByKey(_.user_id)
-      .mapGroupsWithState[List[Long], UserSessions](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
         (uid, events, state) =>
-          // accumulate all timestamps seen so far (bounded per user in the
-          // fixture; a production op would keep only (lastTs, counters))
-          val all = (state.getOption.getOrElse(Nil) ++ events.map(_.tsMicros)).sorted
-          state.update(all)
-          val nSessions = if (all.isEmpty) 0L
-          else 1L + all.zip(all.tail).count { case (a, b) => b - a > gapMicros }
-          UserSessions(uid, nSessions, all.length.toLong)
+          // O(1) state per user: (lastTs, nSessions, nEvents). Each
+          // micro-batch's events are sorted batch-locally (bounded by
+          // batch size, never by stream length); cross-batch order is
+          // event-time order here because the file source replays in
+          // time order — a production deployment would pair this with a
+          // watermark so late events past the gap are dropped, keeping
+          // the same O(1) state bound.
+          val batch = events.map(_.tsMicros).toArray
+          java.util.Arrays.sort(batch)
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          var i = 0
+          while (i < batch.length) {
+            val t = batch(i)
+            val newSession = st.nEvents == 0L || t - st.lastTs > gapMicros
+            st = SessionState(
+              lastTs = math.max(st.lastTs, t),
+              nSessions = st.nSessions + (if (newSession) 1L else 0L),
+              nEvents = st.nEvents + 1L)
+            i += 1
+          }
+          state.update(st)
+          UserSessions(uid, st.nSessions, st.nEvents)
       }
     val name = s"st03_sink_${System.nanoTime()}"
     val q = sessions.writeStream

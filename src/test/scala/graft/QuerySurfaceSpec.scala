@@ -69,11 +69,14 @@ class QuerySurfaceSpec extends AnyFunSuite {
 
   test("q52 native top-k aggregate equals the q11 window form") {
     val agg = SparkEntry.queries("q52_topk_aggregate")(spark, sf)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(",").filter(_.nonEmpty).map(_.toLong).toList)
+      .toMap
     val win = SparkEntry.queries("q11_top_orders_per_customer")(spark, sf)
       .collect().groupBy(_.getLong(0))
       .map { case (ck, rows) =>
-        ck -> rows.sortBy(_.getInt(3)).map(_.getLong(1)).toList
+        ck -> rows.sortBy(_.getLong(3)).map(_.getLong(1)).toList
       }
     assert(agg == win, "TypedImperativeAggregate top-k must match window top-k")
   }
