@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// stream the forked program's output verbatim — sbt's default logger
+// prefixes every stdout line with "[info] ", which broke the driver's
+// machine-parse of Bench's metric JSON line in round 1
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -16,7 +16,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var failures = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic name order: shared builds (shingle index, jaccard
+    // pairs, LDA/KMeans fits) are then attributed to the FIRST query of
+    // their family (dd02, ml01, ss04) instead of whichever query a
+    // hash-map iteration happens to visit first
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write materializes every output row (projections, sorts,
       // UDFs) without side effects; a bare count() would let Catalyst
@@ -30,7 +34,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$fails}"""

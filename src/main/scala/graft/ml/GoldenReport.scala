@@ -54,7 +54,7 @@ object GoldenReport {
     sb.append(starRule).append('\n')
     sb.append("List of topics\n")
     sb.append(starRule).append('\n')
-    topics.foreach { t =>
+    topics.zipWithIndex.foreach { case (t, ti) =>
       sb.append(dashRule).append('\n')
       sb.append(s"TOPIC ${t.topic}: top-weighted terms\n")
       sb.append(dashRule).append('\n')
@@ -63,15 +63,27 @@ object GoldenReport {
       sb.append(dashRule).append('\n')
       sb.append(s"Amount of books in the topic: ${t.books.length}\n")
       sb.append(dashRule).append('\n')
-      sb.append("List of Books:\n")
+      // "List of Books." with a PERIOD: the checked-in golden
+      // (Result_EN_1591723228815) is the only byte-level ground truth,
+      // and it reads "List of Books." — the reference's current head
+      // (LDALoader.scala:200) says ":" but has no golden of its own.
+      sb.append("List of Books.\n")
       sb.append(dashRule).append('\n')
-      // reference appends a trailing separator after EVERY book: "\n"
-      // after each 3rd within the topic, ", " otherwise
-      // (LDALoader.scala:142-149)
-      t.books.zipWithIndex.foreach { case (name, i) =>
-        sb.append(name).append(if ((i + 1) % 3 == 0) "\n" else ", ")
-      }
-      sb.append('\n').append(dashRule).append("\n\n")
+      // Book list, byte-derived from the golden (GoldenReportParitySpec
+      // round-trips it): a separator follows EVERY book — "\n" after
+      // each 3rd within the topic, ", " otherwise (LDALoader.scala:
+      // 142-149) — and the closing rule is concatenated DIRECTLY after
+      // the list, so a list ending ", " keeps the rule on the same line
+      // ("….txt, ----") while one ending "\n" puts it on its own line.
+      // Sole observed exception: the report's LAST topic renders a
+      // trailing ", " as ",\n" (golden byte anomaly, kept verbatim).
+      val list = t.books.zipWithIndex.map { case (name, i) =>
+        name + (if ((i + 1) % 3 == 0) "\n" else ", ")
+      }.mkString
+      val isLast = ti == topics.length - 1
+      sb.append(
+        if (isLast && list.endsWith(", ")) list.dropRight(2) + ",\n" else list)
+      sb.append(dashRule).append("\n\n")
     }
     sb.append(starRule).append("\n\n")
     sb.append(hashRule).append('\n')

@@ -1,0 +1,143 @@
+package graft.ml
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level golden parity: parse the reference's checked-in report
+  * artifact into renderer fixtures, re-render with
+  * [[GoldenReport.render]], and require BYTE equality with the original
+  * file. This pins every formatting rule — rule-line widths, tab/pipe
+  * separators, full-precision Java double rendering, the words line's
+  * trailing `", "`, the book-list `", "`/newline-every-3rd rule and its
+  * trailing-whitespace trim — not just the structural shape.
+  *
+  * Fixture: the reference's only byte-level ground truth,
+  * `TextClustering/src/main/resources/TestOutput/Result_EN_1591723228815`
+  * (layout produced by `LDALoader.scala:111-212`; see GoldenReport's
+  * note on the one "List of Books." wording delta vs the current head).
+  * Values in the fixture are NOT reproducible (the reference never set
+  * an LDA seed — SURVEY.md §7), which is exactly why the parity check
+  * round-trips the artifact instead of re-training.
+  */
+class GoldenReportParitySpec extends AnyFunSuite {
+
+  private val goldenPath = Paths.get(
+    "/root/reference/TextClustering/src/main/resources/TestOutput/Result_EN_1591723228815")
+
+  test("render() reproduces the reference golden byte-for-byte") {
+    assume(Files.exists(goldenPath), "reference golden not present")
+    val raw = new String(Files.readAllBytes(goldenPath), StandardCharsets.UTF_8)
+    val lines = raw.split("\n", -1) // -1: keep the final empty element
+
+    val hashRule = "#" * 87
+    val starRule = "*" * 87
+    val dashRule = "-" * 55
+
+    var i = 0
+    def line(): String = { val l = lines(i); i += 1; l }
+    def expect(s: String): Unit = {
+      val l = line()
+      assert(l == s, s"golden line ${i - 1}: got '$l', expected '$s'")
+    }
+
+    expect(hashRule)
+    val k = "LDA Model with (\\d+) topics".r
+      .findFirstMatchIn(line()).get.group(1).toInt
+    expect(hashRule)
+
+    val nrRe = "Nr\\.: (\\d+) \t\t\\|\t (.*)".r
+    val mainRe =
+      "Main topic of the book: Topic Nr\\. \\((\\d+)\\), Weight \\((.*)\\)".r
+    val books = Seq.newBuilder[GoldenReport.BookResult]
+    while (lines(i) == starRule && lines(i + 1).startsWith("Book's number:")) {
+      expect(starRule)
+      val num = line().stripPrefix("Book's number: ").toLong
+      val name = line().stripPrefix("Book's name: ")
+      expect("")
+      expect(dashRule)
+      expect("Topics Nr. \t|\t Distribution")
+      expect(dashRule)
+      val dist = Seq.newBuilder[Double]
+      var nDist = 0
+      while (lines(i).startsWith("Nr.: ")) {
+        val m = nrRe.findFirstMatchIn(line()).get
+        assert(m.group(1).toInt == nDist, "distribution indices contiguous")
+        dist += m.group(2).toDouble
+        nDist += 1
+      }
+      val main = mainRe.findFirstMatchIn(line()).get
+      expect("Book most important words")
+      expect(dashRule)
+      expect("Word. \t|\t TF")
+      expect(dashRule)
+      val words = line().split(", ").toSeq.filter(_.nonEmpty)
+      expect(starRule)
+      expect("")
+      books += GoldenReport.BookResult(num, name, dist.result(),
+        main.group(1).toInt, main.group(2).toDouble, words)
+    }
+
+    expect(starRule)
+    expect("List of topics")
+    expect(starRule)
+    val topicRe = "TOPIC (\\d+): top-weighted terms".r
+    val topics = Seq.newBuilder[GoldenReport.TopicSummary]
+    var nTopics = 0
+    while (i < lines.length && lines(i) == dashRule) {
+      expect(dashRule)
+      val t = topicRe.findFirstMatchIn(line()).get.group(1).toInt
+      expect(dashRule)
+      val terms = Seq.newBuilder[(String, Double)]
+      while (lines(i).nonEmpty) {
+        val parts = line().split("\t")
+        terms += parts(0) -> parts(1).toDouble
+      }
+      expect("")
+      expect(dashRule)
+      val n = line().stripPrefix("Amount of books in the topic: ").toInt
+      expect(dashRule)
+      expect("List of Books.")
+      expect(dashRule)
+      // the closing rule is concatenated directly after the list (see
+      // GoldenReport.render), so it may arrive as a suffix of the last
+      // book line or as a line of its own
+      val bl = Seq.newBuilder[String]
+      var nb = 0
+      var listDone = false
+      while (!listDone) {
+        var l = line()
+        if (l.endsWith(dashRule)) {
+          listDone = true
+          l = l.substring(0, l.length - dashRule.length)
+        }
+        val cleaned = l.stripSuffix(" ").stripSuffix(",")
+        if (cleaned.nonEmpty) {
+          val names = cleaned.split(", ")
+          bl ++= names
+          nb += names.length
+        }
+      }
+      expect("")
+      assert(nb == n, s"topic $t book list count $nb vs declared $n")
+      topics += GoldenReport.TopicSummary(t, terms.result(), bl.result())
+      nTopics += 1
+    }
+    expect(starRule)
+    expect("")
+    expect(hashRule)
+    assert(i == lines.length - 1 && lines(i).isEmpty,
+      "golden fully consumed up to the trailing newline")
+    assert(nTopics == k)
+
+    val rendered = GoldenReport.render(k, books.result(), topics.result())
+    if (rendered != raw) {
+      val d = rendered.zip(raw).indexWhere { case (a, b) => a != b }
+      val at = if (d < 0) math.min(rendered.length, raw.length) else d
+      fail(s"byte divergence at offset $at: " +
+        s"rendered ...${rendered.slice(at - 40, at + 40)}... vs " +
+        s"golden ...${raw.slice(at - 40, at + 40)}...")
+    }
+  }
+}
