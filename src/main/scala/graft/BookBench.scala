@@ -39,16 +39,30 @@ object BookBench {
     corpus.count()
     val tPrep = (System.nanoTime() - t0) / 1e9
 
+    // mllib EM directly (the reference's own API, LDAClustering.scala:9)
+    // rather than the ml wrapper: identical optimizer, and the
+    // DistributedLDAModel exposes iterationTimes — the exact metric the
+    // reference's metadata (and BASELINE.md) reports.
+    val rdd = corpus.select("doc_id", "features").rdd.map { r =>
+      (r.getLong(0), org.apache.spark.mllib.linalg.Vectors.fromML(
+        r.getAs[org.apache.spark.ml.linalg.Vector](1)))
+    }.cache()
+    rdd.count()
     val t1 = System.nanoTime()
-    val lda = new org.apache.spark.ml.clustering.LDA()
-      .setK(5).setMaxIter(50).setOptimizer("em")
-      .setFeaturesCol("features").setSeed(42L)
-    val model = lda.fit(corpus)
+    val lda = new org.apache.spark.mllib.clustering.LDA()
+      .setK(5).setMaxIterations(50)
+      .setOptimizer(new org.apache.spark.mllib.clustering.EMLDAOptimizer)
+      .setSeed(42L)
+    val model = lda.run(rdd)
+      .asInstanceOf[org.apache.spark.mllib.clustering.DistributedLDAModel]
     val tTrain = (System.nanoTime() - t1) / 1e9
+    val iters =
+      org.apache.spark.mllib.clustering.GraftLdaBridge.iterationTimes(model)
+    val itersStr = iters.map(t => f"$t%.3f").mkString("[", ",", "]")
 
     val lang = if (books.contains("German")) "ge" else "en"
     val baseline = if (lang == "ge") 105.2 else 40.8
-    println(f"""{"workload":"${lang}_books_em_lda","docs":$nDocs,"vocab":${vocab.length},"preprocess_sec":$tPrep%.1f,"train_sec":$tTrain%.1f,"baseline_train_sec":$baseline}""")
+    println(f"""{"workload":"${lang}_books_em_lda","docs":$nDocs,"vocab":${vocab.length},"preprocess_sec":$tPrep%.1f,"train_sec":$tTrain%.1f,"iter_sum_sec":${iters.sum}%.1f,"iter_times_sec":$itersStr,"baseline_train_sec":$baseline}""")
     spark.stop()
   }
 }

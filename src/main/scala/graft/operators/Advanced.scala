@@ -141,5 +141,43 @@ object Advanced {
       .orderBy("o_custkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q51, q52)
+  /** q57 — sketch vs exact percentile: approx_percentile (Spark KLL /
+    * DuckDB t-digest) checked against the exact interpolated quantile.
+    * The sketches are engine-defined, so the oracled columns are the
+    * exact values plus a BOOLEAN "approx within 2% of exact" — true in
+    * both engines when the sketches behave, and a correctness alarm
+    * when either engine's sketch drifts. This is the sketch-family
+    * pattern that scales: exact percentile needs a full sort per group;
+    * the sketch is one pass + constant memory, and this query bounds
+    * its error against the exact answer. */
+  val q57 = QueryDef.sql("q57_approx_percentile",
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.5) AS p50_exact,
+      |  quantile_cont(o_totalprice, 0.9) AS p90_exact,
+      |  (abs(approx_quantile(o_totalprice, 0.5) - quantile_cont(o_totalprice, 0.5))
+      |     <= 0.02e0 * quantile_cont(o_totalprice, 0.5)) AS p50_approx_ok,
+      |  (abs(approx_quantile(o_totalprice, 0.9) - quantile_cont(o_totalprice, 0.9))
+      |     <= 0.02e0 * quantile_cont(o_totalprice, 0.9)) AS p90_approx_ok,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    T.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_exact"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50_approx"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90_approx"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderstatus"), col("p50_exact"), col("p90_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) <= col("p50_exact") * 0.02)
+          .as("p50_approx_ok"),
+        (abs(col("p90_approx") - col("p90_exact")) <= col("p90_exact") * 0.02)
+          .as("p90_approx_ok"),
+        col("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q51, q52, q57)
 }

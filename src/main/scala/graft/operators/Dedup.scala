@@ -26,7 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct 3-token shingles per doc, with common-shingle pruning.
+  /** Distinct 3-token shingles per doc — as 60-bit md5-derived
+    * fingerprints, NOT raw strings — with common-shingle pruning.
+    *
+    * Hashing happens at extraction, before any shuffle: every downstream
+    * exchange (distinct, df-count, the inverted-index self-join, minhash
+    * signatures) moves 8-byte longs instead of ~25-byte trigram text.
+    * At 100 TB that is the difference between shuffling the corpus's
+    * n-gram TEXT volume and shuffling fixed-width keys. The identical
+    * hash runs in the oracle, so even a (≈2⁻⁶⁰ per pair) fingerprint
+    * collision affects both engines identically — parity is exact by
+    * construction, not by collision-freedom.
+    *
     * Cached per sf dir: dd02/dd03/dd04 all start from this table, and
     * recomputing the explode+distinct+df-join per query would triple
     * the scan work (the cache is the "shingle inverted index" a real
@@ -44,20 +55,24 @@ object Dedup {
       val sh0 = toks
         .select(col("doc_id"), explode(
           expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
         .distinct()
-      val df = sh0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 100)
-      sh0.join(df, "s").select("doc_id", "s").cache()
+      val df = sh0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= 100)
+      sh0.join(df, "h").select("doc_id", "h").cache()
     })
 
-  /** Oracle-side equivalent of [[shingles]] (DuckDB CTEs). */
+  /** Oracle-side equivalent of [[shingles]] (DuckDB CTEs) — including
+    * the 60-bit fingerprint, so hash collisions (if any) are shared. */
   private val shingleCte =
     """toks AS (SELECT doc_id, string_split(text,' ') t FROM documents
       |         WHERE len(string_split(text,' ')) >= 3),
-      |sh0 AS (SELECT DISTINCT doc_id, s FROM (
+      |sh0 AS (SELECT DISTINCT doc_id,
+      |          CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM (
       |  SELECT doc_id, UNNEST(list_transform(range(1, len(t)-1),
       |    i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s FROM toks)),
-      |dfr AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
-      |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfr USING(s) WHERE dfr.df <= 100)""".stripMargin
+      |dfr AS (SELECT h, COUNT(*) AS df FROM sh0 GROUP BY h),
+      |sh AS (SELECT sh0.doc_id, sh0.h FROM sh0 JOIN dfr USING(h) WHERE dfr.df <= 100)""".stripMargin
 
   /** Jaccard over the pruned shingle sets for all co-shingling pairs.
     * Cached like [[shingles]]: dd02, dd03 (verification side) and dd05
@@ -72,7 +87,7 @@ object Dedup {
       val sh = shingles(s, d)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("c"))
       pairs
@@ -86,7 +101,7 @@ object Dedup {
     s"""$shingleCte,
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |pairs AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) c
-       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2),
        |jac AS (SELECT da, db, c, c * 1e0 / (sa.n + sb.n - c) AS jaccard
        |        FROM pairs JOIN sizes sa ON sa.doc_id = da
@@ -122,7 +137,7 @@ object Dedup {
     * pairs share ≥1 component; exact-Jaccard verification ≥ 0.3. */
   val dd03 = QueryDef.sql("dd03_minhash_lsh",
     s"""WITH $jaccardCte,
-       |sig AS (SELECT doc_id, i, MIN(md5(i||':'||s)) AS m
+       |sig AS (SELECT doc_id, i, MIN(md5(i||':'||CAST(h AS VARCHAR))) AS m
        |        FROM sh, generate_series(0, 7) g(i) GROUP BY doc_id, i),
        |cand AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS matches
        |         FROM sig a JOIN sig b ON a.i = b.i AND a.m = b.m AND a.doc_id < b.doc_id
@@ -133,9 +148,9 @@ object Dedup {
        |ORDER BY jac.jaccard DESC, cand.da, cand.db""".stripMargin) { (s, d) =>
     val sh = shingles(s, d)
     val sig = sh
-      .select(col("doc_id"), explode(expr("sequence(0, 7)")).as("i"), col("s"))
-      .withColumn("h", md5(concat(col("i").cast("string"), lit(":"), col("s"))))
-      .groupBy("doc_id", "i").agg(min("h").as("m"))
+      .select(col("doc_id"), explode(expr("sequence(0, 7)")).as("i"), col("h"))
+      .withColumn("ih", md5(concat(col("i").cast("string"), lit(":"), col("h").cast("string"))))
+      .groupBy("doc_id", "i").agg(min("ih").as("m"))
     val cand = sig.as("a")
       .join(sig.as("b"),
         col("a.i") === col("b.i") && col("a.m") === col("b.m") &&
@@ -153,9 +168,11 @@ object Dedup {
     * band join for candidates, Hamming ≤ 6 output. */
   val dd04 = QueryDef.sql("dd04_simhash",
     s"""WITH $shingleCte,
-       |th AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h FROM sh),
+       |th AS (SELECT doc_id,
+       |         CAST(('0x' || substr(md5(CAST(h AS VARCHAR)), 1, 8)) AS BIGINT) AS f
+       |       FROM sh),
        |bits AS (SELECT doc_id, j,
-       |           SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sb
+       |           SUM(CASE WHEN (f >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sb
        |         FROM th, generate_series(0, 31) g(j) GROUP BY doc_id, j),
        |hash AS (SELECT doc_id,
        |           CAST(SUM(CASE WHEN sb > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS sim_hash
@@ -169,11 +186,11 @@ object Dedup {
        |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
        |ORDER BY hamming, da, db""".stripMargin) { (s, d) =>
     val th = shingles(s, d)
-      .withColumn("h", conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"))
+      .withColumn("f", conv(substring(md5(col("h").cast("string")), 1, 8), 16, 10).cast("long"))
     val bits = th
-      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("j"))
+      .select(col("doc_id"), col("f"), explode(expr("sequence(0, 31)")).as("j"))
       .groupBy("doc_id", "j")
-      .agg(sum(expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END")).as("sb"))
+      .agg(sum(expr("CASE WHEN (shiftright(f, j) & 1) = 1 THEN 1 ELSE -1 END")).as("sb"))
     val hash = bits
       .groupBy("doc_id")
       .agg(sum(expr("CASE WHEN sb > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END")).as("sim_hash"))

@@ -11,11 +11,26 @@ import org.apache.spark.sql.functions._
   */
 object Storage {
 
-  /** Scratch dir for layout round-trip queries. Lives in the system tmp
-    * (ephemeral per driver round); one per invocation so concurrent
-    * sessions can't collide. */
-  private def scratchDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Scratch dir for layout round-trip queries. One per (query, dataset
+    * dir) reused across invocations in this JVM (writes are
+    * mode=overwrite), registered for recursive deletion at JVM exit —
+    * repeated Verify/Bench runs must not leak table copies into /tmp. */
+  private val scratchDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def scratchDir(prefix: String, d: String): String =
+    scratchDirs.getOrElseUpdate(s"$prefix|$d", {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(p)) {
+          val paths = Files.walk(p).iterator().asScala.toSeq
+          paths.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_: Path))
+        }
+      }
+      p.toString
+    })
 
   /** q38 — partitioned write + pruned read: documents written
     * partitionBy(lang), read back with a partition filter. The oracle
@@ -30,7 +45,7 @@ object Storage {
       |WHERE lang IN ('en', 'de')
       |GROUP BY source
       |ORDER BY source""".stripMargin) { (s, d) =>
-    val tmp = scratchDir("graft_part")
+    val tmp = scratchDir("graft_part", d)
     T.documents(s, d).write.mode("overwrite").partitionBy("lang").parquet(tmp)
     s.read.parquet(tmp)
       .filter(col("lang").isin("en", "de")) // partition-pruned scan
@@ -142,7 +157,7 @@ object Storage {
       |FROM customer
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
-    val tmp = scratchDir("graft_csv")
+    val tmp = scratchDir("graft_csv", d)
     val c = T.customer(s, d)
     c.write.mode("overwrite").option("header", "true").csv(tmp)
     s.read.schema(c.schema).option("header", "true").csv(tmp)
@@ -199,7 +214,7 @@ object Storage {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    val tmp = scratchDir("graft_orc")
+    val tmp = scratchDir("graft_orc", d)
     T.lineitem(s, d).write.mode("overwrite").orc(tmp)
     s.read.orc(tmp)
       .groupBy("l_returnflag")
