@@ -99,9 +99,19 @@ object Multimodal {
   }
 
   /** mm03 — per-partition batched feature extraction over the decoded
-    * stream: aggregate stats of the stub decoder's outputs (rows-only:
-    * covered against mm01 in MultimodalSpec). */
-  val mm03 = QueryDef.rowsOnly("mm03_decode_stats") { (s, d) =>
+    * stream: aggregate stats of the stub decoder's outputs. Fully
+    * oracled (the stub's md5 arithmetic is deterministic — the oracle
+    * re-derives it via mm01's SQL and aggregates); averages are an
+    * exact integer sum with one final double division on both engines. */
+  val mm03 = QueryDef.sql("mm03_decode_stats",
+    s"""WITH dec AS (SELECT * FROM (${"\n"}${mm01.oracle.get}${"\n"}) m)
+       |SELECT format, COUNT(*) AS n,
+       |  CAST(SUM(width) AS DOUBLE) / COUNT(*) AS avg_width,
+       |  CAST(SUM(height) AS DOUBLE) / COUNT(*) AS avg_height,
+       |  MAX(n_bytes) AS max_bytes
+       |FROM dec
+       |GROUP BY format
+       |ORDER BY format""".stripMargin) { (s, d) =>
     import s.implicits._
     val payloads = T.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -109,8 +119,8 @@ object Multimodal {
     decode(payloads).toDF()
       .groupBy("format")
       .agg(count(lit(1)).as("n"),
-        avg("width").as("avg_width"),
-        avg("height").as("avg_height"),
+        (sum("width").cast("double") / count(lit(1))).as("avg_width"),
+        (sum("height").cast("double") / count(lit(1))).as("avg_height"),
         max("n_bytes").as("max_bytes"))
       .orderBy("format")
   }

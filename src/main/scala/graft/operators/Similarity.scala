@@ -124,9 +124,22 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** ss03 — recall of the LSH path vs the exact baseline (rows-only:
-    * it is a derived diagnostic; determinism already covered above). */
-  val ss03 = QueryDef.rowsOnly("ss03_ann_recall") { (s, d) =>
+  /** ss03 — recall of the LSH path vs the exact baseline. Fully oracled:
+    * both inputs (ss01, ss02) are deterministic and oracled, so the
+    * derived precision is too — the oracle recomputes it from the same
+    * two SQL bodies. */
+  val ss03 = QueryDef.sql("ss03_ann_recall",
+    s"""WITH exact AS (SELECT qid, nid FROM (${"\n"}${ss01.oracle.get}${"\n"}) e),
+       |approx AS (SELECT qid, nid FROM (${"\n"}${ss02.oracle.get}${"\n"}) a),
+       |hit AS (
+       |  SELECT ap.qid,
+       |    SUM(CASE WHEN ex.nid IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+       |    COUNT(*) AS returned
+       |  FROM approx ap LEFT JOIN exact ex ON ap.qid = ex.qid AND ap.nid = ex.nid
+       |  GROUP BY ap.qid)
+       |SELECT SUM(hits) * 1e0 / SUM(returned) AS precision_vs_top5,
+       |  COUNT(*) AS n_queries
+       |FROM hit""".stripMargin) { (s, d) =>
     val exact = ss01.fn(s, d).select(col("qid"), col("nid")).withColumn("in_exact", lit(1))
     val approx = ss02.fn(s, d).select(col("qid"), col("nid"))
     val hit = approx.join(exact, Seq("qid", "nid"), "left")

@@ -93,9 +93,11 @@ object Streams {
   final case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
 
   /** st03 — arbitrary stateful processing: the same sessionization via
-    * mapGroupsWithState on a streaming query (rows-only: st02 is its
-    * value oracle, asserted in StreamsSpec). */
-  val st03 = QueryDef.rowsOnly("st03_stateful_sessions") { (s, d) =>
+    * mapGroupsWithState on a streaming query. Fully oracled: the
+    * stateful operator's contract IS st02's declarative semantics, so
+    * it is held to st02's oracle SQL (StreamsSpec additionally asserts
+    * the frame-level equivalence in-JVM). */
+  val st03 = QueryDef.sql("st03_stateful_sessions", st02.oracle.get) { (s, d) =>
     stateful(s, d)
   }
 
@@ -152,5 +154,98 @@ object Streams {
       .orderBy("user_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(st01, st02, st03)
+  final case class Ev2(user_id: Long, tsMicros: Long, event_id: Long)
+  /** O(1)-per-user state for per-session output: only the OPEN session's
+    * aggregates are retained; closed sessions are emitted and dropped. */
+  final case class SessState(idx: Long, startUs: Long, lastUs: Long, n: Long)
+  final case class SessionRow(
+      user_id: Long, session_idx: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** st04 — per-session detail rows via flatMapGroupsWithState (the
+    * multi-row arbitrary-stateful API, complementing st03's
+    * mapGroupsWithState): each 30-min-gap session becomes one output row
+    * (index, start, end, count). State stays O(1) per user — a closed
+    * session is emitted the moment the gap is seen and leaves state; the
+    * open session is (re-)emitted each batch and the update-mode sink's
+    * last write wins. Oracled against the declarative gaps-and-islands
+    * form of the same semantics. */
+  val st04 = QueryDef.sql("st04_session_details",
+    """WITH marked AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+      |           - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+      |         OR LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+      |  FROM marked)
+      |SELECT user_id, CAST(sidx AS BIGINT) AS session_idx,
+      |  MIN(us) AS start_us, MAX(us) AS end_us, COUNT(*) AS n_events
+      |FROM sess
+      |GROUP BY user_id, sidx
+      |ORDER BY user_id, session_idx""".stripMargin) { (s, d) =>
+    sessionDetails(s, d)
+  }
+
+  def sessionDetails(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    import s.implicits._
+    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("user_id"), expr("ts div 1000").as("tsMicros"), col("event_id"))
+      .as[Ev2]
+    val gapMicros = 30L * 60 * 1000 * 1000
+    val rows = stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid, events, state) =>
+          // batch-local sort (bounded by batch size); cross-batch order
+          // holds for the same reason as st03 — see stateful()
+          val batch = events.toArray
+          java.util.Arrays.sort(batch,
+            Ordering.by((e: Ev2) => (e.tsMicros, e.event_id)))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+          batch.foreach { e =>
+            if (st == null) st = SessState(1L, e.tsMicros, e.tsMicros, 1L)
+            else if (e.tsMicros - st.lastUs > gapMicros) {
+              out += SessionRow(uid, st.idx, st.startUs, st.lastUs, st.n)
+              st = SessState(st.idx + 1, e.tsMicros, e.tsMicros, 1L)
+            } else st = st.copy(
+              lastUs = math.max(st.lastUs, e.tsMicros), n = st.n + 1)
+          }
+          if (st != null) {
+            state.update(st)
+            // open session: emit its current view; later batches re-emit
+            out += SessionRow(uid, st.idx, st.startUs, st.lastUs, st.n)
+          }
+          out.iterator
+      }
+    val name = s"st04_sink_${System.nanoTime()}"
+    val q = rows.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // keep the latest emission per (user, session): n_events is monotone
+    // within a session, so max(struct) picks the final view
+    s.table(name)
+      .groupBy("user_id", "session_idx")
+      .agg(max(struct(col("n_events"), col("end_us"), col("start_us"))).as("x"))
+      .select(col("user_id"), col("session_idx"),
+        col("x.start_us").as("start_us"), col("x.end_us").as("end_us"),
+        col("x.n_events").as("n_events"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val defs: Seq[QueryDef] = Seq(st01, st02, st03, st04)
 }

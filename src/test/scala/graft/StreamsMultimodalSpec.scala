@@ -28,6 +28,17 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(stateful == declarative)
   }
 
+  test("st04: per-session rows are consistent with st02's per-user rollup") {
+    val sessions = streaming.Streams.sessionDetails(spark, sf)
+      .groupBy("user_id")
+      .agg(max("session_idx").as("n_sessions"), sum("n_events").as("n_events"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val declarative = streaming.Streams.st02.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sessions == declarative)
+  }
+
   test("mm01/mm03: stub decode is deterministic and consistent") {
     val a = multimodal.Multimodal.mm01.fn(spark, sf).collect()
     val b = multimodal.Multimodal.mm01.fn(spark, sf).collect()
