@@ -179,5 +179,37 @@ object Advanced {
       .orderBy("o_orderstatus")
   }
 
-  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q51, q52, q57)
+  /** q58 — the bucketized form of q51's range join (the scale path its
+    * Scaladoc documents): values are bucketed by floor(value/step) and
+    * each tier expands to its covered bucket ids, turning the theta join
+    * into a broadcast EQUI join — no BroadcastNestedLoopJoin, and at
+    * 100 TB the bucket id is an honest shuffle/partition key. A residual
+    * range predicate keeps it correct even when tier boundaries don't
+    * align with bucket boundaries. Oracle: q51's SQL — same answer by
+    * construction. */
+  val q58 = QueryDef.sql("q58_bucketized_range_join", q51.oracle.get) { (s, d) =>
+    import s.implicits._
+    val step = 100000.0
+    val o = T.orders(s, d)
+      .withColumn("bkt", floor(col("o_totalprice") / step).cast("long"))
+    // bucket table sized by the data's actual max (one scalar aggregate,
+    // the usual physical-design pass), not the tier's open upper bound
+    val maxBkt = o.agg(max("bkt")).first().getLong(0)
+    val tiers = Seq(
+      ("bronze", 0.0, 100000.0),
+      ("silver", 100000.0, 300000.0),
+      ("gold", 300000.0, 1e9))
+    val buckets = tiers.flatMap { case (t, lo, hi) =>
+      val bLo = math.floor(lo / step).toLong
+      val bHi = math.min(maxBkt, math.ceil(hi / step).toLong - 1)
+      (bLo to bHi).map(b => (t, b, lo, hi))
+    }.toDF("tier", "bkt", "lo", "hi")
+    o.join(broadcast(buckets), Seq("bkt"))
+      .filter(col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), ExactAgg.dsum(col("o_totalprice")).as("total"))
+      .orderBy("tier")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q51, q52, q57, q58)
 }

@@ -92,13 +92,34 @@ object Grouping {
     T.part(s, d).select("p_brand", "p_type").distinct().orderBy("p_brand", "p_type")
   }
 
-  /** q21r — approx distinct (HLL++): engine-defined estimate → rows-only
-    * check (DuckDB's approx_count_distinct uses a different sketch). */
-  val q21r = QueryDef.rowsOnly("q21r_approx_distinct") { (s, d) =>
+  /** q21r — approx distinct (HLL++): the sketches differ per engine
+    * (Spark HLL++ rsd=0.01 vs DuckDB's HLL), so the oracled columns are
+    * the exact distincts plus BOOLEAN "estimate within 5% of exact"
+    * computed identically on each engine — true when the sketches
+    * behave, an alarm if either drifts (same pattern as q57). Both
+    * estimates are deterministic functions of the data, so the booleans
+    * are stable. */
+  val q21r = QueryDef.sql("q21r_approx_distinct",
+    """SELECT
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  COUNT(DISTINCT l_suppkey) AS exact_supps,
+      |  (abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+      |     <= 0.05e0 * COUNT(DISTINCT l_partkey)) AS approx_parts_ok,
+      |  (abs(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
+      |     <= 0.05e0 * COUNT(DISTINCT l_orderkey)) AS approx_orders_ok
+      |FROM lineitem""".stripMargin) { (s, d) =>
     T.lineitem(s, d).agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-      countDistinct(col("l_suppkey")).as("exact_supps"))
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      countDistinct(col("l_suppkey")).as("exact_supps"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+      .select(col("exact_parts"), col("exact_orders"), col("exact_supps"),
+        (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.05)
+          .as("approx_parts_ok"),
+        (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * 0.05)
+          .as("approx_orders_ok"))
   }
 
   val defs: Seq[QueryDef] = Seq(q16, q17, q18, q19, q20, q21r)

@@ -274,6 +274,28 @@ object Storage {
       .orderBy("c_mktsegment")
   }
 
+  /** q59 — JSON-lines sink + source round-trip (explicit schema on
+    * re-read; oracle reads the original parquet, so a hash match proves
+    * the JSON writer/reader round-trips strings, doubles and dates
+    * losslessly — including shortest-repr double printing). */
+  val q59 = QueryDef.sql("q59_json_roundtrip",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+      |  max(c_name) AS last_name
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val tmp = scratchDir("graft_json", d)
+    val c = T.customer(s, d)
+    c.write.mode("overwrite").json(tmp)
+    s.read.schema(c.schema).json(tmp)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("c_acctbal")).as("total_bal"),
+        max("c_name").as("last_name"))
+      .orderBy("c_mktsegment")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(q38, q39, q40, q41, q42, q48, q49, q53, q54, q56)
+    Seq(q38, q39, q40, q41, q42, q48, q49, q53, q54, q56, q59)
 }

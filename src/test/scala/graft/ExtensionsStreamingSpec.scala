@@ -22,6 +22,24 @@ class ExtensionsStreamingSpec extends AnyFunSuite {
     assert(got == acc)
   }
 
+  test("top_k_ids: widening casts in the builder, analysis-time type check") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    functions.TopKIds.register(spark)
+    val df = Seq((1, 10, 101L), (1, 30, 103L), (1, 20, 102L), (2, 5, 201L))
+      .toDF("k", "v", "id")
+    // INT value column widens via the builder's implicit cast
+    val got = df.groupBy("k").agg(expr("top_k_ids(v, id, 2)").as("top"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got == Map(1 -> List(103L, 102L), 2 -> List(201L)))
+    // non-numeric value column is rejected during analysis, not mid-job
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("a", 1L)).toDF("s", "id")
+        .agg(expr("top_k_ids(s, id, 1)")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("top_k_ids"))
+  }
+
   test("watermarked append-mode windowed agg emits only closed windows") {
     val spark = TestSpark.spark
     import spark.implicits._
