@@ -226,5 +226,64 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  val defs: Seq[QueryDef] = Seq(ss01, ss02, ss03, ss04, ss05)
+  /** Per-vector int8 scalar quantization: x → round(127·x/maxabs(v)).
+    * The max-abs guard keeps a zero vector from dividing by zero. */
+  private def quantSpark(v: String): String =
+    s"transform($v, x -> CAST(round(CAST(x AS DOUBLE) * 127.0D / " +
+      s"greatest(array_max(transform($v, y -> abs(CAST(y AS DOUBLE)))), 1e-30D)) AS BIGINT))"
+
+  private def quantDuck(v: String): String =
+    s"list_transform($v, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / " +
+      s"greatest(list_max(list_transform($v, y -> abs(CAST(y AS DOUBLE)))), 1e-30)) AS BIGINT))"
+
+  private def intDotSpark(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  private def intDotDuck(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))"
+
+  /** ss06 — int8 scalar-quantized cosine top-k: embeddings are quantized
+    * per-vector to int8 codes (4× smaller than float32 — the standard
+    * memory/bandwidth lever for billion-vector search; at 100 TB the
+    * codes live in RAM while float vectors stay on disk for rerank).
+    * Cosine over the codes is EXACT integer arithmetic (bigint dot
+    * products) with one final double division, so unlike float-sum
+    * scores it is bit-reproducible on both engines and fully oracled.
+    * The per-vector scale cancels in the cosine, so quantized ranks
+    * track exact ranks closely — rerank-with-floats is the production
+    * follow-up, ss01 is that exact baseline here. */
+  val ss06 = QueryDef.sql("ss06_quantized_cosine",
+    s"""WITH qz AS (SELECT vec_id, ${quantDuck("embedding")} AS qv FROM embeddings),
+       |q AS (SELECT vec_id AS qid, qv AS qq FROM qz WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.qid, c.vec_id AS nid,
+       |    CAST(${intDotDuck("q.qq", "c.qv")} AS DOUBLE) /
+       |      (sqrt(CAST(${intDotDuck("q.qq", "q.qq")} AS DOUBLE)) *
+       |       sqrt(CAST(${intDotDuck("c.qv", "c.qv")} AS DOUBLE))) AS qcos
+       |  FROM q, qz c WHERE q.qid <> c.vec_id)
+       |SELECT qid, nid, rank, qcos FROM (
+       |  SELECT qid, nid, qcos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qcos DESC, nid) AS INTEGER) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), expr(quantSpark("embedding")).as("qv"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val w = Window.partitionBy("qid").orderBy(col("qcos").desc, col("nid"))
+    e.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("qcos",
+        expr(s"CAST(${intDotSpark("qq", "qv")} AS DOUBLE)") /
+          (sqrt(expr(s"CAST(${intDotSpark("qq", "qq")} AS DOUBLE)")) *
+            sqrt(expr(s"CAST(${intDotSpark("qv", "qv")} AS DOUBLE)"))))
+      .withColumnRenamed("vec_id", "nid")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "nid", "rank", "qcos")
+      .orderBy("qid", "rank")
+  }
+
+  val defs: Seq[QueryDef] = Seq(ss01, ss02, ss03, ss04, ss05, ss06)
 }
