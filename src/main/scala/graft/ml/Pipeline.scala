@@ -15,15 +15,14 @@ object Pipeline {
     "DU" -> "Dutch", "EN" -> "English", "FR" -> "French", "GE" -> "German",
     "IT" -> "Italian", "RU" -> "Russian", "SP" -> "Spanish", "UKR" -> "Ukrainian")
 
-  /** P6 — deterministic contiguous doc ids: row_number over a stable
-    * order (the reference's zipWithIndex order was partition-dependent;
-    * we pin by book name — SURVEY.md §2.3 P6). The global window
-    * collapses to one partition, so we repartition right after — the
-    * expensive per-document UDF chain downstream must run wide. */
+  /** P6 — deterministic contiguous doc ids: distributed range-sort +
+    * zipWithIndex (graft.GlobalIndex) over a stable order — the same
+    * RDD mechanism the reference used, but pinned by book name so ids
+    * don't depend on partitioning (SURVEY.md §2.3 P6, §7 risk 2). No
+    * unpartitioned window anywhere; the repartition keeps the expensive
+    * per-document UDF chain downstream running wide. */
   def withDocIds(books: DataFrame, orderCol: String = "book_name"): DataFrame =
-    books
-      .withColumn("doc_id",
-        row_number().over(Window.orderBy(col(orderCol))).cast("long") - 1)
+    graft.GlobalIndex.withGlobalIndex(books, Seq(col(orderCol)), "doc_id")
       .repartition(books.sparkSession.sparkContext.defaultParallelism)
 
   /** The shared prep chain (P2 → P3 → P4 → P7), used identically by

@@ -30,7 +30,9 @@ object MlQueries {
 
   /** tf02 — T1 frequency-ranked vocabulary: index = rank, ties broken by
     * term (the reference's tie order was partition-dependent; pinned
-    * here — SURVEY.md §7 risk 2). */
+    * here — SURVEY.md §7 risk 2). The global rank is a distributed
+    * range-sort + index (graft.GlobalIndex), not an unpartitioned
+    * window — a 100 TB corpus's vocabulary is itself large. */
   val tf02 = QueryDef.sql("tf02_vocab_rank",
     """SELECT term, cnt,
       |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) - 1 AS INTEGER) AS vocab_id
@@ -39,12 +41,12 @@ object MlQueries {
       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents) u
       |  GROUP BY term) c
       |ORDER BY vocab_id""".stripMargin) { (s, d) =>
-    val w = Window.orderBy(col("cnt").desc, col("term"))
-    T.documents(s, d)
+    val counts = T.documents(s, d)
       .select(explode(split(col("text"), " ")).as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("vocab_id", row_number().over(w) - 1)
+    graft.GlobalIndex.withGlobalIndex(counts, Seq(col("cnt").desc, col("term")), "vid")
+      .select(col("term"), col("cnt"), col("vid").cast("int").as("vocab_id"))
       .orderBy("vocab_id")
   }
 

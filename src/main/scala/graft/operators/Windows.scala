@@ -94,7 +94,13 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** q15 — ntile quartiles of customers by balance × segment. */
+  /** q15 — ntile quartiles of customers by balance × segment. NTILE over
+    * the whole table is an unpartitioned window (single-partition sort —
+    * fatal at 100 TB), so the engine computes it as a distributed
+    * range-sort + global index (graft.GlobalIndex) and derives the
+    * bucket with NTILE's exact arithmetic: the first n%k buckets get
+    * ⌈n/k⌉ rows, the rest ⌊n/k⌋. The oracle keeps the declarative
+    * NTILE form — same answer by construction. */
   val q15 = QueryDef.sql("q15_balance_quartiles",
     """SELECT quartile, c_mktsegment, COUNT(*) AS n,
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
@@ -104,10 +110,17 @@ object Windows {
       |  FROM customer) t
       |GROUP BY quartile, c_mktsegment
       |ORDER BY quartile, c_mktsegment""".stripMargin) { (s, d) =>
-    val w = Window.orderBy("c_acctbal", "c_custkey")
-    T.customer(s, d)
-      .select(col("c_mktsegment"), col("c_acctbal"),
-        ntile(4).over(w).cast("bigint").as("quartile"))
+    val c = T.customer(s, d).select("c_mktsegment", "c_acctbal", "c_custkey")
+    val n = c.count()
+    val k = 4L
+    val q = n / k
+    val r = n % k
+    val bnd = r * (q + 1) // rows below bnd fall in the ⌈n/k⌉-sized buckets
+    val qSafe = math.max(q, 1L) // n<k: bnd==n, the otherwise-branch is dead
+    graft.GlobalIndex.withGlobalIndex(c, Seq(col("c_acctbal"), col("c_custkey")), "idx")
+      .withColumn("quartile",
+        when(col("idx") < bnd, expr(s"idx div ${q + 1}") + 1L)
+          .otherwise(expr(s"(idx - $bnd) div $qSafe") + (r + 1L)))
       .groupBy("quartile", "c_mktsegment")
       .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"))
       .orderBy("quartile", "c_mktsegment")
