@@ -287,5 +287,41 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05)
+  /** dd06 — train/test contamination: documents are split 80/20 by a
+    * deterministic md5 bucket of doc_id (the standard hash-split, stable
+    * under re-runs and engine-portable), then near-duplicate pairs
+    * (Jaccard ≥ 0.5) that STRADDLE the split are reported — test docs
+    * whose content effectively leaks from train. This is the data-
+    * hygiene check an LLM training pipeline runs before eval: at 100 TB
+    * it reuses the same bucketed candidate generation as dd02 (never
+    * all-pairs), plus two broadcast joins against the tiny split map. */
+  val dd06 = QueryDef.sql("dd06_split_contamination",
+    s"""WITH $jaccardCte,
+       |bkt AS (SELECT doc_id,
+       |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 100 AS b
+       |        FROM documents)
+       |SELECT
+       |  CASE WHEN ba.b >= 80 THEN j.da ELSE j.db END AS test_doc,
+       |  CASE WHEN ba.b >= 80 THEN j.db ELSE j.da END AS train_doc,
+       |  j.jaccard
+       |FROM jac j
+       |JOIN bkt ba ON ba.doc_id = j.da
+       |JOIN bkt bb ON bb.doc_id = j.db
+       |WHERE j.jaccard >= 0.5e0 AND (ba.b >= 80) <> (bb.b >= 80)
+       |ORDER BY test_doc, train_doc""".stripMargin) { (s, d) =>
+    val bkt = T.documents(s, d).select(col("doc_id"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 100).as("b"))
+    jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
+      .join(broadcast(bkt.select(col("doc_id").as("da"), col("b").as("ba"))), "da")
+      .join(broadcast(bkt.select(col("doc_id").as("db"), col("b").as("bb"))), "db")
+      .filter((col("ba") >= 80) =!= (col("bb") >= 80))
+      .select(
+        when(col("ba") >= 80, col("da")).otherwise(col("db")).as("test_doc"),
+        when(col("ba") >= 80, col("db")).otherwise(col("da")).as("train_doc"),
+        col("jaccard"))
+      .orderBy("test_doc", "train_doc")
+  }
+
+  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05, dd06)
 }

@@ -109,12 +109,19 @@ object Grouping {
       |  (abs(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
       |     <= 0.05e0 * COUNT(DISTINCT l_orderkey)) AS approx_orders_ok
       |FROM lineitem""".stripMargin) { (s, d) =>
-    T.lineitem(s, d).agg(
+    // one aggregate per column, crossJoined as 1-row tables: N distinct
+    // aggregates over DIFFERENT columns in one Aggregate plan as an
+    // N-way Expand (N× the input rows through the shuffle) — measured
+    // 13 s at sf0.1 vs ~1 s for the split form. Same answer.
+    val li = T.lineitem(s, d)
+    val parts = li.agg(
       countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("ap"))
+    val orders = li.agg(
       countDistinct(col("l_orderkey")).as("exact_orders"),
-      countDistinct(col("l_suppkey")).as("exact_supps"),
-      approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
       approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+    val supps = li.agg(countDistinct(col("l_suppkey")).as("exact_supps"))
+    parts.crossJoin(orders).crossJoin(supps)
       .select(col("exact_parts"), col("exact_orders"), col("exact_supps"),
         (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.05)
           .as("approx_parts_ok"),

@@ -148,5 +148,34 @@ object TextAnalysis {
       .orderBy("lang", "predicted")
   }
 
-  val defs: Seq[QueryDef] = Seq(ta01, ta02, ta03, ta04, ta05)
+  /** ta06 — boilerplate n-gram detection (CCNet-style): trigrams shared
+    * by MANY documents are template/boilerplate candidates for removal.
+    * Exactly the document-frequency side of the dedup family's shingle
+    * index — one explode + distinct-per-doc aggregation, top-k by df
+    * with a pinned tie-break. At 100 TB the high-df tail is tiny (few
+    * shingles clear a high df), so the top-k slice is cheap after the
+    * hash aggregate. */
+  val ta06 = QueryDef.sql("ta06_boilerplate_ngrams",
+    """SELECT s AS shingle, df FROM (
+      |  SELECT s, COUNT(DISTINCT doc_id) AS df FROM (
+      |    SELECT doc_id, UNNEST(list_transform(range(1, len(t)-1),
+      |      i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+      |    FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents
+      |          WHERE len(string_split(text,' ')) >= 3) toks) u
+      |  GROUP BY s) c
+      |ORDER BY df DESC, shingle
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
+      .groupBy("s")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .select(col("s").as("shingle"), col("df"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(20)
+  }
+
+  val defs: Seq[QueryDef] = Seq(ta01, ta02, ta03, ta04, ta05, ta06)
 }
