@@ -247,5 +247,35 @@ object Streams {
       .orderBy("user_id", "session_idx")
   }
 
-  val defs: Seq[QueryDef] = Seq(st01, st02, st03, st04)
+  /** st05 — streaming deduplication: dropDuplicates over a stream keyed
+    * by (user_id, event_type), aggregated to unique users per type. The
+    * streaming-state dedup is the online form of dd01's batch dedup —
+    * in production the subset includes an event-time column under a
+    * watermark (dropDuplicatesWithinWatermark) so state evicts; here the
+    * bounded replay keeps the oracle-able exact form. Result equals the
+    * batch COUNT(DISTINCT) — held to that SQL. */
+  val st05 = QueryDef.sql("st05_stream_dedup",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique_users"))
+    val name = s"st05_sink_${System.nanoTime()}"
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name).orderBy("event_type")
+  }
+
+  val defs: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05)
 }
