@@ -15,6 +15,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT + codegen + parquet reader init otherwise land
+    // entirely on whichever query runs first (measured ~4 s on dd01)
+    try {
+      spark.range(100000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case _: Throwable => () }
     var failures = List.empty[String]
     // deterministic name order: shared builds (shingle index, jaccard
     // pairs, LDA/KMeans fits) are then attributed to the FIRST query of

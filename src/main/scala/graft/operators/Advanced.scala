@@ -194,7 +194,8 @@ object Advanced {
       .withColumn("bkt", floor(col("o_totalprice") / step).cast("long"))
     // bucket table sized by the data's actual max (one scalar aggregate,
     // the usual physical-design pass), not the tier's open upper bound
-    val maxBkt = o.agg(max("bkt")).first().getLong(0)
+    val maxBkt = Option(o.agg(max("bkt")).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val tiers = Seq(
       ("bronze", 0.0, 100000.0),
       ("silver", 100000.0, 300000.0),
