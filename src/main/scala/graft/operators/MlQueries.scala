@@ -136,6 +136,32 @@ object MlQueries {
       .toDF("corpus_size", "vocab_size", "active_terms", "avg_log_likelihood")
   }
 
+  /** ml05 — A2/A3 under the driver's oracle gate: the fitted pipeline's
+    * corpus size, vocabulary size, and active-term count (Σ per-doc
+    * DISTINCT in-vocab terms — the reference's "token count" quirk,
+    * `LDAClustering.scala:197`) re-derived in pure SQL. The Spark side
+    * reads the numbers off the REAL fitted pipeline (CountVectorizer
+    * vectors via numActives), so a hash match proves the ml
+    * vectorization stage agrees with the declarative semantics —
+    * upgrading A2/A3 from rows-only to oracle-checked. (A7's
+    * log-likelihood stays in ml03: it is genuinely engine-defined.) */
+  val ml05 = QueryDef.sql("ml05_corpus_stats",
+    """SELECT
+      |  (SELECT COUNT(*) FROM documents) AS corpus_size,
+      |  (SELECT COUNT(DISTINCT term) FROM (
+      |     SELECT UNNEST(string_split(text, ' ')) AS term FROM documents) u) AS vocab_size,
+      |  (SELECT COUNT(*) FROM (
+      |     SELECT DISTINCT doc_id, term FROM (
+      |       SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+      |       FROM documents) x) p) AS active_terms""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val fitted = ldaFit(s, d)
+    val corpusSize = fitted.corpus.count()
+    val activeTerms = Vectorize.activeTermCount(fitted.corpus)
+    Seq((corpusSize, fitted.vocab.length.toLong, activeTerms))
+      .toDF("corpus_size", "vocab_size", "active_terms")
+  }
+
   /** ml04 — the BASELINE.md-mirroring workload: EM-LDA, k=5, 50
     * iterations, auto α/β — the reference's exact training configuration
     * (`Params.scala:2-11`) on the documents corpus. Bench timing of this
@@ -214,5 +240,5 @@ object MlQueries {
   }
 
   val defs: Seq[QueryDef] =
-    Seq(tf01, tf02, tf03, tf04, tf05, tf06, ml01, ml02, ml03, ml04)
+    Seq(tf01, tf02, tf03, tf04, tf05, tf06, ml01, ml02, ml03, ml04, ml05)
 }
