@@ -285,5 +285,38 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  val defs: Seq[QueryDef] = Seq(ss01, ss02, ss03, ss04, ss05, ss06)
+  /** dd07 — embedding-cosine near-duplicate pairs, completing the dedup
+    * family's modality coverage (text shingles → dd02-dd05; embeddings →
+    * here): candidate pairs come from shared LSH buckets (NEVER
+    * all-pairs — the self-join key is the 4-hyperplane bucket id, the
+    * same partition key ss02 uses), then exact cosine verifies
+    * candidates, keeping pairs ≥ 0.35. Threshold note: this synthetic
+    * corpus has no true near-dups (max pairwise cosine ≈ 0.46), so the
+    * cut sits where the distribution has mass; production uses ~0.9+
+    * with more planes/bands for recall — the shape (bucket → candidate
+    * → exact verify) is identical. */
+  val dd07 = QueryDef.sql("dd07_embedding_neardup",
+    s"""WITH b AS (SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket FROM embeddings),
+       |cand AS (
+       |  SELECT x.vec_id AS va, y.vec_id AS vb,
+       |    ${duckCosine("x.embedding", "y.embedding")} AS cos_sim
+       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |SELECT va, vb, cos_sim
+       |FROM cand
+       |WHERE cos_sim >= 0.35e0
+       |ORDER BY va, vb""".stripMargin) { (s, d) =>
+    val b = T.embeddings(s, d)
+      .withColumn("bucket", expr(bucketSpark("embedding")))
+    b.as("x")
+      .join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
+        col("x.embedding").as("ea"), col("y.embedding").as("eb"))
+      .withColumn("cos_sim", expr(cosine("ea", "eb")))
+      .filter(col("cos_sim") >= 0.35)
+      .select("va", "vb", "cos_sim")
+      .orderBy("va", "vb")
+  }
+
+  val defs: Seq[QueryDef] = Seq(ss01, ss02, ss03, ss04, ss05, ss06, dd07)
 }
