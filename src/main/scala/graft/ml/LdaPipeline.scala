@@ -134,7 +134,7 @@ object LdaPipeline {
       case _ => LocalLDAModel.load(s"$path/model")
     }
     val vocab = spark.read.text(s"$path/vocabulary")
-      .head.getString(0).split(",")
+      .head().getString(0).split(",")
     (model, vocab)
   }
 }

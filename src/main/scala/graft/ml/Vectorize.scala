@@ -84,6 +84,6 @@ object Vectorize {
     * not raw occurrences. */
   def activeTermCount(df: DataFrame, vecCol: String = "features"): Long = {
     val numActives = udf((v: org.apache.spark.ml.linalg.Vector) => v.numActives)
-    df.agg(sum(numActives(col(vecCol)))).head.getLong(0)
+    df.agg(sum(numActives(col(vecCol)))).head().getLong(0)
   }
 }
