@@ -177,5 +177,34 @@ object TextAnalysis {
       .limit(20)
   }
 
-  val defs: Seq[QueryDef] = Seq(ta01, ta02, ta03, ta04, ta05, ta06)
+  /** ta07 — BPE-style token counting next to ta01's whitespace count:
+    * the GPT-2 pre-tokenizer shape (space-prefixed letter runs, digit
+    * runs, punctuation runs, residual whitespace), lookahead-free so the
+    * same pattern runs under Java regex (Spark) and RE2 (DuckDB). A real
+    * BPE adds a merges table on top of this split; the pre-tokenizer is
+    * what determines token-count scaling, which is the statistic a
+    * training-data pipeline budgets by. */
+  private val bpePattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+  val ta07 = QueryDef.sql("ta07_bpe_token_stats",
+    s"""SELECT lang,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(len(regexp_extract_all(text, '$bpePattern'))) AS BIGINT) AS bpe_tokens,
+       |  CAST(SUM(len(regexp_extract_all(text, '$bpePattern'))) AS DOUBLE)
+       |    / SUM(len(string_split(text, ' '))) AS bpe_per_ws
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .withColumn("ws", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bpe",
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).cast("long"))
+      .groupBy("lang")
+      .agg(sum("ws").as("ws_tokens"),
+        sum("bpe").as("bpe_tokens"),
+        (sum("bpe").cast("double") / sum("ws")).as("bpe_per_ws"))
+      .orderBy("lang")
+  }
+
+  val defs: Seq[QueryDef] = Seq(ta01, ta02, ta03, ta04, ta05, ta06, ta07)
 }
