@@ -147,10 +147,17 @@ object Dedup {
        |WHERE jac.jaccard >= 0.3e0
        |ORDER BY jac.jaccard DESC, cand.da, cand.db""".stripMargin) { (s, d) =>
     val sh = shingles(s, d)
-    val sig = sh
-      .select(col("doc_id"), explode(expr("sequence(0, 7)")).as("i"), col("h"))
-      .withColumn("ih", md5(concat(col("i").cast("string"), lit(":"), col("h").cast("string"))))
-      .groupBy("doc_id", "i").agg(min("ih").as("m"))
+    // all 8 signature components in ONE pass over the shingle table: 8
+    // min() aggregate expressions in a single groupBy(doc_id) (the
+    // explode(sequence(0,7)) form shuffled the shingle table ×8), then
+    // stack() unpivots the per-doc row into (i, m) for the band join —
+    // stack runs on |docs| rows, not |shingles|.
+    val sigAggs = (0 to 7).map { i =>
+      min(md5(concat(lit(s"$i:"), col("h").cast("string")))).as(s"m$i")
+    }
+    val sigWide = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val sig = sigWide.select(col("doc_id"), expr(
+      "stack(8, " + (0 to 7).map(i => s"$i, m$i").mkString(", ") + ") AS (i, m)"))
     val cand = sig.as("a")
       .join(sig.as("b"),
         col("a.i") === col("b.i") && col("a.m") === col("b.m") &&
@@ -187,13 +194,18 @@ object Dedup {
        |ORDER BY hamming, da, db""".stripMargin) { (s, d) =>
     val th = shingles(s, d)
       .withColumn("f", conv(substring(md5(col("h").cast("string")), 1, 8), 16, 10).cast("long"))
-    val bits = th
-      .select(col("doc_id"), col("f"), explode(expr("sequence(0, 31)")).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(expr("CASE WHEN (shiftright(f, j) & 1) = 1 THEN 1 ELSE -1 END")).as("sb"))
-    val hash = bits
-      .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN sb > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END")).as("sim_hash"))
+    // all 32 bit-sums in ONE pass: 32 conditional-sum aggregate
+    // expressions in a single groupBy(doc_id) (the explode(sequence(0,31))
+    // form shuffled the feature table ×32), then the fingerprint is a
+    // per-doc scalar expression over the 32 sums.
+    val bitAggs = (0 to 31).map { j =>
+      sum(expr(s"CASE WHEN (shiftright(f, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"sb$j")
+    }
+    val hash = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 to 31).map { j =>
+          expr(s"CASE WHEN sb$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) ELSE CAST(0 AS BIGINT) END")
+        }.reduce(_ + _).as("sim_hash"))
     val banded = hash
       .select(col("doc_id"), col("sim_hash"), explode(expr("sequence(0, 3)")).as("k"))
       .withColumn("band", expr("shiftright(sim_hash, 8*k) & 255"))

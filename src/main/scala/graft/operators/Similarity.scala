@@ -68,10 +68,12 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane weights: w(plane, dim) from md5 —
-    * computed once at build time, embedded as literals on both engines. */
+    * computed once at build time, embedded as literals on both engines.
+    * Planes 0-3 bucket ss02/ss05 (16 buckets — a recall-friendly demo
+    * size); dd07 signs all 16 for its banded near-dup signature. */
   private val planes: Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(4, 64) { (p, dim) =>
+    Array.tabulate(16, 64) { (p, dim) =>
       val h = md.digest(s"$p:$dim".getBytes("UTF-8"))
       if ((h(0) & 1) == 0) 1.0 else -1.0
     }
@@ -285,34 +287,68 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** 16-plane sign signature for dd07 (bit p = sign of plane-p dot). */
+  private def sig16Spark(col0: String): String =
+    (0 until 16).map { p =>
+      s"(CASE WHEN ${dotExpr.format(col0, planeArraySpark(p))} > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def sig16Duck(col0: String): String =
+    (0 until 16).map { p =>
+      val dot = s"list_sum(list_transform(range(1, len($col0)+1), i -> CAST($col0[i] AS DOUBLE) * (${planeArraySql(p)})[i]))"
+      s"(CASE WHEN $dot > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** dd07 — embedding-cosine near-duplicate pairs, completing the dedup
     * family's modality coverage (text shingles → dd02-dd05; embeddings →
-    * here): candidate pairs come from shared LSH buckets (NEVER
-    * all-pairs — the self-join key is the 4-hyperplane bucket id, the
-    * same partition key ss02 uses), then exact cosine verifies
-    * candidates, keeping pairs ≥ 0.35. Threshold note: this synthetic
-    * corpus has no true near-dups (max pairwise cosine ≈ 0.46), so the
-    * cut sits where the distribution has mass; production uses ~0.9+
-    * with more planes/bands for recall — the shape (bucket → candidate
-    * → exact verify) is identical. */
+    * here). Candidates are NEVER all-pairs: each vector gets a 16-plane
+    * sign signature, banded into 2 bands × 8 bits (dd03's band trick in
+    * sign space); pairs sharing ≥1 band are verified with exact cosine
+    * and kept at ≥ 0.35. Candidate volume is bands·N²/2^bits — the
+    * bits-per-band dial grows with log N (at 100 TB: 32-64 planes,
+    * 8-16-bit bands), keeping pairs near-linear while banding recovers
+    * the recall a single wide bucket would lose. Per-vector norms are
+    * computed ONCE in the signature pass and joined into the verify
+    * step, so each candidate pair costs one dot product, not three.
+    * Threshold note: this synthetic corpus has no true near-dups (max
+    * pairwise cosine ≈ 0.46), so the cut sits where the distribution
+    * has mass; production uses ~0.9+ with more planes. */
   val dd07 = QueryDef.sql("dd07_embedding_neardup",
-    s"""WITH b AS (SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket FROM embeddings),
-       |cand AS (
-       |  SELECT x.vec_id AS va, y.vec_id AS vb,
-       |    ${duckCosine("x.embedding", "y.embedding")} AS cos_sim
-       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+    s"""WITH b AS (SELECT vec_id, embedding, ${sig16Duck("embedding")} AS sig,
+       |            sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |          FROM embeddings),
+       |banded AS (SELECT vec_id, k, (sig >> (8*k)) & 255 AS band
+       |           FROM b, generate_series(0, 1) g(k)),
+       |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+       |         FROM banded x JOIN banded y
+       |           ON x.k = y.k AND x.band = y.band AND x.vec_id < y.vec_id),
+       |scored AS (
+       |  SELECT cand.va, cand.vb,
+       |    ${duckDot("a.embedding", "c.embedding")} / (a.nrm * c.nrm) AS cos_sim
+       |  FROM cand JOIN b a ON a.vec_id = cand.va JOIN b c ON c.vec_id = cand.vb)
        |SELECT va, vb, cos_sim
-       |FROM cand
+       |FROM scored
        |WHERE cos_sim >= 0.35e0
        |ORDER BY va, vb""".stripMargin) { (s, d) =>
     val b = T.embeddings(s, d)
-      .withColumn("bucket", expr(bucketSpark("embedding")))
-    b.as("x")
-      .join(b.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
-        col("x.embedding").as("ea"), col("y.embedding").as("eb"))
-      .withColumn("cos_sim", expr(cosine("ea", "eb")))
+      .select(col("vec_id"), col("embedding"),
+        expr(sig16Spark("embedding")).as("sig"),
+        sqrt(expr(dotExpr.format("embedding", "embedding"))).as("nrm"))
+      .cache()
+    val banded = b
+      .select(col("vec_id"), explode(expr("array(0, 1)")).as("k"), col("sig"))
+      .withColumn("band", expr("shiftright(sig, 8*k) & 255"))
+      .select("vec_id", "k", "band")
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.k") === col("y.k") && col("x.band") === col("y.band") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+    cand
+      .join(b.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na")), "va")
+      .join(b.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb")), "vb")
+      .withColumn("cos_sim", expr(dotExpr.format("ea", "eb")) / (col("na") * col("nb")))
       .filter(col("cos_sim") >= 0.35)
       .select("va", "vb", "cos_sim")
       .orderBy("va", "vb")
