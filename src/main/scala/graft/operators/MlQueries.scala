@@ -125,15 +125,43 @@ object MlQueries {
       .orderBy("main_topic")
   }
 
-  /** ml03 — A2/A3/A7: corpus + model summary statistics. */
-  val ml03 = QueryDef.rowsOnly("ml03_lda_model_stats") { (s, d) =>
+  /** ml03 — A2/A3/A7: corpus + model summary statistics, oracled with
+    * the q21r/q57 tolerance pattern. The exact stats (corpus size, vocab
+    * size, active terms) are pure-SQL derivable; the average
+    * log-likelihood is engine-defined (a variational bound of the fitted
+    * model), so what the oracle gates is its SANITY ENVELOPE as
+    * booleans: negative, and within -100·(tokens/doc)·ln(V+1) — a bound
+    * any non-degenerate fit satisfies with two orders of magnitude of
+    * slack (per-token cost of even a uniform model is -ln(V)), while
+    * NaN, +∞, a positive value, or a catastrophically diverged fit all
+    * flip a boolean and go red. The oracle asserts the expected truth
+    * values; DuckDB cannot fit an LDA, so the booleans — not the raw
+    * avg_ll — are the compared columns. */
+  val ml03 = QueryDef.sql("ml03_lda_model_stats",
+    """SELECT
+      |  (SELECT COUNT(*) FROM documents) AS corpus_size,
+      |  (SELECT COUNT(DISTINCT term) FROM (
+      |     SELECT UNNEST(string_split(text, ' ')) AS term FROM documents) u) AS vocab_size,
+      |  (SELECT COUNT(*) FROM (
+      |     SELECT DISTINCT doc_id, term FROM (
+      |       SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+      |       FROM documents) x) p) AS active_terms,
+      |  TRUE AS ll_is_negative,
+      |  TRUE AS ll_within_bound""".stripMargin) { (s, d) =>
     import s.implicits._
     val fitted = ldaFit(s, d)
     val corpusSize = fitted.corpus.count()
     val activeTerms = Vectorize.activeTermCount(fitted.corpus)
     val ll = fitted.model.logLikelihood(fitted.corpus)
-    Seq((corpusSize, fitted.vocab.length, activeTerms, ll / corpusSize))
-      .toDF("corpus_size", "vocab_size", "active_terms", "avg_log_likelihood")
+    val avgLl = ll / corpusSize
+    val totalTokens = T.documents(s, d)
+      .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    val vocabSize = fitted.vocab.length.toLong
+    val bound = -100.0 * (totalTokens.toDouble / corpusSize) * math.log(vocabSize + 1.0)
+    Seq((corpusSize, vocabSize, activeTerms,
+      avgLl < 0.0, avgLl > bound))
+      .toDF("corpus_size", "vocab_size", "active_terms",
+        "ll_is_negative", "ll_within_bound")
   }
 
   /** ml05 — A2/A3 under the driver's oracle gate: the fitted pipeline's

@@ -287,6 +287,39 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** ss07 — driver gate for the IVF path (ss04), in the q21r/q57
+    * tolerance shape: the cell assignment is engine-defined (ml.KMeans),
+    * but with a pinned seed the fit — and hence ss04's result and its
+    * recall against the exact baseline ss01 — is deterministic. The
+    * oracle-compared columns are the exact query count (pure SQL) plus
+    * booleans any healthy IVF run satisfies: every query returned a full
+    * top-3 (each of the 8 cells holds ≫3 vectors) and recall vs the
+    * exact top-5 clears a floor well below the measured value — a
+    * degenerate quantizer (all points one cell → returned-count breaks
+    * elsewhere; random cells → recall collapses) flips a boolean. */
+  val ss07 = QueryDef.sql("ss07_ivf_recall",
+    """SELECT
+      |  (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS n_queries,
+      |  TRUE AS full_topk_returned,
+      |  TRUE AS recall_floor_ok""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val exact = ss01.fn(s, d).select(col("qid"), col("nid"))
+      .withColumn("in_exact", lit(1))
+    val approx = ivf(s, d).select(col("qid"), col("nid"))
+    val per = approx.join(exact, Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("in_exact"), lit(0))).as("hits"),
+        count(lit(1)).as("returned"))
+    val row = per.agg(
+      count(lit(1)).as("nq"),
+      min("returned").as("minr"),
+      max("returned").as("maxr"),
+      (sum("hits") * lit(1.0) / sum("returned")).as("recall")).head()
+    Seq((row.getLong(0), row.getLong(1) == 3L && row.getLong(2) == 3L,
+      row.getDouble(3) >= 0.15))
+      .toDF("n_queries", "full_topk_returned", "recall_floor_ok")
+  }
+
   /** 16-plane sign signature for dd07 (bit p = sign of plane-p dot). */
   private def sig16Spark(col0: String): String =
     (0 until 16).map { p =>
@@ -354,5 +387,5 @@ object Similarity {
       .orderBy("va", "vb")
   }
 
-  val defs: Seq[QueryDef] = Seq(ss01, ss02, ss03, ss04, ss05, ss06, dd07)
+  val defs: Seq[QueryDef] = Seq(ss01, ss02, ss03, ss04, ss05, ss06, ss07, dd07)
 }

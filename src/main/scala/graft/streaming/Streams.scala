@@ -277,5 +277,120 @@ object Streams {
     s.table(name).orderBy("event_type")
   }
 
-  val defs: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05)
+  /** Staged three-file replay layout for st06, built once per sf dir.
+    * With cutoff = max(ts) - 50 min (micros, matching the stream's
+    * ns→µs truncation):
+    *   A `a_ontime` — the bulk on-time stream (ts <= cutoff, id%10 != 0)
+    *   B `b_fresh`  — the freshest tail (ts > cutoff, every id)
+    *   C `c_late`   — a late replay of old events (ts <= cutoff, id%10 == 0)
+    * Modification times force the FileStreamSource to take A→B→C (it
+    * lists in modTime order) and maxFilesPerTrigger=1 makes each file
+    * its own micro-batch, so every watermark advance — the thing st06
+    * tests — is a deterministic function of the data. */
+  private val stageCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def stageLateReplay(s: SparkSession, d: String): String =
+    stageCache.getOrElseUpdate(d, {
+      val dir = new java.io.File(
+        "/tmp/graft_st06_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      val in = new java.io.File(dir, "in")
+      val done = new java.io.File(dir, "_DONE")
+      if (!done.exists()) {
+        val raw = s.read.parquet(s"$d/events.parquet")
+          .withColumn("us", expr("ts div 1000"))
+        val maxUs = raw.agg(max("us")).head().getLong(0)
+        val cutoff = maxUs - 50L * 60 * 1000 * 1000
+        def writeOne(df: DataFrame, part: String, target: String, mtime: Long): Unit = {
+          val tmp = new java.io.File(dir, part)
+          df.drop("us").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val src = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+          in.mkdirs()
+          val dst = new java.io.File(in, target)
+          java.nio.file.Files.copy(src.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(mtime)
+        }
+        val t0 = 1600000000000L // fixed epoch ms: replay order, not wall time
+        writeOne(raw.filter(col("us") <= cutoff && col("event_id") % 10 =!= 0),
+          "f0", "a_ontime.parquet", t0)
+        writeOne(raw.filter(col("us") > cutoff),
+          "f1", "b_fresh.parquet", t0 + 600000L)
+        writeOne(raw.filter(col("us") <= cutoff && col("event_id") % 10 === 0),
+          "f2", "c_late.parquet", t0 + 1200000L)
+        done.createNewFile()
+      }
+      in.toString
+    })
+
+  /** st06 — watermarked APPEND-mode windowed aggregation with genuinely
+    * late data. Spark's micro-batch semantics (two watermarks per batch
+    * since SPARK-40925, confirmed empirically on 4.1): batch N filters
+    * late input with the PREVIOUS batch's watermark and evicts/emits
+    * closed windows with the CURRENT one (wm_N = max event time through
+    * batch N-1, minus the 10-min delay). Over the staged A→B→C replay
+    * that means:
+    *   batch A: wm 0 — everything aggregates, nothing emits;
+    *   batch B: evicts/emits windows with end <= wm_1 = max(A) - 10 min;
+    *   batch C: the late replay is filtered with wm_1 — old rows whose
+    *     hour window already closed are DROPPED (the state-eviction
+    *     contract that bounds streaming-agg state at 100 TB/day), while
+    *     late rows landing in still-open windows merge; eviction then
+    *     runs with wm_2 = max(A∪B) - 10 min, emitting windows that now
+    *     carry partial late contributions.
+    * Append mode emits each window exactly once; windows past the final
+    * watermark stay open and unreported. All three effects are
+    * deterministic functions of the data (pinned id-hash/cutoff split,
+    * pinned batching), so the batch oracle encodes them exactly:
+    *   included = A ∪ B ∪ {C : window_end > wm_1}
+    *   emitted  = windows with window_end <= wm_2. */
+  val st06 = QueryDef.sql("st06_watermark_append",
+    """WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS m FROM events),
+      |cut AS (SELECT m - INTERVAL 50 MINUTE AS c FROM mx),
+      |wm1 AS (
+      |  SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w
+      |  FROM events, cut
+      |  WHERE CAST(ts AS TIMESTAMP) <= cut.c AND event_id % 10 <> 0),
+      |wm2 AS (SELECT m - INTERVAL 10 MINUTE AS w FROM mx),
+      |inc AS (
+      |  SELECT e.* FROM events e, cut WHERE CAST(e.ts AS TIMESTAMP) > cut.c
+      |  UNION ALL
+      |  SELECT e.* FROM events e, cut
+      |  WHERE CAST(e.ts AS TIMESTAMP) <= cut.c AND e.event_id % 10 <> 0
+      |  UNION ALL
+      |  SELECT e.* FROM events e, cut, wm1
+      |  WHERE CAST(e.ts AS TIMESTAMP) <= cut.c AND e.event_id % 10 = 0
+      |    AND date_trunc('hour', CAST(e.ts AS TIMESTAMP)) + INTERVAL 1 HOUR > wm1.w)
+      |SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM inc, wm2
+      |WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR <= wm2.w
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    val inDir = stageLateReplay(s, d)
+    val schema = s.read.parquet(inDir).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    val name = s"st06_sink_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val defs: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06)
 }
