@@ -124,13 +124,31 @@ object TopKIds {
     * fail analysis via checkInputDataTypes. */
   def build(exprs: Seq[Expression]): TopKIds = {
     import org.apache.spark.sql.catalyst.expressions.Cast
+    // validate arity + the k literal up front: this builder runs at
+    // analysis time for every SQL session (GraftExtensions), so a bad
+    // call must fail with a clean message, not IndexOutOfBounds /
+    // ClassCastException from exprs(2).eval().asInstanceOf[Int]
+    if (exprs.length != 3)
+      throw new IllegalArgumentException(
+        s"top_k_ids(value, id, k) requires exactly 3 arguments, got ${exprs.length}")
+    val k = exprs(2) match {
+      case e if e.foldable =>
+        e.eval() match {
+          case n: java.lang.Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"top_k_ids k must be a literal integer, got $other")
+        }
+      case _ => throw new IllegalArgumentException(
+        "top_k_ids k must be a foldable literal integer")
+    }
+    if (k <= 0)
+      throw new IllegalArgumentException(s"top_k_ids k must be positive, got $k")
     def castTo(e: Expression, t: DataType): Expression =
       if (e.dataType == t) e
       else if (Cast.canCast(e.dataType, t) &&
         e.dataType.isInstanceOf[NumericType]) Cast(e, t)
       else e // leave as-is → checkInputDataTypes reports it cleanly
-    TopKIds(castTo(exprs(0), DoubleType), castTo(exprs(1), LongType),
-      exprs(2).eval().asInstanceOf[Int])
+    TopKIds(castTo(exprs(0), DoubleType), castTo(exprs(1), LongType), k)
   }
 
   /** Register `top_k_ids(value, id, k)` (k must be a literal int). */

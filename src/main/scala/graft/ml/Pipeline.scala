@@ -21,9 +21,18 @@ object Pipeline {
     * don't depend on partitioning (SURVEY.md §2.3 P6, §7 risk 2). No
     * unpartitioned window anywhere; the repartition keeps the expensive
     * per-document UDF chain downstream running wide. */
-  def withDocIds(books: DataFrame, orderCol: String = "book_name"): DataFrame =
-    graft.GlobalIndex.withGlobalIndex(books, Seq(col(orderCol)), "doc_id")
+  def withDocIds(books: DataFrame, orderCol: String = "book_name"): DataFrame = {
+    // the source path joins the order as a unique tiebreak: two books
+    // with the same name (e.g. one filename under two language dirs)
+    // would otherwise make the range-sort order — and hence doc ids —
+    // nondeterministic across lineage recomputations
+    val order =
+      if (books.columns.contains("path") && orderCol != "path")
+        Seq(col(orderCol), col("path"))
+      else Seq(col(orderCol))
+    graft.GlobalIndex.withGlobalIndex(books, order, "doc_id")
       .repartition(books.sparkSession.sparkContext.defaultParallelism)
+  }
 
   /** The shared prep chain (P2 → P3 → P4 → P7), used identically by
     * training, classification, and benchmarks — one definition so the

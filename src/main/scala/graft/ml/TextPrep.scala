@@ -58,12 +58,15 @@ object TextPrep {
     lines.flatMap(_.stripMargin.split(","))
 
   /** P2 — lemmatization with the reference's structure: sentence split,
-    * within-sentence word dedup, length>3 cut, trailing-space join.
-    * CoreNLP is not available in this environment, so the lemma function
-    * itself is a deterministic heuristic English suffix-rewriter standing
-    * in for `Morphology.lemma` (documented divergence; the surrounding
-    * dataflow — dedup, cut, spacing — is the reference's). */
-  val lemmatizeUdf = udf { (text: String) =>
+    * within-sentence word dedup, length>3 cut, trailing-space join —
+    * PARAMETRIC in the lemma function. The dataflow around the
+    * lemmatizer is the reference's; the lemmatizer itself is pluggable,
+    * so a CoreNLP-equipped deployment passes `Morphology.lemma` here
+    * and gets the reference's exact token stream, while this sandbox
+    * (no CoreNLP dependency) uses [[heuristicLemma]]. TextPrepSpec's
+    * fixture holds the dataflow byte-exact through an injected lookup
+    * lemmatizer. */
+  def lemmatizeText(text: String, lemma: String => String): String =
     if (text == null) "" else {
       val sb = new StringBuilder
       // sentence split on . ! ? (CoreNLP uses a trained splitter; this is
@@ -75,14 +78,19 @@ object TextPrep {
         // HashMap-scrambled there, insertion-ordered here (bag-of-words
         // counts are unaffected except through the dedup itself)
         words.distinct.foreach { w =>
-          val lemma = heuristicLemma(w)
-          val added = if (lemma.length > 3) lemma else ""
+          val l = lemma(w)
+          val added = if (l.length > 3) l else ""
           sb.append(added).append(' ')
         }
       }
       sb.toString
     }
-  }
+
+  /** P2 as a column expression with an arbitrary lemma function. */
+  def lemmatizeUdfWith(lemma: String => String) =
+    udf { (text: String) => lemmatizeText(text, lemma) }
+
+  val lemmatizeUdf = lemmatizeUdfWith(heuristicLemma)
 
   /** Deterministic stand-in for CoreNLP lemmatization: common English
     * inflection suffixes, longest-match first. */

@@ -42,13 +42,70 @@ object Vectorize {
 
   /** P8 — count vectors of dim vocab.length over the tokens column.
     * CountVectorizerModel broadcasts the vocab and emits SparseVector
-    * with ascending indices — the reference's representation. */
+    * with ascending indices — the reference's representation.
+    *
+    * This is the BELOW-the-cap path: the vocab lives in one driver/
+    * executor array. Past [[broadcastVocabCap]] terms use
+    * [[vocabTable]] + [[countVectorsViaJoin]] instead — identical
+    * output (VectorizeFallbackSpec proves it), distributed vocab. */
   def countVectors(df: DataFrame, vocab: Array[String],
       tokensCol: String = "tokens", outCol: String = "tf"): DataFrame =
     new CountVectorizerModel(vocab)
       .setInputCol(tokensCol)
       .setOutputCol(outCol)
       .transform(df)
+
+  /** Vocabulary ceiling for the broadcast path: ~4M terms ≈ a few
+    * hundred MB of broadcast + hash-map per executor — comfortably
+    * inside a normal executor heap, and far below where a driver
+    * collect() starts to hurt. A 100 TB multilingual corpus easily
+    * exceeds it; callers switch to the join path above this. */
+  val broadcastVocabCap: Int = 4 * 1000 * 1000
+
+  /** T1 as a DISTRIBUTED table (term, vid): same frequency ranking and
+    * (cnt DESC, term ASC) tie order as [[buildVocab]], but the mapping
+    * never leaves the cluster — vid comes from a range-sort +
+    * zipWithIndex (graft.GlobalIndex), not a driver collect. */
+  def vocabTable(counts: DataFrame, vocabSize: Int): DataFrame =
+    graft.GlobalIndex
+      .withGlobalIndex(counts, Seq(col("cnt").desc, col("term")), "vid")
+      .filter(col("vid") < vocabSize)
+      .select(col("term"), col("vid"))
+
+  /** P8 ABOVE the broadcast cap: count vectors via an exploded-token
+    * shuffle join against [[vocabTable]] — the scale path when the
+    * vocabulary itself no longer fits one array (hundreds of millions
+    * of multilingual terms at 100 TB). One shuffle keyed on term (the
+    * join), one on doc id (the regroup); out-of-vocab tokens drop in
+    * the join; docs with zero in-vocab tokens keep an empty vector via
+    * the left join. Output is byte-identical to [[countVectors]]
+    * (ascending indices, double counts) — VectorizeFallbackSpec holds
+    * both paths equal. */
+  def countVectorsViaJoin(df: DataFrame, vocab: DataFrame, vocabCount: Int,
+      idCol: String = "doc_id", tokensCol: String = "tokens",
+      outCol: String = "tf"): DataFrame = {
+    val pairs = df
+      .select(col(idCol).as("__cv_doc"), explode(col(tokensCol)).as("term"))
+      .join(vocab, "term")
+      .groupBy(col("__cv_doc"), col("vid"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val lists = pairs
+      .groupBy("__cv_doc")
+      .agg(sort_array(collect_list(struct(col("vid").cast("int").as("i"), col("c"))))
+        .as("__cv_ic"))
+    val assemble = udf { ic: Seq[org.apache.spark.sql.Row] =>
+      if (ic == null)
+        Vectors.sparse(vocabCount, Array.empty[Int], Array.empty[Double])
+          : org.apache.spark.ml.linalg.Vector
+      else
+        Vectors.sparse(vocabCount,
+          ic.map(_.getInt(0)).toArray, ic.map(_.getDouble(1)).toArray)
+          : org.apache.spark.ml.linalg.Vector
+    }
+    df.join(lists, df(idCol) === lists("__cv_doc"), "left")
+      .withColumn(outCol, assemble(col("__cv_ic")))
+      .drop("__cv_doc", "__cv_ic")
+  }
 
   /** A4 — IDF with the reference's minDocFreq=2
     * (`LDAClustering.scala:177`): idf = ln((m+1)/(df+1)), zeroed for

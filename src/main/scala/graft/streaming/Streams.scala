@@ -101,8 +101,27 @@ object Streams {
     stateful(s, d)
   }
 
+  /** st03/st04's O(1)-per-user state is correct because the single-file
+    * source replays as ONE micro-batch (batch-local sort = global sort).
+    * If the events fixture ever split into multiple files replayed out
+    * of event-time order, session counts would silently diverge from
+    * the oracle — so fail loudly instead. */
+  private def assertSingleReplayFile(d: String): Unit = {
+    val f = new java.io.File(d, "events.parquet")
+    val n =
+      if (f.isDirectory)
+        f.listFiles().count(x => x.isFile && x.getName.endsWith(".parquet"))
+      else if (f.isFile) 1
+      else 0
+    require(n == 1,
+      s"stateful sessionization requires a single events.parquet replay file " +
+        s"(single micro-batch); found $n under $d — " +
+        "handle cross-batch event-time order before lifting this")
+  }
+
   def stateful(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    assertSingleReplayFile(d)
     val batchSchema = s.read.parquet(s"$d/events.parquet").schema
     val stream = s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
@@ -195,6 +214,7 @@ object Streams {
   def sessionDetails(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     import s.implicits._
+    assertSingleReplayFile(d)
     val batchSchema = s.read.parquet(s"$d/events.parquet").schema
     val stream = s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet").parquet(d)

@@ -75,4 +75,53 @@ class TextPrepSpec extends AnyFunSuite {
     assert(TextPrep.heuristicLemma("cats") == "cat")
     assert(TextPrep.heuristicLemma("was") == "was") // ≤3 untouched
   }
+
+  /** P2 parity fixture: the lemma dataflow (sentence split, within-
+    * sentence dedup, len>3 cut on the LEMMA, empty-plus-space join) is
+    * parametric in the lemmatizer. The fixture table carries irregular
+    * mappings (geese→goose, went→go, mice→mouse) that NO suffix
+    * heuristic can produce — proving the pipeline treats the lemmatizer
+    * as a black box, so a CoreNLP `Morphology.lemma` drops in with the
+    * surrounding dataflow byte-identical to what is asserted here. */
+  private lazy val fixtureLemmas: Map[String, String] = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/lemma_fixture.tsv"), "UTF-8")
+    try src.getLines().map { l =>
+      val Array(w, m) = l.split("\t"); w -> m
+    }.toMap
+    finally src.close()
+  }
+
+  test("P2 fixture: dataflow is byte-exact through an injected lemmatizer") {
+    val lemma = (w: String) => fixtureLemmas.getOrElse(w, w)
+    // dedup + len>3 cut applies to the LEMMA (went(4)→go(2) dropped,
+    // running→run dropped), dropped lemmas still append their space
+    assert(TextPrep.lemmatizeText(
+      "The children walked home. The mice saw the children running", lemma)
+      == " child walk home  mouse   child  ")
+    // within-sentence dedup keeps one entry per distinct surface form
+    assert(TextPrep.lemmatizeText("geese geese went went geese", lemma)
+      == "goose  ")
+    // sentence boundary resets the dedup set
+    assert(TextPrep.lemmatizeText("geese walked! geese walked", lemma)
+      == "goose walk goose walk ")
+    assert(TextPrep.lemmatizeText(null, lemma) == "")
+  }
+
+  test("P2 fixture: injected lookup flows through the column pipeline") {
+    import graft.TestSpark._
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val lemma = (w: String) => fixtureLemmas.getOrElse(w, w)
+    val out = Seq("The children walked home. The mice saw the children running")
+      .toDF("text")
+      .select(TextPrep.lemmatizeUdfWith(lemma)(col("text")).as("t"))
+      .head().getString(0)
+    assert(out == " child walk home  mouse   child  ")
+    // and the default UDF is exactly the heuristic-injected form
+    val viaDefault = Seq("ponies running fast").toDF("text")
+      .select(TextPrep.lemmatizeUdf(col("text")).as("t")).head().getString(0)
+    assert(viaDefault == TextPrep.lemmatizeText("ponies running fast",
+      TextPrep.heuristicLemma))
+  }
 }

@@ -46,14 +46,16 @@ def first_diff(w, g):
         rw, rg = w.iloc[i], g.iloc[i]
         for c in w.columns:
             a, b = rw[c], rg[c]
-            if a is None and b is None:
-                continue
+            # NA-robust compare: `a != b` raises TypeError when exactly
+            # one side is pandas.NA (ambiguous boolean) — diagnose via
+            # isna first so the mismatch-reporting path can't crash
             try:
-                if pd.isna(a) and pd.isna(b):
-                    continue
+                na_a, na_b = bool(pd.isna(a)), bool(pd.isna(b))
             except (TypeError, ValueError):
-                pass
-            if a != b:
+                na_a = na_b = False  # array-likes: fall through to !=
+            if na_a and na_b:
+                continue
+            if na_a != na_b or a != b:
                 return (i, c, a, b, "value")
     return None
 
