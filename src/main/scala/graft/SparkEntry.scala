@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Grouping.defs ++
       operators.Scalars.defs ++
       operators.TextAnalysis.defs ++
+      operators.Curation.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.MlQueries.defs ++

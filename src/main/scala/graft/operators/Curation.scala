@@ -1,0 +1,265 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: the selection/budgeting layer a
+  * 100 TB pipeline runs AFTER cleaning (ta*) and dedup (dd*) to decide
+  * what actually enters a training mix. Declared north-star extension;
+  * no reference analogue.
+  *
+  *  - ta08/ta09 — per-document repetition and rule-based quality gates
+  *    (the Gopher/C4 filter shape): pure narrow maps + per-doc aggs,
+  *    embarrassingly parallel at scale.
+  *  - sp01 — token-budget selection: keep the best documents until a
+  *    token budget is spent. The global running sum uses the two-pass
+  *    partition-offset scan (graft.GlobalCumsum), never a
+  *    single-partition window.
+  *  - sp02 — deterministic stratified sampling by md5 bucket: a
+  *    stateless filter, the only sane shape at 100 TB (no shuffle, no
+  *    coordination, reproducible lineage).
+  *  - sp03 — mixture rebalancing: per-language token shares and the
+  *    resampling weights that equalize them (low-cardinality agg).
+  *  - dd08 — survivor selection over dd05's duplicate clusters: keep
+  *    the highest-quality member per cluster (the step that turns
+  *    cluster labels into an actual keep-list).
+  *
+  * The quality score is ta02's exact formula (oracle-proven
+  * reproducible): 0.3·distinct_ratio + 0.4·min(nt/100, 1) +
+  * 0.3·(1 − stop_ratio).
+  */
+object Curation {
+
+  private val stop = "('the','a','of')"
+
+  /** Shared quality CTE (mirrors ta02 — kept in lockstep by the green
+    * oracles on both). */
+  private val qualityCte =
+    s"""q AS (
+       |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS nt,
+       |    0.3e0 * ((len(list_distinct(string_split(text,' '))) * 1e0)
+       |             / len(string_split(text,' ')))
+       |    + 0.4e0 * least((len(string_split(text,' ')) * 1e0) / 100e0, 1e0)
+       |    + 0.3e0 * (1e0 - (len(list_filter(string_split(text,' '), x -> x IN $stop)) * 1e0)
+       |                     / len(string_split(text,' '))) AS quality
+       |  FROM documents)""".stripMargin
+
+  private def qualityDf(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("nt"),
+        (lit(0.3) * (size(array_distinct(col("t"))) * lit(1.0) / size(col("t"))) +
+          lit(0.4) * least(size(col("t")) * lit(1.0) / lit(100.0), lit(1.0)) +
+          lit(0.3) * (lit(1.0) -
+            expr(s"size(filter(t, x -> x IN $stop))") * lit(1.0) / size(col("t"))))
+          .as("quality"))
+
+  /** ta08 — within-document repetition profile (the "repeated n-gram"
+    * quality signal): per-doc trigram total/distinct/max counts and the
+    * derived ratios; is_repetitive flags docs whose single most common
+    * trigram exceeds 5% of all trigrams. One explode + two hash aggs,
+    * all map-side combinable. */
+  val ta08 = QueryDef.sql("ta08_repetition_profile",
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+      |              WHERE len(string_split(text,' ')) >= 3),
+      |g AS (SELECT doc_id, UNNEST(list_transform(range(1, len(t)-1),
+      |        i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s FROM toks),
+      |c AS (SELECT doc_id, s, COUNT(*) AS c FROM g GROUP BY doc_id, s),
+      |p AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+      |        COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS max_rep
+      |      FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_grams, n_distinct, max_rep,
+      |  (max_rep * 1e0) / n_grams AS top_gram_ratio,
+      |  (n_distinct * 1e0) / n_grams AS distinct_gram_ratio,
+      |  (max_rep * 1e0) / n_grams > 0.05e0 AS is_repetitive
+      |FROM p
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val grams = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
+    grams
+      .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams"), count(lit(1)).as("n_distinct"),
+        max("c").as("max_rep"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"), col("max_rep"),
+        (col("max_rep") * lit(1.0) / col("n_grams")).as("top_gram_ratio"),
+        (col("n_distinct") * lit(1.0) / col("n_grams")).as("distinct_gram_ratio"),
+        (col("max_rep") * lit(1.0) / col("n_grams") > lit(0.05)).as("is_repetitive"))
+      .orderBy("doc_id")
+  }
+
+  /** ta09 — rule-based quality gate (the C4/Gopher filter shape): one
+    * boolean per rule — word-count bounds, mean-word-length bounds,
+    * stopword presence, max single-token dominance — plus the combined
+    * keep flag. Per-doc booleans make the filter auditable: a pipeline
+    * reports WHY a document fell, not just that it fell. */
+  val ta09 = QueryDef.sql("ta09_quality_rules",
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    len(string_split(text,' ')) AS nt,
+       |    length(replace(text,' ','')) AS nonspace,
+       |    len(list_filter(string_split(text,' '), x -> x IN $stop)) AS nstop
+       |  FROM documents),
+       |mt AS (SELECT doc_id, MAX(c) AS maxtok FROM (
+       |  SELECT doc_id, term, COUNT(*) AS c FROM (
+       |    SELECT doc_id, UNNEST(string_split(text,' ')) AS term FROM documents) u
+       |  GROUP BY doc_id, term) g GROUP BY doc_id)
+       |SELECT base.doc_id,
+       |  base.nt BETWEEN 20 AND 100000 AS wc_ok,
+       |  (base.nonspace * 1e0) / base.nt BETWEEN 2e0 AND 12e0 AS wlen_ok,
+       |  base.nstop > 0 AS stop_ok,
+       |  (mt.maxtok * 1e0) / base.nt <= 0.2e0 AS rep_ok,
+       |  (base.nt BETWEEN 20 AND 100000)
+       |    AND ((base.nonspace * 1e0) / base.nt BETWEEN 2e0 AND 12e0)
+       |    AND (base.nstop > 0)
+       |    AND ((mt.maxtok * 1e0) / base.nt <= 0.2e0) AS keep
+       |FROM base JOIN mt ON mt.doc_id = base.doc_id
+       |ORDER BY base.doc_id""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"), col("text"))
+      .select(col("doc_id"),
+        size(col("t")).as("nt"),
+        length(translate(col("text"), " ", "")).as("nonspace"),
+        expr(s"size(filter(t, x -> x IN $stop))").as("nstop"))
+    val mt = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("maxtok"))
+    base.join(mt, "doc_id")
+      .select(col("doc_id"),
+        col("nt").between(20, 100000).as("wc_ok"),
+        (col("nonspace") * lit(1.0) / col("nt")).between(2.0, 12.0).as("wlen_ok"),
+        (col("nstop") > 0).as("stop_ok"),
+        (col("maxtok") * lit(1.0) / col("nt") <= lit(0.2)).as("rep_ok"),
+        (col("nt").between(20, 100000) &&
+          (col("nonspace") * lit(1.0) / col("nt")).between(2.0, 12.0) &&
+          col("nstop") > 0 &&
+          col("maxtok") * lit(1.0) / col("nt") <= lit(0.2)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** sp01 — token-budget selection: rank documents by quality (ties by
+    * doc_id) and keep them while the running token total stays within
+    * HALF the corpus's tokens. The budget predicate `2·cum <= total`
+    * stays in exact integer arithmetic; the running sum is the two-pass
+    * distributed scan (graft.GlobalCumsum), not a one-partition window.
+    * This is how a pipeline spends a fixed token budget on the best
+    * available data. */
+  val sp01 = QueryDef.sql("sp01_token_budget",
+    s"""WITH $qualityCte,
+       |tot AS (SELECT SUM(nt) AS total FROM q),
+       |r AS (SELECT doc_id, nt, quality,
+       |        SUM(nt) OVER (ORDER BY quality DESC, doc_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM q)
+       |SELECT doc_id, nt, quality, CAST(cum AS BIGINT) AS cum_tokens
+       |FROM r, tot
+       |WHERE 2 * cum <= tot.total
+       |ORDER BY cum_tokens""".stripMargin) { (s, d) =>
+    val q = qualityDf(s, d)
+    val total = q.agg(sum("nt").as("total"))
+    graft.GlobalCumsum
+      .withRunningSum(q, Seq(col("quality").desc, col("doc_id")), "nt", "cum_tokens")
+      .crossJoin(broadcast(total))
+      .filter(col("cum_tokens") * 2 <= col("total"))
+      .select("doc_id", "nt", "quality", "cum_tokens")
+      .orderBy("cum_tokens")
+  }
+
+  /** sp02 — deterministic stratified sampling: per-language keep rates
+    * applied via an md5 bucket of doc_id (dd06's split mechanism) — a
+    * stateless, reproducible, shuffle-free filter. The bucket rides
+    * along so the audit trail (why was this doc kept?) is in-band. */
+  val sp02 = QueryDef.sql("sp02_stratified_sample",
+    """SELECT doc_id, lang,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 100 AS bucket
+      |FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 100
+      |  < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 40 WHEN 'es' THEN 30
+      |              WHEN 'fr' THEN 20 ELSE 10 END
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("int") % 100
+    val rate = expr(
+      "CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 40 WHEN 'es' THEN 30 " +
+        "WHEN 'fr' THEN 20 ELSE 10 END")
+    T.documents(s, d)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < rate)
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** sp03 — mixture rebalancing: per-language token totals, corpus
+    * share, and the resampling weight min(tokens)/tokens that would
+    * equalize the mix (weights ≤ 1 → downsampling; the common
+    * "rebalance to the smallest stratum" rule). Exact integer totals;
+    * one low-cardinality agg. */
+  val sp03 = QueryDef.sql("sp03_mixture_weights",
+    """WITH lt AS (
+      |  SELECT lang, CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY lang),
+      |mn AS (SELECT MIN(tokens) AS m FROM lt),
+      |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM lt)
+      |SELECT lang, tokens,
+      |  (tokens * 1e0) / tot.t AS share,
+      |  (mn.m * 1e0) / tokens AS resample_weight,
+      |  mn.m AS target_tokens
+      |FROM lt, mn, tot
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    val lt = T.documents(s, d)
+      .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+      .groupBy("lang").agg(sum("ntok").as("tokens"))
+    val mn = lt.agg(min("tokens").as("m"))
+    val tot = lt.agg(sum("tokens").as("t"))
+    lt.crossJoin(broadcast(mn)).crossJoin(broadcast(tot))
+      .select(col("lang"), col("tokens"),
+        (col("tokens") * lit(1.0) / col("t")).as("share"),
+        (col("m") * lit(1.0) / col("tokens")).as("resample_weight"),
+        col("m").as("target_tokens"))
+      .orderBy("lang")
+  }
+
+  /** dd08 — survivor selection: per duplicate cluster (dd05's connected
+    * components), keep the highest-quality member (ties to the lowest
+    * doc_id). The per-cluster window is partitioned by cluster_id —
+    * cluster sizes are small by construction, so this scales. Reuses
+    * the memoized cluster labels (Dedup.dupClusters). */
+  val dd08 = QueryDef.sql("dd08_survivor_selection",
+    s"""WITH clusters AS (SELECT * FROM (
+       |${Dedup.dd05.oracle.get}
+       |) z),
+       |$qualityCte,
+       |m AS (SELECT c.cluster_id, c.doc_id, q.quality,
+       |        ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |                           ORDER BY q.quality DESC, c.doc_id) AS rk
+       |      FROM clusters c JOIN q ON q.doc_id = c.doc_id),
+       |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM clusters GROUP BY cluster_id)
+       |SELECT m.cluster_id, m.doc_id AS survivor_id, m.quality AS survivor_quality,
+       |  sz.n_members
+       |FROM m JOIN sz ON sz.cluster_id = m.cluster_id
+       |WHERE m.rk = 1
+       |ORDER BY m.cluster_id""".stripMargin) { (s, d) =>
+    val clusters = Dedup.dupClusters(s, d)
+    val q = qualityDf(s, d).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    val sz = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    clusters.join(q, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(sz, "cluster_id")
+      .select(col("cluster_id"), col("doc_id").as("survivor_id"),
+        col("quality").as("survivor_quality"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(ta08, ta09, sp01, sp02, sp03, dd08)
+}

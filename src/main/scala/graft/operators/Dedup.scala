@@ -247,7 +247,19 @@ object Dedup {
        |SELECT a AS doc_id, CAST(least(a, MIN(b)) AS BIGINT) AS cluster_id
        |FROM reach
        |GROUP BY a
-       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |ORDER BY doc_id""".stripMargin) { (s, d) => dupClusters(s, d) }
+
+  /** dd05's fixpoint, memoized per (application, dir): dd08's survivor
+    * selection starts from the same cluster labels, and the propagation
+    * loop is the expensive part. */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def dupClusters(s: SparkSession, d: String): DataFrame =
+    clusterCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d",
+      dupClustersUncached(s, d).cache())
+
+  private def dupClustersUncached(s: SparkSession, d: String): DataFrame = {
     val pairs = jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
       .select(col("da"), col("db"))
     val edges = pairs

@@ -44,7 +44,8 @@ class QuerySurfaceSpec extends AnyFunSuite {
   test("query names are unique and oracles reference only real tables") {
     val names = operators.Relational.defs ++ operators.Windows.defs ++
       operators.Grouping.defs ++ operators.Scalars.defs ++
-      operators.TextAnalysis.defs ++ operators.Dedup.defs ++
+      operators.TextAnalysis.defs ++ operators.Curation.defs ++
+      operators.Dedup.defs ++
       operators.Similarity.defs ++ operators.MlQueries.defs ++
       operators.Advanced.defs ++ operators.Extras.defs ++
       operators.Storage.defs ++ operators.Reshape.defs ++
