@@ -261,5 +261,127 @@ object Curation {
       .orderBy("cluster_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(ta08, ta09, sp01, sp02, sp03, dd08)
+  /** dd09 — benchmark decontamination: which training documents share a
+    * LONG n-gram (8 tokens — the 8-13-gram overlap rule benchmark
+    * decontamination actually uses; long grams make chance collisions
+    * negligible) with a pinned evaluation subset (md5 bucket ≥ 95, ~5%).
+    * Grams are 60-bit md5 fingerprints, so the overlap join moves
+    * 8-byte keys and the identical hash runs in the oracle (collisions
+    * shared). At 100 TB the eval side is a benchmark — tiny — so the
+    * join broadcasts; the train side streams through map-side. Output:
+    * contaminated train doc, distinct shared grams, distinct eval docs
+    * hit. */
+  val dd09 = QueryDef.sql("dd09_benchmark_decontamination",
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+      |              WHERE len(string_split(text,' ')) >= 8),
+      |g AS (SELECT DISTINCT doc_id,
+      |        CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM (
+      |  SELECT doc_id, UNNEST(list_transform(range(1, len(t)-6),
+      |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7])) AS s
+      |  FROM toks) u),
+      |bkt AS (SELECT doc_id,
+      |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 100 AS b
+      |        FROM documents),
+      |ev AS (SELECT g.doc_id, g.h FROM g JOIN bkt USING(doc_id) WHERE bkt.b >= 95),
+      |tr AS (SELECT g.doc_id, g.h FROM g JOIN bkt USING(doc_id) WHERE bkt.b < 95)
+      |SELECT tr.doc_id AS train_doc,
+      |  COUNT(DISTINCT tr.h) AS n_shared_grams,
+      |  COUNT(DISTINCT ev.doc_id) AS n_eval_docs
+      |FROM tr JOIN ev ON tr.h = ev.h
+      |GROUP BY tr.doc_id
+      |ORDER BY n_shared_grams DESC, train_doc""".stripMargin) { (s, d) =>
+    val g = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-8), i -> " +
+          "concat(t[i],' ',t[i+1],' ',t[i+2],' ',t[i+3],' ',t[i+4],' ',t[i+5],' ',t[i+6],' ',t[i+7]))")).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val bkt = T.documents(s, d).select(col("doc_id"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 100).as("b"))
+    val withB = g.join(bkt, "doc_id")
+    val ev = withB.filter(col("b") >= 95)
+      .select(col("doc_id").as("eval_doc"), col("h"))
+    val tr = withB.filter(col("b") < 95).select(col("doc_id"), col("h"))
+    tr.join(broadcast(ev), "h")
+      .groupBy(col("doc_id").as("train_doc"))
+      .agg(countDistinct("h").as("n_shared_grams"),
+        countDistinct("eval_doc").as("n_eval_docs"))
+      .orderBy(col("n_shared_grams").desc, col("train_doc"))
+  }
+
+  /** ta10 — ranked retrieval: BM25-shaped scoring of every document for
+    * a fixed query-term set (k1=1.2, b=0.75), top-50. The idf factor is
+    * the RATIONAL surrogate (N−df+0.5)/(df+0.5) rather than its ln —
+    * same ranking direction, but ln's last-ulp varies across libm
+    * implementations and would break cross-engine hash parity (tf04
+    * precedent). One tf aggregate, a 3-row df/doc-length broadcast, one
+    * top-k — the shape of a distributed first-stage retriever. */
+  val ta10 = QueryDef.sql("ta10_bm25_retrieval",
+    """WITH qt AS (SELECT UNNEST(['spark', 'join', 'sort']) AS term),
+      |tok AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS term FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl FROM documents),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |            (SELECT (SUM(dl) * 1e0) / COUNT(*) FROM dl) AS avgdl
+      |          FROM documents),
+      |tf AS (SELECT tok.doc_id, tok.term, COUNT(*) AS tf
+      |       FROM tok JOIN qt ON qt.term = tok.term GROUP BY tok.doc_id, tok.term),
+      |dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term),
+      |persc AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ((stats.n - dfr.df + 0.5e0) / (dfr.df + 0.5e0))
+      |      * (tf.tf * 1e0)
+      |      / (tf.tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * (dl.dl / stats.avgdl))) AS sc
+      |  FROM tf JOIN dfr ON dfr.term = tf.term
+      |          JOIN dl ON dl.doc_id = tf.doc_id
+      |          CROSS JOIN stats),
+      |scored AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN term = 'join' THEN sc END) AS s_join,
+      |    MAX(CASE WHEN term = 'sort' THEN sc END) AS s_sort,
+      |    MAX(CASE WHEN term = 'spark' THEN sc END) AS s_spark
+      |  FROM persc GROUP BY doc_id)
+      |SELECT doc_id,
+      |  COALESCE(s_join, 0e0) + COALESCE(s_sort, 0e0) + COALESCE(s_spark, 0e0) AS score
+      |FROM scored
+      |ORDER BY score DESC, doc_id
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val qt = Seq("spark", "join", "sort")
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(qt: _*))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg((sum("dl") * lit(1.0) / count(lit(1))).as("avgdl")))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    // per-(doc, term) score is a single row, so the per-term pivot MAX
+    // is exact and the 3-term total adds in ONE fixed expression order —
+    // a floating SUM over an engine-chosen row order would differ in
+    // the last ulp between engines
+    val sc = ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * lit(1.0)) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+        lit(0.75) * (col("dl") / col("avgdl"))))
+    tf.join(broadcast(dfr), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), sc.as("sc"))
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("term") === "join", col("sc"))).as("s_join"),
+        max(when(col("term") === "sort", col("sc"))).as("s_sort"),
+        max(when(col("term") === "spark", col("sc"))).as("s_spark"))
+      .select(col("doc_id"),
+        (coalesce(col("s_join"), lit(0.0)) + coalesce(col("s_sort"), lit(0.0)) +
+          coalesce(col("s_spark"), lit(0.0))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val defs: Seq[QueryDef] = Seq(ta08, ta09, ta10, sp01, sp02, sp03, dd08, dd09)
 }
