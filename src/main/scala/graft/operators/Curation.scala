@@ -267,30 +267,34 @@ object Curation {
     * negligible) with a pinned evaluation subset (md5 bucket ≥ 95, ~5%).
     * Grams are 60-bit md5 fingerprints, so the overlap join moves
     * 8-byte keys and the identical hash runs in the oracle (collisions
-    * shared). At 100 TB the eval side is a benchmark — tiny — so the
-    * join broadcasts; the train side streams through map-side. Output:
-    * contaminated train doc, distinct shared grams, distinct eval docs
-    * hit. */
+    * shared).
+    *
+    * Scale shape — the asymmetry IS the design: the eval side is a
+    * benchmark (tiny at 100 TB), so its gram set builds first and
+    * BROADCASTS; the train side's grams stream through a map-side
+    * broadcast join with NO corpus-wide shuffle — no global distinct,
+    * no exchange keyed on gram. The only shuffle is the final per-doc
+    * aggregate over matches (≈ contaminated rows only). The distinct
+    * counts dedup inside the aggregate. */
   val dd09 = QueryDef.sql("dd09_benchmark_decontamination",
-    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
-      |              WHERE len(string_split(text,' ')) >= 8),
-      |g AS (SELECT DISTINCT doc_id,
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text,' ') AS t,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 100 AS b
+      |  FROM documents WHERE len(string_split(text,' ')) >= 8),
+      |g AS (SELECT doc_id, b,
       |        CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM (
-      |  SELECT doc_id, UNNEST(list_transform(range(1, len(t)-6),
+      |  SELECT doc_id, b, UNNEST(list_transform(range(1, len(t)-6),
       |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7])) AS s
-      |  FROM toks) u),
-      |bkt AS (SELECT doc_id,
-      |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 100 AS b
-      |        FROM documents),
-      |ev AS (SELECT g.doc_id, g.h FROM g JOIN bkt USING(doc_id) WHERE bkt.b >= 95),
-      |tr AS (SELECT g.doc_id, g.h FROM g JOIN bkt USING(doc_id) WHERE bkt.b < 95)
+      |  FROM docs) u),
+      |ev AS (SELECT doc_id AS eval_doc, h FROM g WHERE b >= 95),
+      |tr AS (SELECT doc_id, h FROM g WHERE b < 95)
       |SELECT tr.doc_id AS train_doc,
       |  COUNT(DISTINCT tr.h) AS n_shared_grams,
-      |  COUNT(DISTINCT ev.doc_id) AS n_eval_docs
+      |  COUNT(DISTINCT ev.eval_doc) AS n_eval_docs
       |FROM tr JOIN ev ON tr.h = ev.h
       |GROUP BY tr.doc_id
       |ORDER BY n_shared_grams DESC, train_doc""".stripMargin) { (s, d) =>
-    val g = T.documents(s, d)
+    def grams(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 8)
       .select(col("doc_id"), explode(expr(
@@ -298,14 +302,12 @@ object Curation {
           "concat(t[i],' ',t[i+1],' ',t[i+2],' ',t[i+3],' ',t[i+4],' ',t[i+5],' ',t[i+6],' ',t[i+7]))")).as("s"))
       .select(col("doc_id"),
         conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
-      .distinct()
-    val bkt = T.documents(s, d).select(col("doc_id"),
-      (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-        .cast("int") % 100).as("b"))
-    val withB = g.join(bkt, "doc_id")
-    val ev = withB.filter(col("b") >= 95)
-      .select(col("doc_id").as("eval_doc"), col("h"))
-    val tr = withB.filter(col("b") < 95).select(col("doc_id"), col("h"))
+    val withB = T.documents(s, d).withColumn("b",
+      conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 100)
+    val ev = grams(withB.filter(col("b") >= 95))
+      .withColumnRenamed("doc_id", "eval_doc")
+    val tr = grams(withB.filter(col("b") < 95))
     tr.join(broadcast(ev), "h")
       .groupBy(col("doc_id").as("train_doc"))
       .agg(countDistinct("h").as("n_shared_grams"),

@@ -412,5 +412,48 @@ object Streams {
       .orderBy("window_start", "event_type")
   }
 
-  val defs: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06)
+  /** st07 — stream-static join: the event stream enriched against a
+    * static dimension (event_type → category/weight) then aggregated
+    * per category. The static side is re-planned and BROADCAST into
+    * every micro-batch — Spark's standard streaming-enrichment shape;
+    * at 100 TB/day the dimension lives in the metastore and the
+    * stream side never shuffles for the join (only the final
+    * aggregation keys the state store). Weighted totals go through the
+    * exact decimal sum so the batch oracle hash-matches. */
+  val st07 = QueryDef.sql("st07_stream_static_join",
+    """WITH dim(event_type, category, w) AS (
+      |  VALUES ('click', 'engagement', 1), ('view', 'engagement', 1),
+      |         ('purchase', 'revenue', 5), ('signup', 'revenue', 3),
+      |         ('error', 'ops', 0)),
+      |j AS (SELECT d.category, d.w, e.value FROM events e JOIN dim d USING(event_type))
+      |SELECT category, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value * w AS DECIMAL(18,2))) AS DOUBLE) AS weighted_value
+      |FROM j
+      |GROUP BY category
+      |ORDER BY category""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dim = Seq(
+      ("click", "engagement", 1), ("view", "engagement", 1),
+      ("purchase", "revenue", 5), ("signup", "revenue", 3),
+      ("error", "ops", 0)).toDF("event_type", "category", "w")
+    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("event_type"), col("value"))
+      .join(broadcast(dim), "event_type")
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value") * col("w")).as("weighted_value"))
+    val name = s"st07_sink_${System.nanoTime()}"
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name).orderBy("category")
+  }
+
+  val defs: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06, st07)
 }
