@@ -31,14 +31,22 @@ object Vectorize {
       .groupBy("term")
       .agg(count(lit(1)).as("cnt"))
 
-  /** T1 — frequency-ranked vocabulary, index = rank. */
-  def buildVocab(counts: DataFrame, vocabSize: Int): Array[String] =
+  /** T1 — frequency-ranked vocabulary, index = rank. Fails loudly past
+    * the broadcast cap instead of silently attempting a multi-GB driver
+    * collect — callers above the cap use [[vocabTable]] +
+    * [[countVectorsViaJoin]]. */
+  def buildVocab(counts: DataFrame, vocabSize: Int): Array[String] = {
+    require(vocabSize <= broadcastVocabCap,
+      s"vocabSize=$vocabSize exceeds the driver/broadcast ceiling " +
+        s"($broadcastVocabCap); use vocabTable + countVectorsViaJoin for " +
+        "the distributed vocabulary path")
     counts
       .orderBy(col("cnt").desc, col("term"))
       .limit(vocabSize)
       .select("term")
       .collect()
       .map(_.getString(0))
+  }
 
   /** P8 — count vectors of dim vocab.length over the tokens column.
     * CountVectorizerModel broadcasts the vocab and emits SparseVector

@@ -38,7 +38,7 @@ object Curation {
     * oracles on both). */
   private val qualityCte =
     s"""q AS (
-       |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS nt,
+       |  SELECT doc_id, lang, CAST(len(string_split(text,' ')) AS BIGINT) AS nt,
        |    0.3e0 * ((len(list_distinct(string_split(text,' '))) * 1e0)
        |             / len(string_split(text,' ')))
        |    + 0.4e0 * least((len(string_split(text,' ')) * 1e0) / 100e0, 1e0)
@@ -48,8 +48,8 @@ object Curation {
 
   private def qualityDf(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("lang"),
         size(col("t")).cast("long").as("nt"),
         (lit(0.3) * (size(array_distinct(col("t"))) * lit(1.0) / size(col("t"))) +
           lit(0.4) * least(size(col("t")) * lit(1.0) / lit(100.0), lit(1.0)) +
@@ -385,5 +385,28 @@ object Curation {
       .limit(50)
   }
 
-  val defs: Seq[QueryDef] = Seq(ta08, ta09, ta10, sp01, sp02, sp03, dd08, dd09)
+  /** sp04 — per-stratum top-k: the k best documents per language by
+    * quality, via the native TopKIds aggregate (TypedImperativeAggregate
+    * — map-side partial top-k, at most k candidates per stratum enter
+    * the shuffle) instead of a per-stratum window sort. The selection
+    * step a curation pipeline runs when each stratum keeps a fixed doc
+    * count rather than a token budget (sp01's dual). */
+  val sp04 = QueryDef.sql("sp04_per_stratum_topk",
+    s"""WITH $qualityCte
+       |SELECT lang,
+       |  array_to_string((list(doc_id ORDER BY quality DESC, doc_id))[1:5], ',') AS top_docs
+       |FROM q
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin) { (s, d) =>
+    graft.functions.TopKIds.register(s)
+    qualityDf(s, d)
+      .groupBy("lang")
+      .agg(array_join(
+        expr("top_k_ids(quality, doc_id, 5)").cast("array<string>"), ",")
+        .as("top_docs"))
+      .orderBy("lang")
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(ta08, ta09, ta10, sp01, sp02, sp03, sp04, dd08, dd09)
 }
