@@ -98,6 +98,36 @@ object Scalars {
       .orderBy("k")
   }
 
+  /** q61 — Spark 4 VariantType: props parsed once into a variant value
+    * (the open-schema binary JSON encoding that replaces
+    * string-re-parsing per access), typed field extraction via
+    * variant_get, and a typeof audit. At 100 TB semi-structured
+    * columns, variant is the difference between one parse at ingest
+    * and a JSON parse per expression per row. DuckDB side reads the
+    * same fields with its native JSON functions. */
+  val q61 = QueryDef.sql("q61_variant_json",
+    """SELECT event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      |  CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+      |  CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+      |  COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER)) AS distinct_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val v = T.events(s, d)
+      .select(col("event_type"), parse_json(col("props")).as("pv"))
+      .select(col("event_type"),
+        variant_get(col("pv"), "$.k", "int").as("k"))
+    v.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").cast("long")).as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        countDistinct("k").as("distinct_k"))
+      .orderBy("event_type")
+  }
+
   /** q26 — math functions: histogram of price magnitude. */
   val q26 = QueryDef.sql("q26_math_histogram",
     """SELECT CAST(floor(o_totalprice / 50000e0) AS BIGINT) AS bucket,
@@ -169,5 +199,5 @@ object Scalars {
       .orderBy("o_orderstatus")
   }
 
-  val defs: Seq[QueryDef] = Seq(q22, q23, q24, q25, q26, q27, q28, q29)
+  val defs: Seq[QueryDef] = Seq(q22, q23, q24, q25, q26, q27, q28, q29, q61)
 }

@@ -513,5 +513,113 @@ object Streams {
       .orderBy("view_id", "purchase_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06, st07, st08)
+  /** st09 — foreachBatch sink: the production escape hatch for sinks
+    * Structured Streaming lacks natively (JDBC, multi-table, merge).
+    * Each micro-batch of the staged 3-file replay is appended as
+    * parquet by the callback; the landed table re-read and aggregated
+    * must equal the batch aggregate — exactly-once here because the
+    * file replay is deterministic and each batch lands once (a real
+    * deployment makes the write idempotent on batchId). */
+  val st09 = QueryDef.sql("st09_foreach_batch_sink",
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val inDir = stageLateReplay(s, d)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_st09").toString
+    val schema = s.read.parquet(inDir).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.read.parquet(outDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  /** Spark 4 transformWithState processor: st03's O(1)-per-user
+    * sessionization on the NEW arbitrary-state API (typed ValueState on
+    * the RocksDB state store — the API that replaces
+    * mapGroupsWithState: composable state variables, timers, TTL). */
+  class SessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserSessions] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("sess",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserSessions] = {
+      val gapMicros = 30L * 60 * 1000 * 1000
+      val batch = rows.map(_.tsMicros).toArray
+      java.util.Arrays.sort(batch)
+      var cur = if (st.exists()) st.get() else SessionState(Long.MinValue, 0L, 0L)
+      var i = 0
+      while (i < batch.length) {
+        val t = batch(i)
+        val newSession = cur.nEvents == 0L || t - cur.lastTs > gapMicros
+        cur = SessionState(
+          lastTs = math.max(cur.lastTs, t),
+          nSessions = cur.nSessions + (if (newSession) 1L else 0L),
+          nEvents = cur.nEvents + 1L)
+        i += 1
+      }
+      st.update(cur)
+      Iterator.single(UserSessions(uid, cur.nSessions, cur.nEvents))
+    }
+  }
+
+  /** st10 — the same sessionization as st03, on transformWithState
+    * (Spark 4's arbitrary-state successor to mapGroupsWithState) over
+    * the RocksDB state store the API requires. Held to st02's oracle:
+    * three implementations (declarative window, mapGroupsWithState,
+    * transformWithState) must agree bit-for-bit. */
+  val st10 = QueryDef.sql("st10_transform_with_state", st02.oracle.get) { (s, d) =>
+    import s.implicits._
+    assertSingleReplayFile(d)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .select(col("user_id"), expr("ts div 1000").as("tsMicros"))
+        .as[Ev]
+      val sessions = stream
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val name = s"st10_sink_${System.nanoTime()}"
+      val q = sessions.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name)
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("n_sessions"))).as("st"))
+        .select(col("user_id"), col("st.n_sessions").as("n_sessions"),
+          col("st.n_events").as("n_events"))
+        .orderBy("user_id")
+    } finally prev match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10)
 }
