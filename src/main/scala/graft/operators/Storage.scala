@@ -296,6 +296,58 @@ object Storage {
       .orderBy("c_mktsegment")
   }
 
+  /** q62 — XML sink + source round-trip (Spark 4's native XML data
+    * source, the spark-xml lineage folded into spark-sql): nation
+    * written as row-tagged XML, re-read with an explicit schema, and
+    * aggregated — a hash match against the parquet-side oracle proves
+    * the XML writer/reader round-trips types and escaping losslessly.
+    * Same contract as the CSV/ORC/JSON round-trips (q48/q53/q59). */
+  val q62 = QueryDef.sql("q62_xml_roundtrip",
+    """SELECT n_regionkey, COUNT(*) AS n, min(n_name) AS first_name,
+      |  max(n_name) AS last_name
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+    val tmp = scratchDir("graft_xml", d)
+    val nat = T.nation(s, d)
+    nat.write.mode("overwrite")
+      .option("rootTag", "nations").option("rowTag", "nation")
+      .format("xml").save(tmp)
+    s.read.schema(nat.schema).option("rowTag", "nation").format("xml").load(tmp)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), min("n_name").as("first_name"),
+        max("n_name").as("last_name"))
+      .orderBy("n_regionkey")
+  }
+
+  /** q63 — native recursive CTE (WITH RECURSIVE, new in Spark 4):
+    * a 12-step compound-growth projection of each segment's balance
+    * total — iterative computation expressed declaratively, the class
+    * of query that previously needed a driver-side loop (cf. dd05's
+    * hand-rolled label propagation; a cyclic transitive closure still
+    * needs the loop — Spark 4.1 recursion supports UNION ALL only, and
+    * cycle termination needs UNION distinct). The multiply chain is
+    * sequential by construction, so the doubles match bit-for-bit
+    * across engines. */
+  val q63 = QueryDef.sql("q63_recursive_cte",
+    """WITH RECURSIVE proj(seg, month, val) AS (
+      |  SELECT c_mktsegment, 0, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |  FROM customer GROUP BY c_mktsegment
+      |  UNION ALL
+      |  SELECT seg, month + 1, val * 1.05e0 FROM proj WHERE month < 12)
+      |SELECT seg, month, val FROM proj ORDER BY seg, month""".stripMargin) { (s, d) =>
+    val view = s"customer_q63_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    T.customer(s, d).createOrReplaceTempView(view)
+    try s.sql(
+      s"""WITH RECURSIVE proj(seg, month, val) AS (
+         |  SELECT c_mktsegment, 0, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         |  FROM $view GROUP BY c_mktsegment
+         |  UNION ALL
+         |  SELECT seg, month + 1, val * 1.05e0 FROM proj WHERE month < 12)
+         |SELECT seg, month, val FROM proj ORDER BY seg, month""".stripMargin)
+    finally s.catalog.dropTempView(view)
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(q38, q39, q40, q41, q42, q48, q49, q53, q54, q56, q59)
+    Seq(q38, q39, q40, q41, q42, q48, q49, q53, q54, q56, q59, q62, q63)
 }
