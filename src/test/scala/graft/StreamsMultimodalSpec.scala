@@ -28,6 +28,18 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(stateful == declarative)
   }
 
+  test("st10: transformWithState agrees with st02 and st03 (tri-equivalence)") {
+    val tws = streaming.Streams.st10.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val declarative = streaming.Streams.st02.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val mgws = streaming.Streams.stateful(spark, sf)
+      .select("user_id", "n_sessions", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tws == declarative && tws == mgws,
+      "window-island, mapGroupsWithState, and transformWithState must agree")
+  }
+
   test("st04: per-session rows are consistent with st02's per-user rollup") {
     val sessions = streaming.Streams.sessionDetails(spark, sf)
       .groupBy("user_id")
