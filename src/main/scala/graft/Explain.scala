@@ -13,7 +13,12 @@ object Explain {
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q01_pricing_summary", "q03_revenue_by_customer",
         "q05_local_supplier_revenue", "q19_cohort_symmetric_diff",
-        "dd02_ngram_jaccard", "ss01_cosine_topk")
+        "dd02_ngram_jaccard", "ss01_cosine_topk",
+        // round-3 surface: banded LSH, window-free cumsum, pruned
+        // sampling, broadcast-asymmetric decontamination, variant
+        "dd07_embedding_neardup", "sp01_token_budget",
+        "sp02_stratified_sample", "dd09_benchmark_decontamination",
+        "q61_variant_json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

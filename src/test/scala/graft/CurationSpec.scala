@@ -72,6 +72,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("ta08: repetition ratios are well-formed") {
+    run("ta08_repetition_profile").collect().foreach { r =>
+      val nGrams = r.getAs[Long]("n_grams")
+      val nDistinct = r.getAs[Long]("n_distinct")
+      val maxRep = r.getAs[Long]("max_rep")
+      assert(nGrams >= nDistinct && nDistinct >= 1)
+      assert(maxRep >= 1 && maxRep <= nGrams - nDistinct + 1)
+      val top = r.getAs[Double]("top_gram_ratio")
+      assert(top > 0 && top <= 1.0)
+      assert(r.getAs[Boolean]("is_repetitive") == (top > 0.05))
+    }
+  }
+
+  test("ta09: keep equals the conjunction of its rules") {
+    run("ta09_quality_rules").collect().foreach { r =>
+      val expected = r.getAs[Boolean]("wc_ok") && r.getAs[Boolean]("wlen_ok") &&
+        r.getAs[Boolean]("stop_ok") && r.getAs[Boolean]("rep_ok")
+      assert(r.getAs[Boolean]("keep") == expected)
+    }
+  }
+
   test("ta10: scores are positive and ranked non-increasing") {
     val rows = run("ta10_bm25_retrieval").collect()
     assert(rows.nonEmpty && rows.length <= 50)

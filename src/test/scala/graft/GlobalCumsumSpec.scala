@@ -31,4 +31,19 @@ class GlobalCumsumSpec extends AnyFunSuite {
     val total = base.agg(sum("x")).head().getLong(0)
     assert(last == total)
   }
+
+  test("degenerate inputs: empty and single-row frames") {
+    import spark.implicits._
+    val empty = Seq.empty[(Int, Long, Long)].toDF("v", "id", "x")
+    assert(GlobalCumsum.withRunningSum(empty, Seq(col("v")), "x", "cum")
+      .count() == 0)
+    assert(GlobalIndex.withGlobalIndex(empty, Seq(col("v")), "idx")
+      .count() == 0)
+    val one = Seq((1, 1L, 7L)).toDF("v", "id", "x")
+    val c = GlobalCumsum.withRunningSum(one, Seq(col("v")), "x", "cum")
+      .head()
+    assert(c.getLong(3) == 7L)
+    val i = GlobalIndex.withGlobalIndex(one, Seq(col("v")), "idx").head()
+    assert(i.getLong(3) == 0L)
+  }
 }
