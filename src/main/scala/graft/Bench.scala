@@ -55,10 +55,13 @@ object Bench {
     // the round-1 driver failed to tail-parse stdout (sbt appends
     // "[success] ..." after our line).
     spark.stop()
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // never let a filtered iteration run overwrite the checked-in
+    // full-surface artifact (BENCH_LOCAL.json is the claims record)
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
     println(s"BENCH_JSON: $line")
     println(line)
   }

@@ -35,6 +35,14 @@ object GlobalCumsum {
       var acc = offsets(pid)
       it.map { r => acc += r.getLong(idx); Row.fromSeq(r.toSeq :+ acc) }
     }
-    df.sparkSession.createDataFrame(rdd, out)
+    // materialize the result BEFORE releasing the pinned sort: the
+    // offsets are only valid against rdd0's exact partitioning, so the
+    // result must never recompute through an unpersisted (re-sampled)
+    // range sort; the checkpoint also keeps repeated calls from
+    // accumulating persisted copies of the sorted input for the rest
+    // of the session
+    val result = df.sparkSession.createDataFrame(rdd, out).localCheckpoint(true)
+    rdd0.unpersist(false)
+    result
   }
 }

@@ -133,10 +133,16 @@ object TopKIds {
         s"top_k_ids(value, id, k) requires exactly 3 arguments, got ${exprs.length}")
     val k = exprs(2) match {
       case e if e.foldable =>
+        // integral types only: a Double/Decimal literal silently
+        // truncating via intValue() (2.9 -> 2), or a Long wrapping past
+        // Int.MaxValue, would be a wrong k instead of a clean error
         e.eval() match {
-          case n: java.lang.Number => n.intValue()
+          case n: java.lang.Integer => n.intValue()
+          case n: java.lang.Short => n.intValue()
+          case n: java.lang.Byte => n.intValue()
+          case n: java.lang.Long if n.longValue() == n.intValue() => n.intValue()
           case other => throw new IllegalArgumentException(
-            s"top_k_ids k must be a literal integer, got $other")
+            s"top_k_ids k must be an integer literal within Int range, got $other")
         }
       case _ => throw new IllegalArgumentException(
         "top_k_ids k must be a foldable literal integer")

@@ -150,6 +150,13 @@ object MlQueries {
       |  TRUE AS ll_within_bound""".stripMargin) { (s, d) =>
     import s.implicits._
     val fitted = ldaFit(s, d)
+    // the oracle counts ALL distinct terms; the fitted vocab is capped
+    // at Params.vocabSize — if a corpus ever reaches the cap the two
+    // silently diverge, so fail loudly here instead of a red oracle row
+    // that would read as an LDA bug (same contract as ml05)
+    require(fitted.vocab.length < LdaPipeline.Params().vocabSize,
+      s"vocab hit the ${LdaPipeline.Params().vocabSize} cap; ml03's " +
+        "uncapped-count oracle no longer matches the fitted pipeline")
     val corpusSize = fitted.corpus.count()
     val activeTerms = Vectorize.activeTermCount(fitted.corpus)
     val ll = fitted.model.logLikelihood(fitted.corpus)
@@ -184,6 +191,10 @@ object MlQueries {
       |       FROM documents) x) p) AS active_terms""".stripMargin) { (s, d) =>
     import s.implicits._
     val fitted = ldaFit(s, d)
+    // see ml03: the uncapped-count oracle requires the cap untouched
+    require(fitted.vocab.length < LdaPipeline.Params().vocabSize,
+      s"vocab hit the ${LdaPipeline.Params().vocabSize} cap; ml05's " +
+        "uncapped-count oracle no longer matches the fitted pipeline")
     val corpusSize = fitted.corpus.count()
     val activeTerms = Vectorize.activeTermCount(fitted.corpus)
     Seq((corpusSize, fitted.vocab.length.toLong, activeTerms))

@@ -293,15 +293,16 @@ object Similarity {
     * recall against the exact baseline ss01 — is deterministic. The
     * oracle-compared columns are the exact query count (pure SQL) plus
     * booleans any healthy IVF run satisfies: every query returned a full
-    * top-3 (each of the 8 cells holds ≫3 vectors) and recall vs the
-    * exact top-5 clears a floor well below the measured value — a
+    * top-3 (each of the 8 cells holds ≫3 vectors) and PRECISION@3 vs
+    * the exact top-5 (hits/returned — the same metric ss03 reports for
+    * the LSH path) clears a floor well below the measured value — a
     * degenerate quantizer (all points one cell → returned-count breaks
-    * elsewhere; random cells → recall collapses) flips a boolean. */
+    * elsewhere; random cells → precision collapses) flips a boolean. */
   val ss07 = QueryDef.sql("ss07_ivf_recall",
     """SELECT
       |  (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS n_queries,
       |  TRUE AS full_topk_returned,
-      |  TRUE AS recall_floor_ok""".stripMargin) { (s, d) =>
+      |  TRUE AS precision_floor_ok""".stripMargin) { (s, d) =>
     import s.implicits._
     val exact = ss01.fn(s, d).select(col("qid"), col("nid"))
       .withColumn("in_exact", lit(1))
@@ -314,10 +315,10 @@ object Similarity {
       count(lit(1)).as("nq"),
       min("returned").as("minr"),
       max("returned").as("maxr"),
-      (sum("hits") * lit(1.0) / sum("returned")).as("recall")).head()
+      (sum("hits") * lit(1.0) / sum("returned")).as("precision")).head()
     Seq((row.getLong(0), row.getLong(1) == 3L && row.getLong(2) == 3L,
       row.getDouble(3) >= 0.15))
-      .toDF("n_queries", "full_topk_returned", "recall_floor_ok")
+      .toDF("n_queries", "full_topk_returned", "precision_floor_ok")
   }
 
   /** 16-plane sign signature for dd07 (bit p = sign of plane-p dot). */

@@ -114,9 +114,9 @@ object Streams {
       else if (f.isFile) 1
       else 0
     require(n == 1,
-      s"stateful sessionization requires a single events.parquet replay file " +
+      s"this operator's oracle requires a single events.parquet replay file " +
         s"(single micro-batch); found $n under $d — " +
-        "handle cross-batch event-time order before lifting this")
+        "handle cross-batch event-time order/eviction before lifting this")
   }
 
   def stateful(s: SparkSession, d: String): DataFrame = {
@@ -312,8 +312,14 @@ object Streams {
 
   private[graft] def stageLateReplay(s: SparkSession, d: String): String =
     stageCache.getOrElseUpdate(d, {
+      // the staging key includes the source fixture's (size, mtime): a
+      // regenerated events.parquet must invalidate the staged replay,
+      // or the stream would run against stale data while the oracle
+      // reads the fresh table
+      val src = new java.io.File(s"$d/events.parquet")
+      val fingerprint = s"${src.length()}_${src.lastModified()}"
       val dir = new java.io.File(
-        "/tmp/graft_st06_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        "/tmp/graft_st06_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" + fingerprint)
       val in = new java.io.File(dir, "in")
       val done = new java.io.File(dir, "_DONE")
       if (!done.exists()) {
@@ -329,7 +335,11 @@ object Streams {
           val dst = new java.io.File(in, target)
           java.nio.file.Files.copy(src.toPath, dst.toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          dst.setLastModified(mtime)
+          // the entire A→B→C replay order (hence every watermark value
+          // in the oracle) rides on these mtimes — fail loudly if the
+          // filesystem refuses them rather than replaying in luck-order
+          require(dst.setLastModified(mtime),
+            s"cannot set mtime on $dst; staged replay order would be undefined")
         }
         val t0 = 1600000000000L // fixed epoch ms: replay order, not wall time
         writeOne(raw.filter(col("us") <= cutoff && col("event_id") % 10 =!= 0),
@@ -461,9 +471,11 @@ object Streams {
     * watermark + range bound is what lets Spark EVICT join state (a
     * view older than watermark − 30 min can never match again) — the
     * property that makes a stream-stream join runnable forever at
-    * 100 TB/day instead of buffering both streams unboundedly. Inner
-    * join emission is batching-independent, so the bounded replay is
-    * held to the batch self-join oracle. */
+    * 100 TB/day instead of buffering both streams unboundedly. With
+    * watermarks, inner-join emission IS batching-dependent (eviction
+    * can drop a row before a later batch's match arrives), so the
+    * batch self-join oracle relies on the single-file single-batch
+    * replay — asserted below, like st03/st04/st10. */
   val st08 = QueryDef.sql("st08_stream_stream_join",
     """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
       |  CAST(v.ts AS TIMESTAMP) AS view_ts, CAST(p.ts AS TIMESTAMP) AS purchase_ts
@@ -473,6 +485,7 @@ object Streams {
       | AND CAST(p.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
       | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
       |ORDER BY view_id, purchase_id""".stripMargin) { (s, d) =>
+    assertSingleReplayFile(d)
     val batchSchema = s.read.parquet(s"$d/events.parquet").schema
     def src() = s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet").parquet(d)

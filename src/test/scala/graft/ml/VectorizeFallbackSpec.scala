@@ -14,7 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class VectorizeFallbackSpec extends AnyFunSuite {
   import TestSpark._
 
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = TestSpark.sf
 
   test("countVectorsViaJoin equals broadcast countVectors (full vocab)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
