@@ -32,7 +32,20 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
-    val results = selected.map { case (name, fn) =>
+    // Load-robustness: the shared box can land a 100-row projection at
+    // 20 s (r2/r3 driver artifacts ran ~1.5× the clean protocol). Each
+    // query's reported number is the MIN over up to `reps` runs — min is
+    // the right location statistic for load noise, which is strictly
+    // additive. Repeats are bounded two ways so suite wall-time stays
+    // ~O(one pass): only queries whose first run is under
+    // `repeatThreshold` repeat (the heavy fits/trainings run once), and
+    // repeats stop globally once `repeatBudget` seconds of extra work
+    // have been spent. The headline "value" stays the SUM OF FIRST RUNS
+    // — the true cost of one cold pass over the suite (shared cached
+    // builds attributed to the first query of their family, as in prior
+    // rounds) — so totals remain comparable across rounds; per-query
+    // entries carry the de-noised numbers the plan audit should read.
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop write materializes every output row (projections, sorts,
       // UDFs) without side effects; a bare count() would let Catalyst
@@ -40,16 +53,34 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        failures ::= name
+        if (!failures.contains(name)) failures ::= name
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val repeatThreshold = 10.0 // sec: heavier queries run once
+    val repeatBudget = 240.0   // sec: global cap on extra-run time
+    var repeatSpent = 0.0
+    val results = selected.map { case (name, fn) =>
+      val first = once(name, fn)
+      var best = first
+      if (!failures.contains(name)) {
+        var r = 1
+        while (r < reps && first < repeatThreshold && repeatSpent < repeatBudget) {
+          val t = once(name, fn)
+          repeatSpent += t
+          if (t < best) best = t
+          r += 1
+        }
+      }
+      (name, first, best)
+    }
+    val qs = results.map { case (k, _, b) => s"\"" + k + "\":" + b }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$fails}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$fails,"protocol":"queries=min of up to $reps runs (repeats only when first<${repeatThreshold}s, global extra budget ${repeatBudget}s); value=sum of first runs"}"""
     // Stop Spark BEFORE printing so no executor/shutdown logging can
     // interleave with (or follow) the metric line; also persist a copy —
     // the round-1 driver failed to tail-parse stdout (sbt appends

@@ -322,27 +322,28 @@ object Dedup {
     * whose content effectively leaks from train. This is the data-
     * hygiene check an LLM training pipeline runs before eval: at 100 TB
     * it reuses the same bucketed candidate generation as dd02 (never
-    * all-pairs), plus two broadcast joins against the tiny split map. */
+    * all-pairs). The split bucket is a PURE FUNCTION of doc_id, so it is
+    * computed inline on the pair table — zero joins, zero broadcast (a
+    * doc→bucket map built from all documents would be |corpus| rows, a
+    * multi-GB broadcast at 100 TB; dd09 uses the same inline shape). */
   val dd06 = QueryDef.sql("dd06_split_contamination",
     s"""WITH $jaccardCte,
-       |bkt AS (SELECT doc_id,
-       |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 100 AS b
-       |        FROM documents)
+       |jb AS (SELECT da, db, jaccard,
+       |         CAST(('0x' || substr(md5(CAST(da AS VARCHAR)), 1, 2)) AS INTEGER) % 100 AS ba,
+       |         CAST(('0x' || substr(md5(CAST(db AS VARCHAR)), 1, 2)) AS INTEGER) % 100 AS bb
+       |       FROM jac WHERE jaccard >= 0.5e0)
        |SELECT
-       |  CASE WHEN ba.b >= 80 THEN j.da ELSE j.db END AS test_doc,
-       |  CASE WHEN ba.b >= 80 THEN j.db ELSE j.da END AS train_doc,
-       |  j.jaccard
-       |FROM jac j
-       |JOIN bkt ba ON ba.doc_id = j.da
-       |JOIN bkt bb ON bb.doc_id = j.db
-       |WHERE j.jaccard >= 0.5e0 AND (ba.b >= 80) <> (bb.b >= 80)
+       |  CASE WHEN ba >= 80 THEN da ELSE db END AS test_doc,
+       |  CASE WHEN ba >= 80 THEN db ELSE da END AS train_doc,
+       |  jaccard
+       |FROM jb
+       |WHERE (ba >= 80) <> (bb >= 80)
        |ORDER BY test_doc, train_doc""".stripMargin) { (s, d) =>
-    val bkt = T.documents(s, d).select(col("doc_id"),
-      (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-        .cast("int") % 100).as("b"))
+    def bucket(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 2), 16, 10).cast("int") % 100
     jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
-      .join(broadcast(bkt.select(col("doc_id").as("da"), col("b").as("ba"))), "da")
-      .join(broadcast(bkt.select(col("doc_id").as("db"), col("b").as("bb"))), "db")
+      .withColumn("ba", bucket(col("da")))
+      .withColumn("bb", bucket(col("db")))
       .filter((col("ba") >= 80) =!= (col("bb") >= 80))
       .select(
         when(col("ba") >= 80, col("da")).otherwise(col("db")).as("test_doc"),

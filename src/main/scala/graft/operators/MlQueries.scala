@@ -107,22 +107,71 @@ object MlQueries {
         LdaPipeline.Params(k = 5, maxIterations = 15, algorithm = "online", seed = 42L))
     })
 
-  /** ml01 — A6+A8: online-LDA topics with resolved terms (rows-only:
-    * the fit is engine-defined; determinism pinned via seed). */
-  val ml01 = QueryDef.rowsOnly("ml01_lda_topics") { (s, d) =>
-    val fitted = ldaFit(s, d)
-    LdaPipeline.describeTopics(s, fitted, 10)
-      .select(col("topic"), concat_ws(" ", col("terms")).as("top_terms"))
+  /** Shared by ml01/ml04: one row per topic from a fitted model's
+    * describeTopics, in the ml03/ss07 tolerance-boolean shape. The
+    * topic ids and per-topic term count are EXACT (k and maxTerms are
+    * pipeline constants, so the oracle derives them in pure SQL); the
+    * fitted term weights are engine-defined, so what the oracle gates is
+    * their structural invariants as booleans — distinct resolved terms,
+    * weights sorted descending (describeTopics' contract), strictly
+    * positive, and summing below 1 (a topic is a probability
+    * distribution over the FULL vocabulary, so any top-10 slice sums
+    * < 1). A degenerate fit — NaN/zero weights, duplicated terms, a
+    * broken sort — flips a boolean and goes red, while healthy fits of
+    * any seed pass. */
+  private def topicsChecked(
+      s: org.apache.spark.sql.SparkSession,
+      fitted: LdaPipeline.Fitted,
+      maxTerms: Int): org.apache.spark.sql.DataFrame =
+    LdaPipeline.describeTopics(s, fitted, maxTerms)
+      .select(
+        col("topic"),
+        size(col("terms")).as("n_terms"),
+        (size(array_distinct(col("terms"))) === size(col("terms")))
+          .as("terms_distinct"),
+        (col("termWeights") === reverse(array_sort(col("termWeights"))))
+          .as("weights_descending"),
+        forall(col("termWeights"), w => w > lit(0.0)).as("weights_positive"),
+        (aggregate(col("termWeights"), lit(0.0), (acc, w) => acc + w) < lit(1.0))
+          .as("weights_sum_lt_1"))
       .orderBy("topic")
+
+  /** The oracle side of [[topicsChecked]]: k exact topic rows with the
+    * expected invariant truth values (DuckDB cannot fit an LDA — the
+    * booleans, not the weights, are the compared columns). */
+  private def topicsCheckedOracle(k: Int, maxTerms: Int): String =
+    s"""SELECT CAST(r AS INTEGER) AS topic, $maxTerms AS n_terms,
+       |  TRUE AS terms_distinct, TRUE AS weights_descending,
+       |  TRUE AS weights_positive, TRUE AS weights_sum_lt_1
+       |FROM range($k) t(r)
+       |ORDER BY topic""".stripMargin
+
+  /** ml01 — A6+A8: online-LDA topic descriptions (k=5, 10 terms),
+    * oracled via [[topicsChecked]] (determinism pinned via seed). */
+  val ml01 = QueryDef.sql("ml01_lda_topics", topicsCheckedOracle(5, 10)) {
+    (s, d) => topicsChecked(s, ldaFit(s, d), 10)
   }
 
-  /** ml02 — A9+A10+A11: per-doc main topic (last-wins argmax) histogram. */
-  val ml02 = QueryDef.rowsOnly("ml02_lda_doc_topics") { (s, d) =>
+  /** ml02 — A9+A10+A11: per-doc main topic (last-wins argmax) histogram,
+    * reduced to its oracle-checkable invariants: the histogram's total
+    * is EXACTLY the corpus size (every non-empty document is assigned
+    * one main topic — pure SQL), every assigned topic id lies in [0, k),
+    * and every histogram bucket that exists is non-empty. WHICH topic
+    * each doc lands in is engine-defined (the fit), but a broken argmax
+    * (out-of-range index) or a lost/duplicated document flips a compared
+    * column. */
+  val ml02 = QueryDef.sql("ml02_lda_doc_topics",
+    """SELECT (SELECT COUNT(*) FROM documents) AS total_docs,
+      |  TRUE AS topics_in_range,
+      |  TRUE AS counts_positive""".stripMargin) { (s, d) =>
     val fitted = ldaFit(s, d)
     LdaPipeline.assignTopics(fitted, fitted.corpus)
       .groupBy("main_topic")
       .agg(count(lit(1)).as("n_docs"))
-      .orderBy("main_topic")
+      .agg(
+        sum("n_docs").as("total_docs"),
+        (min("main_topic") >= 0 && max("main_topic") < 5).as("topics_in_range"),
+        (min("n_docs") > 0).as("counts_positive"))
   }
 
   /** ml03 — A2/A3/A7: corpus + model summary statistics, oracled with
@@ -205,16 +254,17 @@ object MlQueries {
     * iterations, auto α/β — the reference's exact training configuration
     * (`Params.scala:2-11`) on the documents corpus. Bench timing of this
     * query is the apples-to-apples number against the reference's
-    * persisted iterationTimes (≈40 s EN / ≈105 s GE). */
-  val ml04 = QueryDef.rowsOnly("ml04_lda_em_train") { (s, d) =>
-    val tokens = T.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
-    val fitted = LdaPipeline.train(s, tokens,
-      LdaPipeline.Params(k = 5, maxIterations = 50, algorithm = "em",
-        checkpointInterval = -1, seed = 42L))
-    LdaPipeline.describeTopics(s, fitted, 10)
-      .select(col("topic"), concat_ws(" ", col("terms")).as("top_terms"))
-      .orderBy("topic")
+    * persisted iterationTimes (≈40 s EN / ≈105 s GE). Oracled via
+    * [[topicsChecked]] on the EM fit (the full 50-iteration training
+    * still runs — the checked columns are derived from its result). */
+  val ml04 = QueryDef.sql("ml04_lda_em_train", topicsCheckedOracle(5, 10)) {
+    (s, d) =>
+      val tokens = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      val fitted = LdaPipeline.train(s, tokens,
+        LdaPipeline.Params(k = 5, maxIterations = 50, algorithm = "em",
+          checkpointInterval = -1, seed = 42L))
+      topicsChecked(s, fitted, 10)
   }
 
   /** tf05 — T2: per-document term ranking (the loader's per-book token

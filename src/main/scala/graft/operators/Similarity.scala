@@ -155,10 +155,30 @@ object Similarity {
     * seed) assigns each vector to a cell; queries scan only their own
     * cell. The inverted-file layout is the standard billion-scale ANN
     * design: at 100 TB the cell id is the partition key and nprobe>1
-    * adds neighboring cells. Rows-only (KMeans centroids have no SQL
-    * oracle); recall vs the exact baseline is asserted in
-    * SimilaritySpec. */
-  val ss04 = QueryDef.rowsOnly("ss04_ann_ivf") { (s, d) => ivf(s, d) }
+    * adds neighboring cells. KMeans centroids have no SQL oracle, so the
+    * query reports per-query invariants in the ml03/ss07 tolerance shape:
+    * the query ids are EXACT (pure SQL), and the booleans — full top-3
+    * returned (every cell holds ≫3 vectors), ranks exactly {1,2,3},
+    * cosines within [-1,1], self excluded — flip red on a degenerate
+    * quantizer or a broken scan. The global precision floor vs the exact
+    * baseline stays in ss07; raw neighbor rows remain available via
+    * [[ivf]] (recall asserted in StorageSimilaritySpec). */
+  val ss04 = QueryDef.sql("ss04_ann_ivf",
+    """SELECT vec_id AS qid, 3 AS n_returned, TRUE AS ranks_complete,
+      |  TRUE AS cos_in_range, TRUE AS self_excluded
+      |FROM embeddings WHERE vec_id < 10
+      |ORDER BY qid""".stripMargin) { (s, d) =>
+    ivf(s, d)
+      .groupBy("qid")
+      .agg(
+        count(lit(1)).cast("int").as("n_returned"),
+        (sort_array(collect_list(col("rank"))) === array(lit(1), lit(2), lit(3)))
+          .as("ranks_complete"),
+        (max(abs(col("cos_sim"))) <= 1.0 + 1e-9).as("cos_in_range"),
+        (sum(when(col("qid") === col("nid"), 1).otherwise(0)) === 0)
+          .as("self_excluded"))
+      .orderBy("qid")
+  }
 
   /** The coarse quantizer is fit once per (application, dir) — the IVF
     * layout is built offline and queried many times in production, and
