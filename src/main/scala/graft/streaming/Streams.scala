@@ -24,7 +24,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Streams {
 
-  /** st01 — hourly windowed aggregation, genuinely streamed. */
+  /** st01 — hourly windowed aggregation, genuinely streamed.
+    *
+    * Complete-mode + no watermark is the BATCH-PARITY demo shape: it
+    * re-emits the whole result each batch and keeps every window ever
+    * seen in state, which is exactly what you want for a bit-exact
+    * hash-match against the batch oracle at sf0.1 and exactly what you
+    * do NOT deploy at 100 TB/day. [[st01b]] is the same aggregation in
+    * its scale-safe shape (watermark + append mode, bounded state). */
   val st01 = QueryDef.sql("st01_stream_hourly",
     """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
       |  COUNT(*) AS n,
@@ -44,6 +51,49 @@ object Streams {
     val name = s"st01_sink_${System.nanoTime()}"
     val q = agg.writeStream
       .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** st01b — st01 in its production shape: the same hourly aggregation
+    * under a 10-minute watermark in APPEND mode. State is bounded —
+    * the StateStore evicts a window once the watermark passes its end,
+    * and each window is emitted exactly once — so this is the query
+    * you would actually run at 100 TB/day (state ∝ open windows ×
+    * event_type, not history). Over the single-file replay the final
+    * watermark is max(ts) − 10 min (advanced by the no-data microbatch
+    * after the file commits), so the emitted set is a deterministic
+    * function of the data and the batch oracle encodes it exactly:
+    * windows with window_end <= max(ts) − 10 min (st06 pins the same
+    * <= eviction boundary over a multi-batch replay). */
+  val st01b = QueryDef.sql("st01b_stream_hourly_wm",
+    """WITH mx AS (
+      |  SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w FROM events)
+      |SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events, mx
+      |WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR <= mx.w
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    val name = s"st01b_sink_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode("append")
       .format("memory")
       .queryName(name)
       .start()
@@ -634,5 +684,5 @@ object Streams {
   }
 
   val defs: Seq[QueryDef] =
-    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10)
+    Seq(st01, st01b, st02, st03, st04, st05, st06, st07, st08, st09, st10)
 }
