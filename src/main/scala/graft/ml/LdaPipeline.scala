@@ -137,4 +137,34 @@ object LdaPipeline {
       .head().getString(0).split(",")
     (model, vocab)
   }
+
+  /** K1/K2 promoted to FULL staged persistence: the fitted
+    * preprocessing (count vectorization over the fitted vocabulary +
+    * the TF·IDF zero-floor) and the LDA model bundled as ONE spark.ml
+    * `PipelineModel`. `save`/`load` above match the reference's
+    * model+vocab contract; this closes the gap they leave — with only
+    * model+vocab, a loader must re-wire the floor stage by hand, and a
+    * mismatch there silently shifts every inference. The bundle wraps
+    * the already-fitted stages (Pipeline.fit over Transformer-only
+    * stages fits nothing — it validates schemas and packages), so
+    * building it costs no training.
+    *
+    * The returned artifact re-transforms raw `(doc_id, tokens)` rows
+    * end-to-end: tokens → tf → floored tf·idf → topicDistribution,
+    * bit-identically to the in-memory `Fitted` chain
+    * (StagedPersistenceSpec). */
+  def stagedModel(fitted: Fitted, tokens: DataFrame): org.apache.spark.ml.PipelineModel = {
+    val floor = new TfIdfFloorModel()
+      .setVocab(fitted.vocab).setIdf(fitted.idf)
+      .setTokensCol("tokens").setOutputCol("features")
+    new org.apache.spark.ml.Pipeline()
+      .setStages(Array(floor, fitted.model))
+      .fit(tokens.select("doc_id", "tokens"))
+  }
+
+  def saveStaged(fitted: Fitted, tokens: DataFrame, path: String): Unit =
+    stagedModel(fitted, tokens).write.overwrite().save(path)
+
+  def loadStaged(spark: SparkSession, path: String): org.apache.spark.ml.PipelineModel =
+    org.apache.spark.ml.PipelineModel.load(path)
 }
