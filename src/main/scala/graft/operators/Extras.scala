@@ -91,6 +91,106 @@ object Extras {
       .orderBy("lang")
   }
 
+  private def withConfs[A](s: org.apache.spark.sql.SparkSession,
+      kv: Seq[(String, String)])(body: => A): A = {
+    val prev = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** AQE-tuned session settings for [[q64]]: thresholds scaled down to
+    * sf0.1 partition sizes (the defaults are 256 MB/64 MB — sized for a
+    * real cluster, where these lines are the ONLY tuning a skewed join
+    * needs). forceOptimizeSkewedJoin is on because the join feeds an
+    * aggregation on the same key: splitting the hot partition breaks
+    * the join's co-partitioning with the agg, so AQE would otherwise
+    * decline to split to avoid the extra exchange — at 100 TB paying
+    * one extra small exchange beats a straggler task by hours. */
+  val q64SkewConfs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    // sized for the sf0.01–0.1 fixtures (shuffle partition stats are
+    // COMPRESSED bytes, so they run far below the raw row payload):
+    // 16k trips detection on the hot partition there and splits it
+    // into a handful of reads — the same dial a real cluster leaves
+    // at its 256 MB default
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** The deliberately skewed join under q64, built config-free so the
+    * spec can plan it under explicit AQE settings: ~60% of lineitem
+    * collapses onto hot key 7 (every l_partkey ≡ 0,1,2 mod 5), the
+    * rest spreads over 99 keys, then a sort-merge join (merge hint;
+    * the dim would otherwise broadcast and hide the shuffle) against a
+    * 99-row dim and a same-key aggregation. The hot shuffle partition
+    * carries ~5× the median — unambiguous to AQE's factor-2 detector
+    * even after shuffle compression. */
+  def skewJoined(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    // AQE splits a skewed REDUCE partition along MAP-output boundaries
+    // (PartialReducerPartitionSpec), so the split can never be finer
+    // than the mapper count. The local fixture is one small parquet
+    // file = ONE map task, which makes every skewed partition
+    // unsplittable (createSkewPartitionSpecs returns None and the rule
+    // reports "0 skewed partitions" despite correct detection math).
+    // The round-robin repartition emulates the many-task map side any
+    // real cluster has; at 100 TB it is not needed and adds nothing.
+    // l_extendedprice rides along as an effectively incompressible
+    // payload (random money amounts): skew detection reads COMPRESSED
+    // shuffle bytes, and a bare (constant-key, small-domain-value) demo
+    // row compresses so well the hot partition's bytes look ordinary.
+    // Real rows are wide; this keeps partition bytes ∝ rows.
+    val fact = T.lineitem(s, d).select(
+      when(col("l_partkey") % 5 < 3, lit(7L))
+        .otherwise(col("l_partkey") % 100).cast("long").as("jk"),
+      col("l_quantity"), col("l_extendedprice"))
+      .repartition(16)
+    val dim = T.part(s, d).filter(col("p_partkey") < 100)
+      .select(col("p_partkey").cast("long").as("jk"))
+    fact.hint("merge").join(dim, "jk")
+      .groupBy("jk")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(ExactAgg.D2)).cast("double").as("total_qty"),
+        sum(col("l_extendedprice").cast(ExactAgg.D2)).cast("double").as("total_price"))
+      .orderBy("jk")
+  }
+
+  /** q64 — AQE skew-join handling, the runtime complement to q37's
+    * manual salting: same problem (a hot join key turns one shuffle
+    * partition into a straggler), zero query rewrite — AQE detects the
+    * oversized partition at runtime and splits it across tasks,
+    * duplicating the matching dim rows (OptimizeSkewedJoin). The
+    * result is provably identical to the unsplit join, which is what
+    * the oracle checks; PlanShapeSpec asserts the executed plan really
+    * contains skew-split shuffle reads, so the demo can't silently
+    * degenerate into an ordinary join. Executed inside the fn (the
+    * session confs must be live at runtime, then restored — the
+    * ~99-row aggregate is driver-safe to hold). */
+  val q64 = QueryDef.sql("q64_aqe_skew_join",
+    """WITH fact AS (
+      |  SELECT CAST(CASE WHEN l_partkey % 5 < 3 THEN 7
+      |              ELSE l_partkey % 100 END AS BIGINT) AS jk,
+      |         l_quantity, l_extendedprice
+      |  FROM lineitem),
+      |dim AS (SELECT CAST(p_partkey AS BIGINT) AS jk FROM part WHERE p_partkey < 100)
+      |SELECT f.jk, COUNT(*) AS n,
+      |  CAST(SUM(CAST(f.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      |  CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM fact f JOIN dim d ON f.jk = d.jk
+      |GROUP BY f.jk
+      |ORDER BY f.jk""".stripMargin) { (s, d) =>
+    val (rows, schema) = withConfs(s, q64SkewConfs) {
+      val df = skewJoined(s, d)
+      (df.collect(), df.schema)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** q60 — correlated EXISTS / NOT EXISTS: customers in a segment with
     * ≥1 urgent order but no returned lineitem. The DataFrame form is
     * the semi/anti join pair Catalyst's RewritePredicateSubquery
@@ -126,5 +226,5 @@ object Extras {
       .orderBy("c_custkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q60)
+  val defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q60, q64)
 }

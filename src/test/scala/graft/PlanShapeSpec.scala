@@ -33,6 +33,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "eval side must broadcast")
   }
 
+  test("q64: AQE splits the skewed join partition at runtime") {
+    val kv = operators.Extras.q64SkewConfs
+    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // sf0.01: the hot partition (~300 KB) clears the demo's 64k
+      // threshold; at the suite's sf0.001 it is too small to trip AQE
+      val df = operators.Extras.skewJoined(spark, "/root/testdata/sf0.01")
+      df.collect() // AQE finalizes the plan only on execution
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"),
+        s"skew demo must shuffle-join (dim broadcast would hide the skew):\n$p")
+      assert(p.contains("skew=true") || p.contains("skewed"),
+        s"executed plan must contain skew-split shuffle reads:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q61: props parse once via variant, not per-field JSON re-parse") {
     val p = plan("q61_variant_json")
     assert(p.contains("parse_json") || p.contains("variant"),
