@@ -352,5 +352,40 @@ object Dedup {
       .orderBy("test_doc", "train_doc")
   }
 
-  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05, dd06)
+  /** dd10 — exactness guard for the shared shingle index (VERDICT r3
+    * item 8): the df≤100 stop-shingle prune is load-bearing for
+    * dd02–dd06 parity, but until now its agreement with the oracle was
+    * only IMPLICIT in their hash matches. This row makes it explicit —
+    * index cardinality, distinct surviving shingles, docs retained,
+    * and the pruned-away count — so a fixture change that pushes
+    * shingle document-frequencies across the cutoff (or a drift in the
+    * 60-bit fingprint) fails HERE, by name, not as an opaque
+    * dd02 hash mismatch. */
+  val dd10 = QueryDef.sql("dd10_shingle_index_stats",
+    s"""WITH $shingleCte
+       |SELECT COUNT(*) AS n_pairs,
+       |  COUNT(DISTINCT h) AS n_shingles,
+       |  COUNT(DISTINCT doc_id) AS n_docs,
+       |  (SELECT COUNT(*) FROM dfr WHERE df > 100) AS n_pruned_shingles
+       |FROM sh""".stripMargin) { (s, d) =>
+    val idx = shingles(s, d)
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+    val allDf = toks
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    idx.agg(
+      count(lit(1)).as("n_pairs"),
+      countDistinct(col("h")).as("n_shingles"),
+      countDistinct(col("doc_id")).as("n_docs"))
+      .crossJoin(allDf.filter(col("df") > 100)
+        .agg(count(lit(1)).as("n_pruned_shingles")))
+  }
+
+  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd10)
 }
