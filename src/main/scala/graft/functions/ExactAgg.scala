@@ -38,6 +38,33 @@ object ExactAgg {
   def dsum(c: Column, dt: DecimalType = D2): Column =
     sum(c.cast(dt)).cast(DoubleType)
 
+  /** [[dsum]] for totals past the plain cast's exactness envelope.
+    *
+    * `CAST(decimal AS DOUBLE)` is only bit-identical across engines
+    * while the scaled integer total fits in 2^53 (≈9e15): beyond that
+    * DuckDB's int128→double→/10^scale double-rounds while Java's
+    * BigDecimal converts in one step — measured as a 1-ulp disagreement
+    * on q01's global sum_charge at the local sf1 fixture (17
+    * significant digits at scale 6). This variant pins the boundary to
+    * a SINGLE well-defined conversion both engines share: scale the
+    * exact decimal total to its integer form, cast through BIGINT
+    * (exact), convert int64→double (correctly rounded everywhere), then
+    * divide by 10^scale in double (one IEEE op). Bit-identical for any
+    * total under 2^63/10^scale — 9.2e12 at scale 6, ~200× past the
+    * plain envelope, with the decimal accumulation itself still exact.
+    * Oracle-side shape:
+    * `CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000`.
+    *
+    * Use for sums whose GROUP COUNT does not scale with the data
+    * (global or few-group money totals — q01/q05/q06); per-entity sums
+    * (q03/q10's per-customer revenue) stay inside the plain envelope by
+    * construction and keep the simpler form. */
+  def dsumWide(c: Column, dt: DecimalType = D6): Column = {
+    val scale = math.pow(10, dt.scale).toLong
+    (sum(c.cast(dt)) * lit(scale)).cast(LongType).cast(DoubleType) /
+      lit(scale.toDouble)
+  }
+
   /** Deterministic average: exact decimal sum, one double division. */
   def davg(c: Column, dt: DecimalType = D2): Column =
     sum(c.cast(dt)).cast(DoubleType) / count(c)

@@ -30,8 +30,8 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1e0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1e0 - l_discount) * (1e0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1e0 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000 AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1e0 - l_discount) * (1e0 + l_tax) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000 AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
       |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -46,8 +46,8 @@ object Relational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), D6).as("sum_disc_price"),
-        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), D6).as("sum_charge"),
+        dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount")), D6).as("sum_disc_price"),
+        dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), D6).as("sum_charge"),
         (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
@@ -111,7 +111,7 @@ object Relational {
     * Dims broadcast; the only shuffles are the two fact joins + final agg. */
   val q05 = QueryDef.sql("q05_local_supplier_revenue",
     """SELECT n.n_name,
-      |  CAST(SUM(CAST(l.l_extendedprice * (1e0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l.l_extendedprice * (1e0 - l.l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000 AS revenue
       |FROM customer c
       |JOIN orders o ON c.c_custkey = o.o_custkey
       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -138,13 +138,13 @@ object Relational {
       .join(broadcast(n), sp("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("n_name")
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), D6).as("revenue"))
+      .agg(dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount")), D6).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   /** q06 — pushdown-friendly filter + single agg (TPC-H Q6 shape). */
   val q06 = QueryDef.sql("q06_forecast_revenue",
-    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000 AS revenue,
       |       COUNT(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -156,7 +156,7 @@ object Relational {
         col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24.0)
       .agg(
-        dsum(col("l_extendedprice") * col("l_discount"), D6).as("revenue"),
+        dsumWide(col("l_extendedprice") * col("l_discount"), D6).as("revenue"),
         count(lit(1)).as("n_rows"))
   }
 
