@@ -407,6 +407,48 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** sp05 — fixed-size document chunking with overlap: the step that
+    * turns curated documents into training-window-sized pieces (32
+    * tokens per chunk, stride 24 → 8-token overlap between
+    * neighbors). Chunk boundaries are a pure per-row function of the
+    * token count — sequence + explode + slice, no shuffle at all
+    * until the output sort, and at 100 TB none: chunking is a map.
+    * The oracle re-derives every boundary, chunk length, and the
+    * first/last token of each chunk, so an off-by-one in stride or
+    * slice indexing (0- vs 1-based — Spark slice and DuckDB t[a:b]
+    * are BOTH 1-based, but sequence/range are 0-based) goes red
+    * rather than silently truncating training data. Projected to
+    * doc_id < 50 to bound output rows. */
+  val sp05 = QueryDef.sql("sp05_doc_chunking",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE doc_id < 50),
+      |ch AS (
+      |  SELECT doc_id, t,
+      |    UNNEST(range(0, CAST(ceil(len(t) / 24.0) AS BIGINT))) AS chunk_id
+      |  FROM toks)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(len(t[chunk_id*24+1 : chunk_id*24+32]) AS BIGINT) AS n_tok,
+      |  t[chunk_id*24+1] AS first_tok,
+      |  t[CAST(least(chunk_id*24+32, len(t)) AS BIGINT)] AS last_tok
+      |FROM ch
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), ceil(size(col("t")) / 24.0).cast("long") - 1)))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        size(expr("slice(t, chunk_id*24+1, 32)")).cast("long").as("n_tok"),
+        element_at(col("t"), (col("chunk_id") * 24 + 1).cast("int"))
+          .as("first_tok"),
+        element_at(col("t"),
+          least(col("chunk_id") * 24 + 32, size(col("t")).cast("long")).cast("int"))
+          .as("last_tok"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(ta08, ta09, ta10, sp01, sp02, sp03, sp04, dd08, dd09)
+    Seq(ta08, ta09, ta10, sp01, sp02, sp03, sp04, sp05, dd08, dd09)
 }

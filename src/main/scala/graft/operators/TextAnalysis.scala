@@ -206,5 +206,60 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
-  val defs: Seq[QueryDef] = Seq(ta01, ta02, ta03, ta04, ta05, ta06, ta07)
+  /** ta11 — PII detection + redaction, the scrub every training
+    * pipeline runs before anything ships. The synthetic corpus carries
+    * no PII, so the query INJECTS a deterministic email + phone per
+    * document (a pure function of doc_id, identical in the oracle) and
+    * then proves the redactor finds and removes all of it: per
+    * language, emails/phones found, redacted output size, and a
+    * clean-sweep boolean (no '@' survives). Patterns stay in the
+    * Java∩RE2 regex dialect intersection (same discipline as ta07's
+    * BPE pattern). Narrow projection + hash agg — embarrassingly
+    * parallel at 100 TB. */
+  val ta11 = {
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phonePat = "\\+1-555-[0-9]{4}"
+    QueryDef.sql("ta11_pii_redaction",
+      s"""WITH inj AS (
+         |  SELECT lang,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@mail.example.org or +1-555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS t
+         |  FROM documents),
+         |red AS (
+         |  SELECT lang, t,
+         |    regexp_replace(regexp_replace(t, '$emailPat', '<EMAIL>', 'g'),
+         |                   '$phonePat', '<PHONE>', 'g') AS r
+         |  FROM inj)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(regexp_extract_all(t, '$emailPat'))) AS BIGINT) AS emails_found,
+         |  CAST(SUM(len(regexp_extract_all(t, '$phonePat'))) AS BIGINT) AS phones_found,
+         |  CAST(SUM(length(r)) AS BIGINT) AS redacted_chars,
+         |  (SUM(CASE WHEN r LIKE '%@%' THEN 1 ELSE 0 END) = 0) AS clean_sweep
+         |FROM red
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin) { (s, d) =>
+      val injected = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.org or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now"))
+      T.documents(s, d)
+        .withColumn("t", injected)
+        .withColumn("r",
+          regexp_replace(regexp_replace(col("t"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(regexp_extract_all(col("t"), lit(emailPat), lit(0))))
+            .as("emails_found"),
+          sum(size(regexp_extract_all(col("t"), lit(phonePat), lit(0))))
+            .as("phones_found"),
+          sum(length(col("r"))).as("redacted_chars"),
+          (sum(when(col("r").contains("@"), 1).otherwise(0)) === 0)
+            .as("clean_sweep"))
+        .orderBy("lang")
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(ta01, ta02, ta03, ta04, ta05, ta06, ta07, ta11)
 }
