@@ -449,6 +449,58 @@ object Curation {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** sp06 — concat-and-chunk sequence packing: the LM-pretraining step
+    * that concatenates the corpus in a deterministic order and slices
+    * it into fixed context windows (2048 tokens/bin here). A document's
+    * bin span is a pure function of its running token offset — computed
+    * with the two-pass distributed prefix sum (graft.GlobalCumsum), so
+    * there is no single-partition window anywhere; the per-doc
+    * bin-range explode has fanout ≈ doc_tokens/2048 (usually 1), and
+    * the per-bin aggregate is a map-side-combinable hash agg on a
+    * dense integer key. Everything stays in exact int64 arithmetic.
+    * Reports, per bin: docs overlapping, docs starting, fill tokens
+    * (== 2048 except the final partial bin — the padding/waste audit),
+    * and the doc-id range packed into it. */
+  val sp06 = QueryDef.sql("sp06_sequence_packing",
+    """WITH nt AS (
+      |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS nt
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, nt,
+      |    CAST(SUM(nt) OVER (ORDER BY doc_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS cum
+      |  FROM nt),
+      |e AS (
+      |  SELECT doc_id, nt, cum, cum - nt AS st,
+      |    UNNEST(range((cum - nt) // 2048, (cum - 1) // 2048 + 1)) AS bin
+      |  FROM c)
+      |SELECT CAST(bin AS BIGINT) AS bin_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN st // 2048 = bin THEN 1 ELSE 0 END) AS BIGINT) AS docs_starting,
+      |  CAST(SUM(least(cum, (bin+1)*2048) - greatest(st, bin*2048)) AS BIGINT) AS fill_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM e GROUP BY bin
+      |ORDER BY bin_id""".stripMargin) { (s, d) =>
+    val nt = T.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    graft.GlobalCumsum.withRunningSum(nt, Seq(col("doc_id")), "nt", "cum")
+      .withColumn("st", col("cum") - col("nt"))
+      .withColumn("bin",
+        explode(expr("sequence(st div 2048, (cum - 1) div 2048)")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr("st div 2048") === col("bin"), 1).otherwise(0))
+          .cast("long").as("docs_starting"),
+        sum(least(col("cum"), (col("bin") + 1) * 2048) -
+          greatest(col("st"), col("bin") * 2048)).cast("long").as("fill_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .select(col("bin").cast("long").as("bin_id"), col("n_docs"),
+        col("docs_starting"), col("fill_tokens"), col("first_doc"), col("last_doc"))
+      .orderBy("bin_id")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(ta08, ta09, ta10, sp01, sp02, sp03, sp04, sp05, dd08, dd09)
+    Seq(ta08, ta09, ta10, sp01, sp02, sp03, sp04, sp05, sp06, dd08, dd09)
 }

@@ -387,5 +387,60 @@ object Dedup {
         .agg(count(lit(1)).as("n_pruned_shingles")))
   }
 
-  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd10)
+  /** dd11 — cross-document repeated-passage detection: 8-gram spans
+    * occurring in ≥2 distinct documents, WITH their positions — the
+    * span-level cousin of ta06's doc-level boilerplate ranking, and the
+    * Spark-shaped stand-in for suffix-array substring dedup (Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better": exact
+    * repeated substrings are removed span-wise, not doc-wise).
+    *
+    * Shape: posexplode-equivalent index explode keeps the token offset;
+    * spans are fingerprinted to 60-bit md5 longs BEFORE the shuffle
+    * (8-byte keys; collisions shared with the oracle); the exemplar
+    * location is packed into one int64 (doc_id·10^5 + pos — fixture
+    * docs are ≪10^5 tokens) so min() finds the first occurrence without
+    * a struct ordering, which Spark and DuckDB sort differently. The
+    * gram string rides to the aggregate as min(s) only for readability;
+    * a production run would drop it pre-shuffle and join the exemplar
+    * text back by fingerprint. Top-50 by df with a pinned tie-break. */
+  val dd11 = QueryDef.sql("dd11_repeated_passages",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+      |  WHERE len(string_split(text,' ')) >= 8),
+      |sp AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    array_to_string(t[i:i+7], ' ') AS s,
+      |    CAST(('0x'||substr(md5(array_to_string(t[i:i+7], ' ')),1,15)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, t, UNNEST(range(1, len(t)-6)) AS i FROM toks) z),
+      |agg AS (
+      |  SELECT h, MIN(s) AS gram, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS n_occ,
+      |    MIN(CAST(doc_id AS BIGINT) * 100000 + pos) AS loc0
+      |  FROM sp GROUP BY h)
+      |SELECT gram, df, n_occ,
+      |  loc0 // 100000 AS example_doc, loc0 % 100000 AS example_pos
+      |FROM agg WHERE df >= 2
+      |ORDER BY df DESC, n_occ DESC, gram
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    val sp = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(0, size(t)-8)")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr("concat_ws(' ', slice(t, pos+1, 8))").as("s"))
+      .withColumn("h", conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
+    sp.groupBy("h")
+      .agg(min("s").as("gram"),
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id").cast("long") * 100000 + col("pos")).as("loc0"))
+      .filter(col("df") >= 2)
+      .select(col("gram"), col("df"), col("n_occ"),
+        expr("loc0 div 100000").as("example_doc"),
+        (col("loc0") % 100000).as("example_pos"))
+      .orderBy(col("df").desc, col("n_occ").desc, col("gram"))
+      .limit(50)
+  }
+
+  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd10, dd11)
 }

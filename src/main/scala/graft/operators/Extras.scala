@@ -226,5 +226,35 @@ object Extras {
       .orderBy("c_custkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q60, q64)
+  /** q65 — LATERAL correlated subquery with ORDER BY + LIMIT (Spark 4
+    * SQL surface): the "top-2 orders per customer" shape written the
+    * way an analyst ports it from Postgres/DuckDB. Catalyst decorrelates
+    * the LIMIT-under-correlation into a partitioned window
+    * (DecorrelateInnerQuery → WindowGroupLimit at the physical layer),
+    * so the plan is the same rank-filter q11 builds by hand — per-key
+    * top-k with map-side group limits, no per-customer re-execution.
+    * Customers capped to ≤200 only to bound oracle output. */
+  val q65 = QueryDef.sql("q65_lateral_topk",
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey
+      |  LIMIT 2) t
+      |WHERE c.c_custkey <= 200
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin) { (s, d) =>
+    T.customer(s, d).createOrReplaceTempView("customer")
+    T.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t
+        |WHERE c.c_custkey <= 200
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
+  val defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q60, q64, q65)
 }

@@ -261,5 +261,74 @@ object TextAnalysis {
     }
   }
 
-  val defs: Seq[QueryDef] = Seq(ta01, ta02, ta03, ta04, ta05, ta06, ta07, ta11)
+  /** ta12 — bigram language-model filtering, the KenLM-perplexity
+    * quality gate every web-corpus pipeline runs, re-expressed in
+    * hash-parity-safe arithmetic. The corpus itself is the LM: count
+    * every adjacent token pair (bigram) and every context occurrence,
+    * then score each document's transitions with add-1 smoothing,
+    * p = (c12+1)/(c1+V). True perplexity exponentiates a mean of ln p
+    * — libm vs StrictMath diverge in the last ulp (see ta10's ln-free
+    * idf), so the reported per-doc statistics stay order-free and
+    * exactly reproducible: MIN/MAX of p (each p is ONE IEEE division),
+    * and the rare-transition rate (integer count of bigrams seen ≤1
+    * time corpus-wide — the "novel text vs broken text" signal a
+    * perplexity threshold encodes).
+    *
+    * Scale shape: bigrams carry 60-bit md5 fingerprints (8-byte
+    * shuffle keys, collisions shared with the oracle); the two count
+    * tables are vocab-bounded (Zipf-compact — broadcastable until the
+    * vocab is billions); the final per-doc agg is map-side
+    * combinable. No ln, no ordered float sums. */
+  val ta12 = QueryDef.sql("ta12_bigram_lm_filter",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+      |  WHERE len(string_split(text,' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id,
+      |    CAST(('0x'||substr(md5(t[i]),1,15)) AS BIGINT) AS h1,
+      |    CAST(('0x'||substr(md5(t[i]||' '||t[i+1]),1,15)) AS BIGINT) AS h12
+      |  FROM (SELECT doc_id, t, UNNEST(range(1, len(t))) AS i FROM toks) s),
+      |cnt12 AS (SELECT h12, COUNT(*) AS c12 FROM bg GROUP BY h12),
+      |cnt1 AS (SELECT h1, COUNT(*) AS c1 FROM bg GROUP BY h1),
+      |v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM
+      |        (SELECT UNNEST(string_split(text,' ')) AS tok FROM documents) z),
+      |sc AS (
+      |  SELECT b.doc_id, cnt12.c12,
+      |    CAST(cnt12.c12 + 1 AS DOUBLE) / CAST(cnt1.c1 + v.vsz AS DOUBLE) AS p
+      |  FROM bg b JOIN cnt12 ON b.h12 = cnt12.h12
+      |            JOIN cnt1 ON b.h1 = cnt1.h1, v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  MIN(p) AS min_p, MAX(p) AS max_p,
+      |  CAST(SUM(CASE WHEN c12 <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS rare_bigrams,
+      |  CAST(SUM(CASE WHEN c12 <= 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_ratio
+      |FROM sc GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val fp = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val bg = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(0, size(t)-2)")).as("i"))
+      .select(col("doc_id"),
+        fp(expr("t[i]")).as("h1"),
+        fp(expr("concat(t[i], ' ', t[i+1])")).as("h12"))
+    val cnt12 = bg.groupBy("h12").agg(count(lit(1)).as("c12"))
+    val cnt1 = bg.groupBy("h1").agg(count(lit(1)).as("c1"))
+    val v = T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vsz"))
+    bg.join(cnt12, "h12").join(cnt1, "h1").crossJoin(broadcast(v))
+      .select(col("doc_id"), col("c12"),
+        ((col("c12") + 1).cast("double") / (col("c1") + col("vsz")).cast("double")).as("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        min("p").as("min_p"), max("p").as("max_p"),
+        sum(when(col("c12") <= 1, 1).otherwise(0)).cast("long").as("rare_bigrams"),
+        (sum(when(col("c12") <= 1, 1).otherwise(0)).cast("double") / count(lit(1)))
+          .as("rare_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(ta01, ta02, ta03, ta04, ta05, ta06, ta07, ta11, ta12)
 }

@@ -100,4 +100,41 @@ class CurationSpec extends AnyFunSuite {
     assert(scores.forall(_ > 0))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  test("sp06: bins are full except the last, and tokens are conserved") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.select(size(split(col("text"), " ")).cast("long").as("nt"))
+      .agg(sum("nt")).head().getLong(0)
+    val bins = run("sp06_sequence_packing").collect()
+    assert(bins.nonEmpty)
+    // contiguous bin ids from 0
+    assert(bins.map(_.getAs[Long]("bin_id")).toSeq == (0L until bins.length).toSeq)
+    // every bin except the last holds exactly 2048 tokens
+    val fills = bins.map(_.getAs[Long]("fill_tokens"))
+    assert(fills.init.forall(_ == 2048L), "interior bin not full")
+    assert(fills.last >= 1 && fills.last <= 2048)
+    // overlap accounting conserves the corpus token count exactly
+    assert(fills.sum == total, s"packed ${fills.sum} of $total tokens")
+    // each doc starts in exactly one bin
+    assert(bins.map(_.getAs[Long]("docs_starting")).sum == docs.count())
+  }
+
+  test("ta12: per-doc bigram stats are well-formed and complete") {
+    val rows = run("ta12_bigram_lm_filter").collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val multi = docs.filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length == multi, "one row per multi-token doc")
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("min_p"), r.getAs[Double]("max_p"))
+      assert(lo > 0 && lo <= hi && hi < 1, "smoothed probabilities must sit in (0,1)")
+      val ratio = r.getAs[Double]("rare_ratio")
+      assert(ratio >= 0 && ratio <= 1)
+      assert(r.getAs[Long]("rare_bigrams") <= r.getAs[Long]("n_bigrams"))
+    }
+    // n_bigrams == token_count - 1, doc by doc
+    val nt = docs.select(col("doc_id"), (size(split(col("text"), " ")) - 1).cast("long").as("nb"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nb")).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_bigrams") == nt(r.getAs[Long]("doc_id"))))
+  }
 }

@@ -53,6 +53,29 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q65: LATERAL LIMIT decorrelates to a group-limit window, not re-execution") {
+    val p = plan("q65_lateral_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"lateral top-k must plan as WindowGroupLimit (rank-filter pushdown):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral must decorrelate to an equi-join, not a nested loop:\n$p")
+  }
+
+  test("sp06: packing plans no window operator (GlobalCumsum path)") {
+    val p = plan("sp06_sequence_packing")
+    assert(!p.contains("Window"),
+      "sequence packing must not fall back to a single-partition window")
+  }
+
+  test("ta12: count tables join on 8-byte fingerprints, no cartesian") {
+    val p = plan("ta12_bigram_lm_filter")
+    // the only non-equi join allowed is the 1-row vocab-size broadcast
+    assert(!p.contains("CartesianProduct"),
+      s"ta12 must never plan an all-pairs join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"ta12 count joins must be equi-joins on fingerprint keys:\n$p")
+  }
+
   test("q61: props parse once via variant, not per-field JSON re-parse") {
     val p = plan("q61_variant_json")
     assert(p.contains("parse_json") || p.contains("variant"),

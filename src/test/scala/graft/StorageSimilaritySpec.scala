@@ -62,4 +62,41 @@ class StorageSimilaritySpec extends AnyFunSuite {
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == ivf)
   }
+
+  test("dd11 repeated passages really repeat at their reported location") {
+    val rows = SparkEntry.queries("dd11_repeated_passages")(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture dup clusters must surface repeated 8-grams")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ")).toMap
+    rows.foreach { r =>
+      val gram = r.getAs[String]("gram")
+      assert(gram.split(" ").length == 8, s"not an 8-gram: '$gram'")
+      assert(r.getAs[Long]("df") >= 2 && r.getAs[Long]("n_occ") >= r.getAs[Long]("df"))
+      // the exemplar (doc, pos) must actually contain the gram
+      val t = docs(r.getAs[Long]("example_doc"))
+      val pos = r.getAs[Long]("example_pos").toInt
+      assert(t.slice(pos, pos + 8).mkString(" ") == gram,
+        s"exemplar mismatch at doc=${r.getAs[Long]("example_doc")} pos=$pos")
+    }
+    // ranking is (df desc, n_occ desc)
+    val keys = rows.map(r => (r.getAs[Long]("df"), r.getAs[Long]("n_occ")))
+    assert(keys.zip(keys.tail).forall { case ((d1, n1), (d2, n2)) =>
+      d1 > d2 || (d1 == d2 && n1 >= n2) })
+  }
+
+  test("q65 lateral top-2 equals the window-rank formulation") {
+    val lateral = SparkEntry.queries("q65_lateral_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recompute top-2 directly as the cross-check
+    import org.apache.spark.sql.expressions.{Window => W}
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val ranked = o.withColumn("rk",
+        row_number().over(W.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rk") <= 2 && col("o_custkey") <= 200)
+      .select(col("o_custkey").cast("long"), col("o_orderkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lateral == ranked, "lateral and window top-2 disagree")
+  }
 }
