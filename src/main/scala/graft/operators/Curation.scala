@@ -501,6 +501,72 @@ object Curation {
       .orderBy("bin_id")
   }
 
+  /** sp07 — seeded deterministic global shuffle + shard assignment: the
+    * epoch-reshuffle step of a training run. The permutation is a pure
+    * function of (seed, doc_id) — order by md5("epoch7|" || doc_id) —
+    * so it is reproducible from lineage alone, needs no RNG state, and
+    * a different seed string gives an independent permutation. The
+    * global position comes from graft.GlobalIndex (distributed range
+    * sort + zipWithIndex), never a single-partition window; the shard
+    * is pos % 8, so shard sizes are balanced to ±1 by construction.
+    * At 100 TB this is exactly one range-sort shuffle keyed on an
+    * 8-byte hash prefix, and the writer can partitionBy(shard). */
+  val sp07 = QueryDef.sql("sp07_deterministic_shuffle",
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY md5('epoch7|' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      - 1 AS pos
+      |  FROM documents)
+      |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |  CAST(pos % 8 AS BIGINT) AS shard
+      |FROM r ORDER BY pos""".stripMargin) { (s, d) =>
+    val keyed = T.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("epoch7|"), col("doc_id").cast("string"))).as("k"))
+    graft.GlobalIndex.withGlobalIndex(keyed, Seq(col("k"), col("doc_id")), "pos")
+      .select(col("doc_id"), col("pos"), (col("pos") % 8).as("shard"))
+      .orderBy("pos")
+  }
+
+  /** sp08 — importance resampling: keep each document with probability
+    * proportional to a weight (here length-proportional, capped at 800
+    * chars), decided by comparing a uniform hash draw against the
+    * weight. Both sides of the accept test stay in EXACT int64
+    * arithmetic — u·800 < w·2^32 with u = first 8 md5 hex digits — so
+    * the keep set is bit-reproducible across engines and partitionings
+    * (no float RNG anywhere). The expected keep fraction is audited
+    * next to the realized one: sums run over exact bigints and the two
+    * divisions happen once per output row. Stateless filter + one
+    * low-cardinality agg — the 100 TB shape (no shuffle before the
+    * final 25-group agg). */
+  val sp08 = QueryDef.sql("sp08_importance_resampling",
+    """WITH w AS (
+      |  SELECT lang, source, least(n_chars, 800) AS w,
+      |    CAST(('0x' || substr(md5('rs1|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+      |  FROM documents)
+      |SELECT lang, source, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN u * 800 < w * 4294967296 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN u * 800 < w * 4294967296 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS kept_frac,
+      |  CAST(SUM(w) AS DOUBLE) / (800e0 * COUNT(*)) AS expected_frac
+      |FROM w GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin) { (s, d) =>
+    val w = T.documents(s, d)
+      .select(col("lang"), col("source"),
+        least(col("n_chars"), lit(800L)).as("w"),
+        conv(substring(md5(concat(lit("rs1|"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long").as("u"))
+    val kept = (col("u") * 800L < col("w") * 4294967296L).cast("long")
+    w.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(kept).as("n_kept"),
+        (sum(kept).cast("double") / count(lit(1))).as("kept_frac"),
+        (sum(col("w")).cast("double") / (lit(800.0) * count(lit(1))))
+          .as("expected_frac"))
+      .orderBy("lang", "source")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(ta08, ta09, ta10, sp01, sp02, sp03, sp04, sp05, sp06, dd08, dd09)
+    Seq(ta08, ta09, ta10, sp01, sp02, sp03, sp04, sp05, sp06, sp07, sp08,
+      dd08, dd09)
 }

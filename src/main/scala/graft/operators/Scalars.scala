@@ -199,5 +199,35 @@ object Scalars {
       .orderBy("o_orderstatus")
   }
 
-  val defs: Seq[QueryDef] = Seq(q22, q23, q24, q25, q26, q27, q28, q29, q61)
+  /** q66 — ordered-set aggregates (SQL:2008 WITHIN GROUP syntax, in
+    * Spark since 4.0): listagg with a pinned ORDER BY — the only
+    * deterministic form; an unordered listagg is partition-order
+    * nondeterministic and would never hash-match — plus
+    * percentile_disc, which returns an ACTUAL element (exact at any
+    * scale, unlike the interpolating percentile_cont whose float
+    * blend is engine-ordered). Grouped on nation→region: 5 rows out,
+    * one tiny shuffle; the sort inside each group is size-bounded by
+    * the group. */
+  val q66 = QueryDef.sql("q66_ordered_set_aggs",
+    """SELECT r.r_name,
+      |  COUNT(*) AS n_nations,
+      |  string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+      |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n.n_nationkey) AS BIGINT)
+      |    AS median_key
+      |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name
+      |ORDER BY r.r_name""".stripMargin) { (s, d) =>
+    val n = T.nation(s, d)
+    val r = T.region(s, d)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("n_nations"),
+        expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_nationkey)")
+          .cast("long").as("median_key"))
+      .orderBy("r_name")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q22, q23, q24, q25, q26, q27, q28, q29, q61, q66)
 }

@@ -330,5 +330,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(ta01, ta02, ta03, ta04, ta05, ta06, ta07, ta11, ta12)
+  /** ta13 — BPE merge learning, step zero of training a tokenizer on
+    * the corpus: count every adjacent character pair inside every word
+    * occurrence (the statistic the first BPE merge maximizes — later
+    * merges just re-run the same count over re-segmented symbols) and
+    * rank the top 20 candidates. ta07 COUNTS tokens with a fixed
+    * vocabulary; ta13 is the other half — LEARNING the vocabulary.
+    * The per-word pair explode is a narrow map (fanout = word length),
+    * the count is one map-side-combinable hash agg on 2-char keys
+    * (alphabet², so the agg output is tiny no matter the corpus size),
+    * and the top-20 is a TakeOrdered on that tiny table — at 100 TB
+    * nothing but the scan and one shrinking agg. Tie-break pinned to
+    * (count DESC, pair ASC). */
+  val ta13 = QueryDef.sql("ta13_bpe_merge_learn",
+    """WITH w AS (
+      |  SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents),
+      |p AS (
+      |  SELECT UNNEST(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+      |  FROM w WHERE len(w) >= 2)
+      |SELECT pair, COUNT(*) AS cnt FROM p
+      |GROUP BY pair
+      |ORDER BY cnt DESC, pair
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(
+        expr("transform(sequence(1, length(w)-1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(ta01, ta02, ta03, ta04, ta05, ta06, ta07, ta11, ta12, ta13)
 }

@@ -347,6 +347,45 @@ object Streams {
     s.table(name).orderBy("event_type")
   }
 
+  /** st11 — dropDuplicatesWithinWatermark: the BOUNDED-STATE shape of
+    * st05 (same pairing as st01 → st01b). st05's plain dropDuplicates
+    * keeps every key it has ever seen — unbounded state, the batch
+    * demo. Here the stream carries a 10-minute watermark and the dedup
+    * operator evicts any key older than it, so state is O(keys per
+    * watermark window) no matter how long the stream runs — the only
+    * deployable form at 100 TB/day. Emission is append (each first
+    * occurrence exactly once), counted into unique users per type by a
+    * batch agg over the sink. On the single-file single-batch replay
+    * no key is evicted mid-batch, so the emitted set is exactly the
+    * distinct pairs and the result is held to st05's COUNT(DISTINCT)
+    * oracle — while the PLAN carries EventTimeWatermark +
+    * dropDuplicatesWithinWatermark state eviction. */
+  val st11 = QueryDef.sql("st11_dedup_within_watermark",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val name = s"st11_sink_${System.nanoTime()}"
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique_users"))
+      .orderBy("event_type")
+  }
+
   /** Staged three-file replay layout for st06, built once per sf dir.
     * With cutoff = max(ts) - 50 min (micros, matching the stream's
     * ns→µs truncation):
@@ -684,5 +723,6 @@ object Streams {
   }
 
   val defs: Seq[QueryDef] =
-    Seq(st01, st01b, st02, st03, st04, st05, st06, st07, st08, st09, st10)
+    Seq(st01, st01b, st02, st03, st04, st05, st06, st07, st08, st09, st10,
+      st11)
 }

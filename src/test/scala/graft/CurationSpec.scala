@@ -137,4 +137,39 @@ class CurationSpec extends AnyFunSuite {
     rows.foreach(r =>
       assert(r.getAs[Long]("n_bigrams") == nt(r.getAs[Long]("doc_id"))))
   }
+
+  test("sp07: seeded shuffle is a balanced permutation, not the identity") {
+    val rows = run("sp07_deterministic_shuffle").collect()
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == n)
+    // positions are exactly 0..n-1 (bijection)
+    assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq == (0L until n).toSeq)
+    // every doc appears exactly once
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == n)
+    // shard = pos % 8 → sizes balanced to ±1 by construction
+    val sizes = rows.groupBy(_.getAs[Long]("shard")).map(_._2.length)
+    assert(sizes.max - sizes.min <= 1)
+    // the hash order is not the natural doc_id order (P(identity) ~ 1/n!)
+    val inOrder = rows.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("doc_id"))
+    assert(inOrder.toSeq != inOrder.sorted.toSeq)
+    // deterministic: a second evaluation yields the same permutation
+    val again = run("sp07_deterministic_shuffle").collect()
+      .sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("doc_id"))
+    assert(inOrder.toSeq == again.toSeq)
+  }
+
+  test("sp08: realized keep rate tracks the expected rate") {
+    val rows = run("sp08_importance_resampling").collect()
+    var total = 0L; var kept = 0L; var expected = 0.0
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"))
+      assert(k >= 0 && k <= n)
+      val (kf, ef) = (r.getAs[Double]("kept_frac"), r.getAs[Double]("expected_frac"))
+      assert(kf >= 0 && kf <= 1 && ef > 0 && ef <= 1)
+      total += n; kept += k; expected += ef * n
+    }
+    // md5 draws are uniform: corpus-level realized vs expected within 10pp
+    assert(math.abs(kept - expected) <= 0.10 * total,
+      s"kept=$kept expected=$expected total=$total")
+  }
 }

@@ -99,4 +99,29 @@ class QuerySurfaceSpec extends AnyFunSuite {
     val df = SparkEntry.queries("q19_cohort_symmetric_diff")(spark, sf)
     assert(df.count() > 0)
   }
+
+  test("q66 listagg is sorted within each group and counts agree") {
+    SparkEntry.queries("q66_ordered_set_aggs")(spark, sf).collect().foreach { r =>
+      val names = r.getAs[String]("nations").split(",").toSeq
+      assert(names == names.sorted, "listagg must respect WITHIN GROUP order")
+      assert(names.length == r.getAs[Long]("n_nations"))
+    }
+  }
+
+  test("ta13 merge candidates are ranked adjacent pairs") {
+    val rows = SparkEntry.queries("ta13_bpe_merge_learn")(spark, sf).collect()
+    assert(rows.length == 20)
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "ranked by count")
+    rows.foreach(r => assert(r.getAs[String]("pair").length == 2))
+    // the top pair really is the max over a direct recount
+    import org.apache.spark.sql.functions._
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(
+        expr("transform(sequence(1, length(w)-1), i -> substring(w, i, 2))")).as("p"))
+      .groupBy("p").count().agg(max("count")).head().getLong(0)
+    assert(cnts.head == direct)
+  }
 }

@@ -19,6 +19,14 @@ class StreamsMultimodalSpec extends AnyFunSuite {
       batch.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq)
   }
 
+  test("st11: watermarked dedup equals st05's unbounded-state dedup") {
+    val bounded = streaming.Streams.st11.fn(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_unique_users"))).toSeq
+    val unbounded = streaming.Streams.st05.fn(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_unique_users"))).toSeq
+    assert(bounded == unbounded)
+  }
+
   test("st03: stateful sessionization agrees with the window-island form") {
     val stateful = streaming.Streams.stateful(spark, sf)
       .select("user_id", "n_sessions", "n_events").collect()
