@@ -58,7 +58,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val repeatThreshold = 10.0 // sec: heavier queries run once
+    // 20 s sits between the worst load-spike inflation observed on a
+    // sub-second query (q22 at 19.9 s in the r2 driver artifact, ta12 at
+    // 14.2 s in an r4 local run — both ~2 s clean) and the genuinely
+    // heavy fits (ml04 ≈ 27–37 s), so spiked queries get their retry and
+    // the trainings still run once.
+    val repeatThreshold = 20.0 // sec: heavier queries run once
     val repeatBudget = 240.0   // sec: global cap on extra-run time
     var repeatSpent = 0.0
     val results = selected.map { case (name, fn) =>
