@@ -256,5 +256,53 @@ object Extras {
         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
   }
 
-  val defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q60, q64, q65)
+  /** q67 — SCD2 (slowly-changing-dimension type 2) merge: the
+    * incremental-ingestion shape every warehouse runs when a CDC batch
+    * of dimension updates lands. For each changed key the current
+    * version is closed out (is_current=false, valid_to stamped) and a
+    * new version opens; unchanged keys pass through. Spark has no
+    * MERGE INTO for parquet v1 tables, so this is the plan MERGE
+    * lowers to anyway: base LEFT JOIN updates + a per-row 1-or-2
+    * version explode. The update batch is BROADCAST (CDC deltas are
+    * small next to the dimension), so the base table never shuffles —
+    * the 100 TB shape; the version fanout is a narrow generate.
+    * The changed-balance arithmetic (+100.0) is one IEEE double add —
+    * bit-identical in both engines. */
+  val q67 = QueryDef.sql("q67_scd2_merge",
+    """WITH u AS (
+      |  SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+      |  FROM customer WHERE c_custkey % 10 = 0)
+      |SELECT * FROM (
+      |  SELECT c.c_custkey, 1 AS version, c.c_acctbal AS balance,
+      |    u.c_custkey IS NULL AS is_current,
+      |    CASE WHEN u.c_custkey IS NULL THEN NULL ELSE DATE '2024-06-01' END
+      |      AS valid_to
+      |  FROM customer c LEFT JOIN u ON c.c_custkey = u.c_custkey
+      |  UNION ALL
+      |  SELECT c_custkey, 2 AS version, new_bal AS balance,
+      |    true AS is_current, CAST(NULL AS DATE) AS valid_to
+      |  FROM u) v
+      |ORDER BY c_custkey, version""".stripMargin) { (s, d) =>
+    val base = T.customer(s, d)
+    val upd = T.customer(s, d)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("new_bal"))
+    val closedDate = to_date(lit("2024-06-01"))
+    val nullDate = lit(null).cast("date")
+    base.join(broadcast(upd), Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        explode(when(col("new_bal").isNull,
+          array(struct(lit(1).as("version"), col("c_acctbal").as("balance"),
+            lit(true).as("is_current"), nullDate.as("valid_to"))))
+          .otherwise(array(
+            struct(lit(1).as("version"), col("c_acctbal").as("balance"),
+              lit(false).as("is_current"), closedDate.as("valid_to")),
+            struct(lit(2).as("version"), col("new_bal").as("balance"),
+              lit(true).as("is_current"), nullDate.as("valid_to"))))).as("v"))
+      .select(col("c_custkey"), col("v.version"), col("v.balance"),
+        col("v.is_current"), col("v.valid_to"))
+      .orderBy("c_custkey", "version")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q60, q64, q65, q67)
 }

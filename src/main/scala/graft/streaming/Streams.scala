@@ -386,6 +386,112 @@ object Streams {
       .orderBy("event_type")
   }
 
+  /** st12 — watermarked SLIDING-window aggregation (1 h window, 15 min
+    * slide): each event lands in exactly window/slide = 4 overlapping
+    * windows. Spark plans this as one Expand (×4, the static fanout) +
+    * the same watermark+append StateStore as st01b — state stays
+    * bounded by (open windows × keys) and every closed window is
+    * emitted exactly once. The oracle re-derives the 4 member windows
+    * per event from first principles (time_bucket minus k·15 min,
+    * k ∈ 0..3) and keeps the money sum in exact decimals, so window
+    * alignment, fanout, and the emit-on-close boundary (window end ≤
+    * max(ts) − 10 min) are all pinned bit-exactly. */
+  val st12 = QueryDef.sql("st12_sliding_window",
+    """WITH mx AS (
+      |  SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w FROM events),
+      |e AS (
+      |  SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+      |           - to_minutes(15*k) AS window_start,
+      |         event_type, value
+      |  FROM events, (SELECT UNNEST(range(0,4)) AS k) ks)
+      |SELECT window_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM e, mx
+      |WHERE window_start + INTERVAL 1 HOUR <= mx.w
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    val name = s"st12_sink_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** st13 — NATIVE session windows (`session_window`, gap 30 min) with
+    * watermark + append: the declarative streaming form of the
+    * sessionization family (st02 window-islands batch, st03/st04
+    * mapGroupsWithState, st10 transformWithState). Session state
+    * merges events within the gap and emits a session once the
+    * watermark passes its end (last event + gap); with the single-file
+    * replay the final watermark is max(ts) − 10 min, so the emitted
+    * set is exactly the sessions whose (last event + 30 min) ≤ that —
+    * the oracle re-derives every boundary from st02's island SQL and
+    * applies the same closure filter. Emitted columns carry the full
+    * window (start = first event, end = last event + gap), so a
+    * boundary error in either engine's merge logic is a hash miss. */
+  val st13 = QueryDef.sql("st13_session_window",
+    """WITH mx AS (
+      |  SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+      |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+      |           - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER win > 1800000000
+      |         OR LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER win IS NULL
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, t,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked),
+      |g AS (
+      |  SELECT user_id, sid, MIN(t) AS session_start,
+      |    MAX(t) + INTERVAL 30 MINUTE AS session_end,
+      |    COUNT(*) AS n_events
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT user_id, session_start, session_end, n_events
+      |FROM g, mx WHERE session_end <= mx.w
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+    val agg = stream
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val name = s"st13_sink_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Staged three-file replay layout for st06, built once per sf dir.
     * With cutoff = max(ts) - 50 min (micros, matching the stream's
     * ns→µs truncation):
@@ -724,5 +830,5 @@ object Streams {
 
   val defs: Seq[QueryDef] =
     Seq(st01, st01b, st02, st03, st04, st05, st06, st07, st08, st09, st10,
-      st11)
+      st11, st12, st13)
 }

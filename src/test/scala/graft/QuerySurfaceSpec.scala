@@ -108,6 +108,25 @@ class QuerySurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("q67 SCD2: changed keys carry exactly two versions, v1 closed") {
+    val rows = SparkEntry.queries("q67_scd2_merge")(spark, sf).collect()
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    val byKey = rows.groupBy(_.getAs[Long]("c_custkey"))
+    assert(byKey.size == nCust)
+    byKey.foreach { case (k, vs) =>
+      if (k % 10 == 0) {
+        assert(vs.length == 2)
+        val v1 = vs.find(_.getAs[Int]("version") == 1).get
+        val v2 = vs.find(_.getAs[Int]("version") == 2).get
+        assert(!v1.getAs[Boolean]("is_current") && v1.getAs[java.sql.Date]("valid_to") != null)
+        assert(v2.getAs[Boolean]("is_current") && v2.getAs[java.sql.Date]("valid_to") == null)
+        assert(v2.getAs[Double]("balance") == v1.getAs[Double]("balance") + 100.0)
+      } else {
+        assert(vs.length == 1 && vs.head.getAs[Boolean]("is_current"))
+      }
+    }
+  }
+
   test("ta13 merge candidates are ranked adjacent pairs") {
     val rows = SparkEntry.queries("ta13_bpe_merge_learn")(spark, sf).collect()
     assert(rows.length == 20)

@@ -27,6 +27,37 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(bounded == unbounded)
   }
 
+  test("st12: sliding windows equal the batch 4-window expansion") {
+    val streamed = streaming.Streams.st12.fn(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    val mxUs = Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val batch = Tables.events(spark, sf)
+      .withColumn("k", explode(expr("sequence(0, 3)")))
+      .withColumn("window_start",
+        expr("timestamp_micros((unix_micros(ts) div 900000000) * 900000000 - cast(k as bigint) * 900000000)"))
+      .filter(unix_micros(col("window_start")) + 3600000000L <= mxUs - 600000000L)
+      .groupBy("window_start", "event_type").agg(count(lit(1)).as("n"))
+      .orderBy("window_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+  }
+
+  test("st13: native session windows equal st04's stateful sessions, closed-filtered") {
+    val mxTs = Tables.events(spark, sf).agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wm = mxTs - 600000000L // watermark: max(ts) - 10 min, in micros
+    val native = streaming.Streams.st13.fn(spark, sf)
+      .select(col("user_id"), unix_micros(col("session_start")).as("st"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val stateful = streaming.Streams.st04.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+      .filter { case (_, _, endUs, _) => endUs + 1800000000L <= wm }
+      .map { case (u, st, _, n) => (u, st, n) }.toSeq.sorted
+    assert(native.sorted == stateful)
+  }
+
   test("st03: stateful sessionization agrees with the window-island form") {
     val stateful = streaming.Streams.stateful(spark, sf)
       .select("user_id", "n_sessions", "n_events").collect()
