@@ -63,6 +63,16 @@ class StorageSimilaritySpec extends AnyFunSuite {
     assert(again == ivf)
   }
 
+  test("ss08 PQ/ADC: all invariant gates hold and the fit is deterministic") {
+    val row = SparkEntry.queries("ss08_pq_adc")(spark, sf).head()
+    assert(row.getAs[Long]("n_queries") == 10)
+    Seq("full_topk_returned", "self_excluded", "cos_in_range",
+      "selection_useful", "recon_err_ok").foreach(c =>
+      assert(row.getAs[Boolean](c), s"gate $c failed"))
+    // seeded codebooks: a second evaluation yields the identical row
+    assert(SparkEntry.queries("ss08_pq_adc")(spark, sf).head() == row)
+  }
+
   test("dd11 repeated passages really repeat at their reported location") {
     val rows = SparkEntry.queries("dd11_repeated_passages")(spark, sf).collect()
     assert(rows.nonEmpty, "fixture dup clusters must surface repeated 8-grams")
