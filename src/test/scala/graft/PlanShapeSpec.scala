@@ -81,4 +81,55 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("parse_json") || p.contains("variant"),
       "q61 must go through VariantType")
   }
+
+  test("sp07: epoch shuffle plans no single-partition window") {
+    val p = plan("sp07_deterministic_shuffle")
+    assert(!p.contains("Window"),
+      "sp07 must use GlobalIndex (range sort + zipWithIndex), not a global window")
+  }
+
+  test("sp08: scan prunes to the 4 metadata columns, text never read") {
+    val p = plan("sp08_importance_resampling")
+    assert(p.contains("ReadSchema") && !p.contains("text:string"),
+      s"sp08 must not read document text:\n$p")
+  }
+
+  test("ta13: top-20 is a TakeOrdered over an alphabet-bounded aggregate") {
+    val p = plan("ta13_bpe_merge_learn")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ta13's top-k must not plan a global sort:\n$p")
+    assert(!p.contains("text:string") || p.contains("ReadSchema: struct<text:string>"),
+      "ta13 reads only text")
+  }
+
+  test("q66: region dim broadcasts under the ordered-set aggregate") {
+    val p = plan("q66_ordered_set_aggs")
+    assert(p.contains("BroadcastHashJoin"), "q66's dim join must broadcast")
+    assert(p.contains("listagg") || p.contains("ListAgg") || p.toLowerCase.contains("listagg"),
+      "q66 must plan the native listagg aggregate")
+  }
+
+  test("q67: SCD2 merge broadcasts the CDC batch and explodes versions") {
+    val p = plan("q67_scd2_merge")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q67's update batch must broadcast (base never shuffles for the join):\n$p")
+    assert(p.contains("Generate"),
+      "q67's version fanout must be a narrow generate")
+    assert(!p.contains("SortMergeJoin"), "q67 must not shuffle the base table")
+  }
+
+  test("st12: sliding windows plan the static 4-way Expand, not a join") {
+    val df = streaming.Streams.st12.fn(spark, sf)
+    // the batch result is the sink table; the sliding expansion happened
+    // inside the streaming query — assert on the streaming plan shape via
+    // a fresh logical plan of the same aggregation on the batch table
+    import org.apache.spark.sql.functions.{window => twindow, col => tcol}
+    val batch = Tables.events(spark, sf)
+      .groupBy(twindow(tcol("ts"), "1 hour", "15 minutes"), tcol("event_type"))
+      .count()
+    val p = batch.queryExecution.executedPlan.toString
+    assert(p.contains("Expand") || p.contains("explode"),
+      s"sliding window must plan a static window expansion:\n$p")
+    assert(df.columns.contains("window_start"))
+  }
 }
