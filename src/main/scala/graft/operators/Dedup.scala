@@ -171,6 +171,63 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("da"), col("db"))
   }
 
+  /** dd12 — MinHash estimator audit: for every confirmed near-dup pair
+    * (dd02's jaccard ≥ 0.5 set), the k=16 MinHash estimate of Jaccard
+    * next to the exact value, the absolute error, and the
+    * within-2-sigma indicator (sigma = sqrt(J(1−J)/k)). This is the
+    * production dial the dd03 demo (k=8) abstracts away: how many
+    * hash components buy how much estimator accuracy — at 100 TB you
+    * size k from exactly this audit, run on a small confirmed-pair
+    * sample, before committing to a signature width for the corpus.
+    * Everything is md5-deterministic (min-hash = MIN over seeded
+    * fingerprints), so unlike a random-projection sketch the WHOLE
+    * row — estimate, error, and indicator — is exact-oracle-able;
+    * within_2sigma is a reported per-pair column (≈5% of pairs are
+    * legitimately outside), not a gate. Scale shape: the 16
+    * signature components are 16 min-aggs in ONE pass over the
+    * shingle table (dd03's r3 lesson — never explode ×k), and the
+    * estimator join touches only the confirmed-pair rows. */
+  val dd12 = QueryDef.sql("dd12_minhash_estimator",
+    s"""WITH $jaccardCte,
+       |sig AS (SELECT doc_id, i, MIN(md5(i||':'||CAST(h AS VARCHAR))) AS m
+       |        FROM sh, generate_series(0, 15) g(i) GROUP BY doc_id, i),
+       |p AS (SELECT da, db, jaccard FROM jac WHERE jaccard >= 0.5e0),
+       |mt AS (SELECT p.da, p.db, p.jaccard,
+       |         SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS matches
+       |       FROM p JOIN sig a ON a.doc_id = p.da
+       |              JOIN sig b ON b.doc_id = p.db AND b.i = a.i
+       |       GROUP BY 1, 2, 3)
+       |SELECT da, db, jaccard,
+       |  matches * 1e0 / 16 AS est_j,
+       |  abs(matches * 1e0 / 16 - jaccard) AS abs_err,
+       |  abs(matches * 1e0 / 16 - jaccard)
+       |    <= 2e0 * sqrt(jaccard * (1e0 - jaccard) / 16e0) + 1e-12 AS within_2sigma
+       |FROM mt ORDER BY da, db""".stripMargin) { (s, d) =>
+    val sh = shingles(s, d)
+    val sigAggs = (0 until 16).map { i =>
+      min(md5(concat(lit(s"$i:"), col("h").cast("string")))).as(s"m$i")
+    }
+    val sigW = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val a = sigW.select(col("doc_id").as("da") +:
+      (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
+    val b = sigW.select(col("doc_id").as("db") +:
+      (0 until 16).map(i => col(s"m$i").as(s"b$i")): _*)
+    val pairs = jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"), col("jaccard"))
+    val est = col("matches") * lit(1.0) / 16
+    pairs.join(a, "da").join(b, "db")
+      .withColumn("matches",
+        (0 until 16).map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _))
+      .select(col("da"), col("db"), col("jaccard"),
+        est.as("est_j"),
+        abs(est - col("jaccard")).as("abs_err"),
+        (abs(est - col("jaccard")) <=
+          lit(2.0) * sqrt(col("jaccard") * (lit(1.0) - col("jaccard")) / lit(16.0))
+            + lit(1e-12)).as("within_2sigma"))
+      .orderBy("da", "db")
+  }
+
   /** dd04 — SimHash over shingle features: 32-bit fingerprint, 4-byte
     * band join for candidates, Hamming ≤ 6 output. */
   val dd04 = QueryDef.sql("dd04_simhash",
@@ -442,5 +499,5 @@ object Dedup {
       .limit(50)
   }
 
-  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd10, dd11)
+  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd10, dd11, dd12)
 }

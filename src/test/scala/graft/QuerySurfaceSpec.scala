@@ -127,6 +127,18 @@ class QuerySurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("dd12 minhash estimator is exact on exact duplicates") {
+    val rows = SparkEntry.queries("dd12_minhash_estimator")(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture near-dup pairs must exist")
+    rows.foreach { r =>
+      val (j, e) = (r.getAs[Double]("jaccard"), r.getAs[Double]("est_j"))
+      assert(e >= 0.0 && e <= 1.0)
+      assert(r.getAs[Double]("abs_err") == math.abs(e - j))
+      // identical shingle sets hash to identical signatures: J=1 -> est=1
+      if (j == 1.0) assert(e == 1.0 && r.getAs[Boolean]("within_2sigma"))
+    }
+  }
+
   test("ta13 merge candidates are ranked adjacent pairs") {
     val rows = SparkEntry.queries("ta13_bpe_merge_learn")(spark, sf).collect()
     assert(rows.length == 20)
