@@ -125,5 +125,76 @@ object Multimodal {
       .orderBy("format")
   }
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03)
+  final case class Embedded(doc_id: Long, emb: String, l2sq: Long)
+
+  /** STUB embedding "model" — stands in for an ONNX/torch session. The
+    * k-th component is the first 2 bytes of md5(text || ":" || k) as an
+    * unsigned int (0..65535) — integer-exact, so parity needs no float
+    * formatting. A real deployment swaps `predictBatch`'s body for the
+    * model call; the per-partition init + grouped micro-batch shape
+    * stays identical. */
+  private def predictBatch(md: java.security.MessageDigest,
+      batch: Seq[(Long, String)]): Seq[Embedded] =
+    batch.map { case (id, text) =>
+      val comps = (0 until 8).map { k =>
+        val h = md.digest(s"$text:$k".getBytes("UTF-8"))
+        ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+      }
+      Embedded(id, comps.mkString(","),
+        comps.map(c => c.toLong * c).sum)
+    }
+
+  /** Test access: the spec proves batch-boundary/partitioning
+    * independence by re-running the batcher at a different size. */
+  private[graft] def predictBatchForTest(md: java.security.MessageDigest,
+      batch: Seq[(Long, String)]): Seq[Embedded] = predictBatch(md, batch)
+
+  /** mm04 — batched embedding inference: the model-serving shape of a
+    * multimodal pipeline (the step after mm01's decode). The "model"
+    * loads ONCE per partition (the expensive session/GPU-context init a
+    * per-row UDF would pay per record) and rows are scored in
+    * micro-batches of 32 (`Iterator.grouped` — the Scala analogue of
+    * mapInPandas' arrow batches; batch size is the GPU-throughput dial).
+    * Output components stay integer-exact (md5-derived), so the full
+    * embedding string and its L2² norm are bit-oracle-able — no float
+    * formatting ambiguity between engines. At 100 TB this is a pure
+    * narrow map: no shuffle, embarrassingly parallel, and the batch
+    * boundary never affects the result (spec asserts partitioning
+    * independence). */
+  val mm04 = QueryDef.sql("mm04_batch_inference",
+    """SELECT doc_id,
+      |  array_to_string([
+      |    CAST(('0x' || substr(md5(text || ':0'), 1, 4)) AS INTEGER),
+      |    CAST(('0x' || substr(md5(text || ':1'), 1, 4)) AS INTEGER),
+      |    CAST(('0x' || substr(md5(text || ':2'), 1, 4)) AS INTEGER),
+      |    CAST(('0x' || substr(md5(text || ':3'), 1, 4)) AS INTEGER),
+      |    CAST(('0x' || substr(md5(text || ':4'), 1, 4)) AS INTEGER),
+      |    CAST(('0x' || substr(md5(text || ':5'), 1, 4)) AS INTEGER),
+      |    CAST(('0x' || substr(md5(text || ':6'), 1, 4)) AS INTEGER),
+      |    CAST(('0x' || substr(md5(text || ':7'), 1, 4)) AS INTEGER)], ',') AS emb,
+      |  CAST((SELECT SUM(c * c) FROM UNNEST([
+      |    CAST(('0x' || substr(md5(text || ':0'), 1, 4)) AS BIGINT),
+      |    CAST(('0x' || substr(md5(text || ':1'), 1, 4)) AS BIGINT),
+      |    CAST(('0x' || substr(md5(text || ':2'), 1, 4)) AS BIGINT),
+      |    CAST(('0x' || substr(md5(text || ':3'), 1, 4)) AS BIGINT),
+      |    CAST(('0x' || substr(md5(text || ':4'), 1, 4)) AS BIGINT),
+      |    CAST(('0x' || substr(md5(text || ':5'), 1, 4)) AS BIGINT),
+      |    CAST(('0x' || substr(md5(text || ':6'), 1, 4)) AS BIGINT),
+      |    CAST(('0x' || substr(md5(text || ':7'), 1, 4)) AS BIGINT)]) t(c)) AS BIGINT)
+      |    AS l2sq
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5") // model init, once
+      it.grouped(32).flatMap(batch => predictBatch(md, batch))
+    }.toDF()
+      .select("doc_id", "emb", "l2sq")
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04)
 }

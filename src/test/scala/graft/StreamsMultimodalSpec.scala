@@ -90,6 +90,26 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(sessions == declarative)
   }
 
+  test("mm04: batch inference is partitioning-independent") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    def infer(df: org.apache.spark.sql.DataFrame) = {
+      val ds = df.as[(Long, String)]
+      ds.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // micro-batch boundary (7 here vs 32 in mm04) must not affect results
+        it.grouped(7).flatMap(b => multimodal.Multimodal.predictBatchForTest(md, b))
+      }.collect().sortBy(_.doc_id).toSeq
+    }
+    val one = infer(docs.repartition(1))
+    val many = infer(docs.repartition(13))
+    assert(one == many && one.nonEmpty)
+    // and matches the declared query's rows
+    val declared = SparkEntry.queries("mm04_batch_inference")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(declared == one.map(e => (e.doc_id, e.emb, e.l2sq)))
+  }
+
   test("mm01/mm03: stub decode is deterministic and consistent") {
     val a = multimodal.Multimodal.mm01.fn(spark, sf).collect()
     val b = multimodal.Multimodal.mm01.fn(spark, sf).collect()
