@@ -566,7 +566,88 @@ object Curation {
       .orderBy("lang", "source")
   }
 
+  /** sp09 — the END-TO-END curation pipeline: rule gate (ta09's C4/
+    * Gopher booleans) → exact dedup within the gated set (dd01's
+    * min-doc_id survivor per content hash) → token-budget selection
+    * (sp01's half-budget greedy over quality order, GlobalCumsum) →
+    * sequence packing (sp06's 2048-token bins, GlobalCumsum again).
+    * The point is COMPOSITION: every stage is an already-oracled
+    * component, and this query proves they compose into one lazy DAG —
+    * one documents scan feeds the whole chain, the two running sums
+    * are distributed two-pass scans (zero single-partition windows),
+    * and the only driver-side value is the 1-row token total. The
+    * oracle embeds ta09's rule SQL verbatim (the ss03/mm03 pattern) and
+    * re-derives every stage, so a semantic drift in ANY stage — gate,
+    * survivor choice, budget boundary, bin arithmetic — is a hash
+    * miss here even if the stage's own query stays green. At 100 TB
+    * this is the actual shape of a pretraining-data build: narrow maps
+    * + one content-hash shuffle + two prefix-sum passes + one dense-key
+    * agg. */
+  val sp09 = QueryDef.sql("sp09_curation_pipeline",
+    s"""WITH $qualityCte,
+       |rules AS (SELECT doc_id, keep FROM (
+       |${ta09.oracle.get}
+       |) r),
+       |fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+       |g0 AS (SELECT q.doc_id, q.nt, q.quality, fp.f
+       |       FROM q JOIN rules USING (doc_id) JOIN fp USING (doc_id)
+       |       WHERE rules.keep),
+       |surv AS (SELECT f, MIN(doc_id) AS sid FROM g0 GROUP BY f),
+       |gated AS (SELECT g0.doc_id, g0.nt, g0.quality
+       |          FROM g0 JOIN surv ON surv.f = g0.f AND surv.sid = g0.doc_id),
+       |tot AS (SELECT SUM(nt) AS total FROM gated),
+       |sel AS (SELECT doc_id, nt,
+       |          SUM(nt) OVER (ORDER BY quality DESC, doc_id
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |        FROM gated),
+       |cho AS (SELECT doc_id, nt FROM sel, tot WHERE 2 * cum <= tot.total),
+       |c2 AS (SELECT doc_id, nt,
+       |         CAST(SUM(nt) OVER (ORDER BY doc_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |              AS BIGINT) AS cum
+       |       FROM cho),
+       |e AS (SELECT doc_id, nt, cum, cum - nt AS st,
+       |        UNNEST(range((cum - nt) // 2048, (cum - 1) // 2048 + 1)) AS bin
+       |      FROM c2)
+       |SELECT CAST(bin AS BIGINT) AS bin_id,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN st // 2048 = bin THEN 1 ELSE 0 END) AS BIGINT) AS docs_starting,
+       |  CAST(SUM(least(cum, (bin+1)*2048) - greatest(st, bin*2048)) AS BIGINT) AS fill_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM e GROUP BY bin
+       |ORDER BY bin_id""".stripMargin) { (s, d) =>
+    val rules = ta09.fn(s, d).select(col("doc_id"), col("keep"))
+    val fp = T.documents(s, d).select(col("doc_id"), md5(col("text")).as("f"))
+    val g0 = qualityDf(s, d)
+      .join(rules, "doc_id").filter(col("keep"))
+      .join(fp, "doc_id")
+    val surv = g0.groupBy("f").agg(min("doc_id").as("sid"))
+    val gated = g0.join(surv,
+        g0("f") === surv("f") && g0("doc_id") === surv("sid"))
+      .select(g0("doc_id"), g0("nt"), g0("quality"))
+    val total = gated.agg(sum("nt").as("total"))
+    val cho = graft.GlobalCumsum
+      .withRunningSum(gated, Seq(col("quality").desc, col("doc_id")), "nt", "cum")
+      .crossJoin(broadcast(total))
+      .filter(col("cum") * 2 <= col("total"))
+      .select("doc_id", "nt")
+    graft.GlobalCumsum.withRunningSum(cho, Seq(col("doc_id")), "nt", "cum")
+      .withColumn("st", col("cum") - col("nt"))
+      .withColumn("bin",
+        explode(expr("sequence(st div 2048, (cum - 1) div 2048)")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr("st div 2048") === col("bin"), 1).otherwise(0))
+          .cast("long").as("docs_starting"),
+        sum(least(col("cum"), (col("bin") + 1) * 2048) -
+          greatest(col("st"), col("bin") * 2048)).cast("long").as("fill_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .select(col("bin").cast("long").as("bin_id"), col("n_docs"),
+        col("docs_starting"), col("fill_tokens"), col("first_doc"), col("last_doc"))
+      .orderBy("bin_id")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(ta08, ta09, ta10, sp01, sp02, sp03, sp04, sp05, sp06, sp07, sp08,
-      dd08, dd09)
+      sp09, dd08, dd09)
 }

@@ -138,6 +138,32 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_bigrams") == nt(r.getAs[Long]("doc_id"))))
   }
 
+  test("sp09: pipeline stages compose monotonically and bins fill") {
+    val bins = run("sp09_curation_pipeline").collect()
+    assert(bins.nonEmpty, "the curated set must pack at least one bin")
+    // bins are contiguous from 0 and every bin except the last is full
+    val ids = bins.map(_.getAs[Long]("bin_id"))
+    assert(ids.toSeq == (0L until bins.length).toSeq)
+    bins.init.foreach(b => assert(b.getAs[Long]("fill_tokens") == 2048L))
+    assert(bins.last.getAs[Long]("fill_tokens") <= 2048L)
+    // the packed volume respects the half-budget: <= half of the
+    // gate+dedup stage's token total
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val gatedTokens = {
+      val rules = operators.Curation.ta09.fn(spark, sf)
+        .select(col("doc_id"), col("keep"))
+      val fp = docs.select(col("doc_id"), md5(col("text")).as("f"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      val g0 = fp.join(rules, "doc_id").filter(col("keep"))
+      val surv = g0.groupBy("f").agg(min("doc_id").as("sid"))
+      g0.join(surv, g0("f") === surv("f") && g0("doc_id") === surv("sid"))
+        .agg(sum("nt")).head().getLong(0)
+    }
+    val packed = bins.map(_.getAs[Long]("fill_tokens")).sum
+    assert(2 * packed <= gatedTokens, s"packed=$packed gated=$gatedTokens")
+  }
+
   test("sp07: seeded shuffle is a balanced permutation, not the identity") {
     val rows = run("sp07_deterministic_shuffle").collect()
     val n = spark.read.parquet(s"$sf/documents.parquet").count()

@@ -118,6 +118,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "q67 must not shuffle the base table")
   }
 
+  test("sp09: the full pipeline plans zero window operators") {
+    val p = plan("sp09_curation_pipeline")
+    assert(!p.contains("Window"),
+      "both running sums must take the GlobalCumsum two-pass path")
+  }
+
   test("st12: sliding windows plan the static 4-way Expand, not a join") {
     val df = streaming.Streams.st12.fn(spark, sf)
     // the batch result is the sink table; the sliding expansion happened
