@@ -58,6 +58,25 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Heavy-fit protection (r4 verdict): queries at/over repeatThreshold
+    // run once by design, which left the single heavy training exposed to
+    // a load spike (r4 driver artifact: ml04 at 198 s vs 38.5 s clean,
+    // while every cheap query in the same run was at or below clean).
+    // BENCH_EXPECT.json (committed, hand-maintained — BENCH_LOCAL.json
+    // can't serve as the reference because the driver's own runs
+    // overwrite it with possibly-spiked values) pins the clean value for
+    // each heavy query; when a heavy first run exceeds 1.5× its pinned
+    // value it gets ONE retry and reports the min, under a separate
+    // budget so heavy retries never starve the cheap-query repeat pool.
+    val expected: Map[String, Double] = try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("BENCH_EXPECT.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val heavyBudget = 300.0 // sec: cap on heavy-retry time
+    var heavySpent = 0.0
     // 20 s sits between the worst load-spike inflation observed on a
     // sub-second query (q22 at 19.9 s in the r2 driver artifact, ta12 at
     // 14.2 s in an r4 local run — both ~2 s clean) and the genuinely
@@ -77,6 +96,16 @@ object Bench {
           if (t < best) best = t
           r += 1
         }
+        // heavy-query spike retry (see BENCH_EXPECT.json note above)
+        expected.get(name).foreach { exp =>
+          if (first >= repeatThreshold && first > 1.5 * exp && heavySpent < heavyBudget) {
+            System.err.println(
+              f"[bench] $name first run $first%.1f s > 1.5x expected $exp%.1f s - retrying once")
+            val t = once(name, fn)
+            heavySpent += t
+            if (t < best) best = t
+          }
+        }
       }
       (name, first, best)
     }
@@ -85,7 +114,7 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$fails,"protocol":"queries=min of up to $reps runs (repeats only when first<${repeatThreshold}s, global extra budget ${repeatBudget}s); value=sum of first runs"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$fails,"protocol":"queries=min of up to $reps runs (repeats only when first<${repeatThreshold}s, global extra budget ${repeatBudget}s; heavy queries retry once when first>1.5x BENCH_EXPECT.json, budget ${heavyBudget}s); value=sum of first runs"}"""
     // Stop Spark BEFORE printing so no executor/shutdown logging can
     // interleave with (or follow) the metric line; also persist a copy —
     // the round-1 driver failed to tail-parse stdout (sbt appends

@@ -267,6 +267,47 @@ object MlQueries {
       topicsChecked(s, fitted, 10)
   }
 
+  /** ml06 — A6 on the ONLINE optimizer at the reference's FULL training
+    * configuration (k=5, 50 iterations, auto α/β, the `0.05 +
+    * 1/corpusSize` minibatch tweak from `LDAClustering.scala:43`) — the
+    * declared 100 TB path (`LdaPipeline.scala:22-24`), now with its own
+    * driver-checked row instead of riding on ml01's 15-iteration
+    * fit-cache. Oracled via [[topicsChecked]] plus the per-document
+    * posterior invariants the topic-side gate can't see: every
+    * document's topicDistribution sums to 1 (within 1e-6 — it is a
+    * probability distribution) with all entries non-negative, and the
+    * number of documents checked is EXACTLY the corpus size (pure SQL).
+    * A diverged variational fit (NaN posteriors), a lost document, or a
+    * broken normalization flips a compared column; healthy fits of any
+    * seed pass. */
+  val ml06 = QueryDef.sql("ml06_lda_online_train",
+    """SELECT CAST(r AS INTEGER) AS topic, 10 AS n_terms,
+      |  TRUE AS terms_distinct, TRUE AS weights_descending,
+      |  TRUE AS weights_positive, TRUE AS weights_sum_lt_1,
+      |  (SELECT COUNT(*) FROM documents) AS total_docs,
+      |  TRUE AS dist_sums_to_1, TRUE AS dist_nonneg
+      |FROM range(5) t(r)
+      |ORDER BY topic""".stripMargin) { (s, d) =>
+    val tokens = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    val fitted = LdaPipeline.train(s, tokens,
+      LdaPipeline.Params(k = 5, maxIterations = 50, algorithm = "online", seed = 42L))
+    // per-doc posterior invariants in ONE pass over the cached corpus:
+    // booleans reduced with min() (false < true ⇒ min == AND), so the
+    // aggregate is map-side combinable — no per-doc rows move
+    val dist = LdaPipeline.assignTopics(fitted, fitted.corpus)
+      .select(org.apache.spark.ml.functions.vector_to_array(col("topicDistribution")).as("p"))
+      .select(
+        (abs(aggregate(col("p"), lit(0.0), (a, w) => a + w) - lit(1.0)) < lit(1e-6))
+          .as("sum_ok"),
+        forall(col("p"), w => w >= lit(0.0)).as("nonneg_ok"))
+      .agg(
+        count(lit(1)).as("total_docs"),
+        min(col("sum_ok")).as("dist_sums_to_1"),
+        min(col("nonneg_ok")).as("dist_nonneg"))
+    topicsChecked(s, fitted, 10).crossJoin(broadcast(dist)).orderBy("topic")
+  }
+
   /** tf05 — T2: per-document term ranking (the loader's per-book token
     * sort, `LDALoader.scala:86-94`, as one windowed query). */
   val tf05 = QueryDef.sql("tf05_top_terms_per_doc",
@@ -329,5 +370,5 @@ object MlQueries {
   }
 
   val defs: Seq[QueryDef] =
-    Seq(tf01, tf02, tf03, tf04, tf05, tf06, ml01, ml02, ml03, ml04, ml05)
+    Seq(tf01, tf02, tf03, tf04, tf05, tf06, ml01, ml02, ml03, ml04, ml05, ml06)
 }
