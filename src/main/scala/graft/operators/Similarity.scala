@@ -186,14 +186,24 @@ object Similarity {
   private val kmCache = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.ml.clustering.KMeansModel]
 
-  def ivf(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  /** The coarse quantizer model alone (shared by ss04's IVF and ss09's
+    * IVFPQ — ONE cell layout, two scan strategies over it). */
+  private def coarseModel(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    kmCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d", {
+      val e = T.embeddings(s, d)
+        .withColumn("v", array_to_vector(col("embedding")))
+      new KMeans().setK(8).setSeed(42L).setFeaturesCol("v")
+        .setPredictionCol("cell").fit(e)
+    })
+  }
+
+  def ivf(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val e = T.embeddings(s, d)
       .withColumn("v", array_to_vector(col("embedding")))
-    val km = kmCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d",
-      new KMeans().setK(8).setSeed(42L).setFeaturesCol("v")
-        .setPredictionCol("cell").fit(e))
+    val km = coarseModel(s, d)
     val cells = km.transform(e).select(col("vec_id"), col("embedding"), col("cell"))
     val q = cells.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
@@ -414,9 +424,22 @@ object Similarity {
     * query in production. Total codebook size is 4·16·16 floats (~4 KB)
     * — broadcastable at ANY corpus scale; the encoded corpus is 4 bytes
     * per vector instead of 256 (the 64× compression that makes
-    * billion-vector ANN fit in RAM). */
+    * billion-vector ANN fit in RAM).
+    *
+    * Retention (this note covers kmCache above too): entries live for
+    * the session; each holds M=4 (resp. 1) local KMeansModels
+    * whose payload is the ~4 KB of codebook centroids — with one entry
+    * per (application, sf dir) benchmarked, a whole bench sweep retains
+    * a few dozen KB on the driver. Bounded by the handful of dirs a run
+    * touches, so no eviction path; [[clearModelCaches]] exists for specs
+    * that must force a re-fit. */
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[org.apache.spark.ml.clustering.KMeansModel]]
+
+  /** Test hook: drop the memoized k-means models so the next call
+    * re-fits (the ss08/ss09 seed-determinism specs would otherwise just
+    * read back the cached model objects — a vacuous assertion). */
+  private[graft] def clearModelCaches(): Unit = { pqCache.clear(); kmCache.clear() }
 
   private val pqM = 4      // subspaces
   private val pqSub = 16   // dims per subspace
@@ -450,17 +473,23 @@ object Similarity {
     * codebooks are engine-defined (seeded k-means), so like ss04/ss07
     * the oracle pins exact-SQL-derivable columns + invariant booleans:
     * full top-3 returned per query, self excluded, approx cosines in
-    * range, the ADC-selected candidates' TRUE cosine well above the
-    * random-pick baseline (measured 0.17-0.26 across sf0.001-sf1 vs a
-    * random-pick mean of ~0 and spread ~1/sqrt(64)≈0.125 on this data — an absolute precision-vs-exact floor is NOT scale-robust
-    * for PQ on noise-dominated embeddings: measured 0.2 at sf0.001
-    * but 0.0 at sf1, where top-3-of-20k by reconstruction shares
-    * nothing with the exact top-5), and the mean
-    * relative reconstruction error under a bound (measured 0.71-0.76
-    * across sf0.001-sf1 — the synthetic embeddings are mostly noise,
-    * which PQ cannot compress; the 0.9 bound asserts the codebooks
-    * beat the zero-vector baseline (rel err 1.0) with margin, i.e.
-    * the fit actually captured the signal subspace). */
+    * range, the ADC selection USEFUL, and reconstruction sane. The last
+    * two are FIXTURE-DERIVED, not absolute floors (an absolute
+    * precision-vs-exact floor is NOT scale-robust for PQ on
+    * noise-dominated embeddings: measured 0.2 at sf0.001 but 0.0 at
+    * sf1, where top-3-of-20k by reconstruction shares nothing with the
+    * exact top-5):
+    *  - selection_useful: the selected top-3's mean TRUE cosine must
+    *    beat the mean over the WHOLE candidate pool (what a random pick
+    *    from the same pool would score) by ≥ 0.05 — self-normalizing
+    *    under any fixture distribution shift. Measured: selected
+    *    0.17-0.26 vs pool ≈ 0 across sf0.001-sf1, so 3×+ headroom.
+    *  - recon_err_ok: mean relative reconstruction error ≤ 0.95, i.e.
+    *    the codebooks beat the zero-vector baseline (rel err exactly
+    *    1.0 by construction) by a 5% relative margin. Measured
+    *    0.71-0.76 across sf0.001-sf1 — the synthetic embeddings are
+    *    mostly noise, which PQ cannot compress; ~4× the observed
+    *    fit-to-fit jitter of headroom. */
   val ss08 = QueryDef.sql("ss08_pq_adc",
     """SELECT
       |  (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS n_queries,
@@ -496,7 +525,12 @@ object Similarity {
     val q = T.embeddings(s, d).filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val w = Window.partitionBy("qid").orderBy(col("adc_cos").desc, col("nid"))
-    val approx = cand.join(broadcast(q), col("qid") =!= col("nid"))
+    val pool = cand.join(broadcast(q), col("qid") =!= col("nid"))
+    // random-pick baseline for selection_useful: the mean TRUE cosine a
+    // query would score picking uniformly from its candidate pool
+    val poolMean = pool.select(expr(cosine("qe", "ne")).as("c"))
+      .agg(avg("c")).head().getDouble(0)
+    val approx = pool
       .withColumn("adc_cos", expr(cosine("qe", "recon")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
@@ -519,11 +553,136 @@ object Similarity {
       avg("avg_true_cos").as("sel_cos")).head()
     Seq((row.getLong(0), row.getLong(1) == 3L && row.getLong(2) == 3L,
       row.getLong(3) == 0L, row.getDouble(4) <= 1.0 + 1e-9,
-      row.getDouble(6) >= 0.05, meanRelErr <= 0.9))
+      row.getDouble(6) >= poolMean + 0.05, meanRelErr <= 0.95))
       .toDF("n_queries", "full_topk_returned", "self_excluded",
         "cos_in_range", "selection_useful", "recon_err_ok")
   }
 
+  private val nprobe = 2       // cells scanned per query
+  private val shortlistK = 12  // ADC candidates kept for float rerank
+
+  /** IVFPQ candidate/shortlist builder (shared by ss09 and its specs).
+    * Returns (candidates, shortlist): candidates are the cell-pruned
+    * corpus rows per query; the shortlist is the ADC top-[[shortlistK]]
+    * with the exact float cosine attached for rerank. */
+  private[graft] def ivfpqParts(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val km = coarseModel(s, d)
+    val pq = pqModels(s, d)
+    // encoded + cell-assigned corpus: all narrow maps over one scan
+    var enc = T.embeddings(s, d)
+      .withColumn("v", array_to_vector(col("embedding")))
+    enc = km.transform(enc)
+    for (m <- 0 until pqM)
+      enc = pq(m).transform(enc.withColumn(s"v$m",
+        array_to_vector(expr(s"slice(embedding, ${m * pqSub + 1}, $pqSub)"))))
+    val recon = (0 until pqM).map { m =>
+      val cents = pq(m).clusterCenters.map(c => array(c.toArray.map(lit): _*))
+      element_at(array(cents: _*), col(s"code$m") + 1)
+    }
+    val cells = enc.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      col("cell"), concat(recon: _*).as("recon"))
+    // query-side cell probing: distance to each of the 8 centroids (a
+    // literal array — the codebook-as-literal trick again), keep the
+    // nprobe nearest. 8 rows per query; centroid count is a constant of
+    // the layout, not the corpus, so this stays tiny at any scale.
+    val centLit = array(km.clusterCenters.map(c => array(c.toArray.map(lit): _*)): _*)
+    val wProbe = Window.partitionBy("qid").orderBy(col("dist"), col("cell"))
+    val probes = T.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("qid"), col("qe"), posexplode(centLit).as(Seq("cell", "cent")))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(qe, cent, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qe"), col("cell"))
+    // cell-pruned candidate scan: the corpus side only ever meets the
+    // probed cells' rows (broadcast hash join on cell — the probe side
+    // is queries×nprobe rows, tiny at any corpus scale)
+    val cand = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc_cos").desc, col("nid"))
+    val short = cand
+      .withColumn("adc_cos", expr(cosine("qe", "recon")))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= shortlistK)
+      .withColumn("true_cos", expr(cosine("qe", "ne")))
+    (cand, short)
+  }
+
+  /** Final IVFPQ top-3 per query: float rerank of the ADC shortlist. */
+  def ivfpq(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val (_, short) = ivfpqParts(s, d)
+    val wTrue = Window.partitionBy("qid").orderBy(col("true_cos").desc, col("nid"))
+    short.withColumn("rank", row_number().over(wTrue))
+      .filter(col("rank") <= 3)
+      .select("qid", "nid", "rank", "adc_cos", "true_cos")
+      .orderBy("qid", "rank")
+  }
+
+  /** ss09 — IVFPQ: the standard billion-scale ANN layout, composed from
+    * the engine's own parts (`Similarity.scala` named this the follow-up
+    * at ss08's definition): ss04's IVF cells prune the scan to nprobe=2
+    * probed cells per query, ss08's PQ codes give each candidate a 4-byte
+    * ADC score, and the ADC top-[[shortlistK]] get ONE exact float rerank
+    * against the stored vectors (the refine step — at 100 TB the float
+    * vectors live on disk and only the shortlist pages in). Scan cost per
+    * query falls from N dots (ss01) to |probed cells| ADC lookups +
+    * [[shortlistK]] float dots. Cells and codebooks are engine-defined
+    * (seeded k-means), so the oracle pins the exact query count plus
+    * invariant booleans (the ss04/ss08 pattern): full top-3, ranks
+    * exactly {1,2,3}, self excluded, cosines in range, the scan PRUNED
+    * (candidates span ≤ nprobe cells and are strictly fewer than the
+    * corpus), and rerank-dominates-ADC (the reranked top-3's true cosine
+    * is ≥ the pure-ADC top-3's — guaranteed when shortlist ⊇ ADC top-3,
+    * so a wiring bug in either ranking flips it). */
+  val ss09 = QueryDef.sql("ss09_ivfpq",
+    """SELECT
+      |  (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS n_queries,
+      |  TRUE AS full_topk_returned,
+      |  TRUE AS ranks_complete,
+      |  TRUE AS self_excluded,
+      |  TRUE AS cos_in_range,
+      |  TRUE AS scan_pruned,
+      |  TRUE AS rerank_dominates""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val (cand, short) = ivfpqParts(s, d)
+    val corpusN = T.embeddings(s, d).count()
+    val prune = cand.groupBy("qid")
+      .agg(countDistinct("cell").as("ncells"), count(lit(1)).as("ncand"))
+      .agg(max("ncells").as("maxcells"), max("ncand").as("maxcand")).head()
+    val wTrue = Window.partitionBy("qid").orderBy(col("true_cos").desc, col("nid"))
+    val fin = short.withColumn("rank", row_number().over(wTrue))
+      .filter(col("rank") <= 3)
+    val per = fin.groupBy("qid").agg(
+      count(lit(1)).as("returned"),
+      (sort_array(collect_list(col("rank"))) === array(lit(1), lit(2), lit(3)))
+        .as("ranks_ok"),
+      sum(when(col("qid") === col("nid"), 1).otherwise(0)).as("selfs"),
+      max(greatest(abs(col("adc_cos")), abs(col("true_cos")))).as("maxcos"),
+      avg("true_cos").as("rerank_cos"))
+    val adcPer = short.filter(col("adc_rank") <= 3)
+      .groupBy("qid").agg(avg("true_cos").as("adc_cos3"))
+    val row = per.join(adcPer, "qid").agg(
+      count(lit(1)).as("nq"),
+      min("returned").as("minr"), max("returned").as("maxr"),
+      min(col("ranks_ok")).as("ranks_ok"),
+      max("selfs").as("selfs"),
+      max("maxcos").as("maxcos"),
+      min(col("rerank_cos") >= col("adc_cos3") - lit(1e-9)).as("dominates")).head()
+    Seq((row.getLong(0),
+      row.getLong(1) == 3L && row.getLong(2) == 3L,
+      row.getBoolean(3),
+      row.getLong(4) == 0L,
+      row.getDouble(5) <= 1.0 + 1e-9,
+      prune.getLong(0) <= nprobe && prune.getLong(1) < corpusN,
+      row.getBoolean(6)))
+      .toDF("n_queries", "full_topk_returned", "ranks_complete",
+        "self_excluded", "cos_in_range", "scan_pruned", "rerank_dominates")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(ss01, ss02, ss03, ss04, ss05, ss06, ss07, ss08, dd07)
+    Seq(ss01, ss02, ss03, ss04, ss05, ss06, ss07, ss08, ss09, dd07)
 }

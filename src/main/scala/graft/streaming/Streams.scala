@@ -395,7 +395,15 @@ object Streams {
     * per event from first principles (time_bucket minus k·15 min,
     * k ∈ 0..3) and keeps the money sum in exact decimals, so window
     * alignment, fanout, and the emit-on-close boundary (window end ≤
-    * max(ts) − 10 min) are all pinned bit-exactly. */
+    * max(ts) − 10 min) are all pinned bit-exactly.
+    *
+    * Alignment precondition: DuckDB's time_bucket buckets from its
+    * 2000-01-01 default origin while Spark's window() aligns to the
+    * Unix epoch; the two agree here ONLY because 2000-01-01 00:00 UTC
+    * (946684800 s) is an exact multiple of the 15-min slide past the
+    * epoch. A non-divisor slide (e.g. 7 min) would silently misalign —
+    * pass an explicit origin/offset to time_bucket before changing the
+    * slide. */
   val st12 = QueryDef.sql("st12_sliding_window",
     """WITH mx AS (
       |  SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w FROM events),

@@ -124,6 +124,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "both running sums must take the GlobalCumsum two-pass path")
   }
 
+  test("ss09: IVFPQ candidate scan prunes to the probed cells") {
+    // the ss09 query fn aggregates to a LocalTableScan, so lock the plan
+    // of the shared candidate builder the oracle's scan_pruned gate runs on
+    val (cand, _) = operators.Similarity.ivfpqParts(spark, sf)
+    val p = cand.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe side (queries x nprobe rows) must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ss09 must equi-join on cell, never all-pairs:\n$p")
+    // data-level prune: candidates span at most nprobe cells per query,
+    // strictly fewer rows than the query x corpus square
+    import org.apache.spark.sql.functions.{countDistinct, count, lit, max}
+    val agg = cand.groupBy("qid")
+      .agg(countDistinct("cell").as("nc"), count(lit(1)).as("n"))
+      .agg(max("nc"), max("n")).head()
+    val corpusN = Tables.embeddings(spark, sf).count()
+    assert(agg.getLong(0) <= 2, "candidates must span <= nprobe cells")
+    assert(agg.getLong(1) < corpusN, "cell pruning must drop part of the corpus")
+  }
+
   test("st12: sliding windows plan the static 4-way Expand, not a join") {
     val df = streaming.Streams.st12.fn(spark, sf)
     // the batch result is the sink table; the sliding expansion happened

@@ -69,8 +69,24 @@ class StorageSimilaritySpec extends AnyFunSuite {
     Seq("full_topk_returned", "self_excluded", "cos_in_range",
       "selection_useful", "recon_err_ok").foreach(c =>
       assert(row.getAs[Boolean](c), s"gate $c failed"))
-    // seeded codebooks: a second evaluation yields the identical row
+    // seeded codebooks: drop the model caches so the second evaluation
+    // actually RE-FITS the k-means (without this the cache returns the
+    // same model objects and the assertion is vacuous), and compare the
+    // full IVFPQ ranking — scores included — not just gate booleans
+    val before = operators.Similarity.ivfpq(spark, sf).collect().toSeq
+    operators.Similarity.clearModelCaches()
+    val after = operators.Similarity.ivfpq(spark, sf).collect().toSeq
+    assert(before == after, "seeded k-means re-fit must reproduce the IVFPQ ranking")
     assert(SparkEntry.queries("ss08_pq_adc")(spark, sf).head() == row)
+  }
+
+  test("ss09 IVFPQ rerank can only improve on pure-ADC top-3 true cosine") {
+    val rows = operators.Similarity.ivfpq(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("qid")).distinct.length == 10)
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3), s"query $q top-3")
+      rs.foreach(r => assert(r.getAs[Long]("nid") != q, "self must be excluded"))
+    }
   }
 
   test("dd11 repeated passages really repeat at their reported location") {
@@ -93,6 +109,43 @@ class StorageSimilaritySpec extends AnyFunSuite {
     val keys = rows.map(r => (r.getAs[Long]("df"), r.getAs[Long]("n_occ")))
     assert(keys.zip(keys.tail).forall { case ((d1, n1), (d2, n2)) =>
       d1 > d2 || (d1 == d2 && n1 >= n2) })
+  }
+
+  test("dd13 removes exactly the tokens covered by repeated 8-gram spans") {
+    // full driver-side re-derivation from first principles (gram STRINGS,
+    // not the engine's 60-bit fingerprints — a fingerprinting bug would
+    // diverge here): collect repeated 8-grams, mark covered positions,
+    // rebuild each cleaned doc, and compare text + both counts
+    val rows = SparkEntry.queries("dd13_passage_removal")(spark, sf).collect()
+    // split(_, -1): keep trailing empty tokens, matching Spark's split()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, t) <- docs; toks = t.split(" ", -1); if toks.length >= 8;
+         p <- 0 to toks.length - 8)
+      gramDocs.updateWith(toks.slice(p, p + 8).mkString(" "))(
+        o => Some(o.getOrElse(Set.empty) + id))
+    val repeated = gramDocs.filter(_._2.size >= 2).keySet
+    var totalRemoved = 0L
+    assert(rows.length == docs.size, "dd13 must emit every document")
+    rows.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).split(" ", -1)
+      val cov = scala.collection.mutable.Set.empty[Int]
+      if (toks.length >= 8)
+        for (p <- 0 to toks.length - 8
+             if repeated(toks.slice(p, p + 8).mkString(" ")))
+          cov ++= (p until p + 8)
+      assert(r.getAs[Long]("n_tokens_removed") == cov.size.toLong,
+        s"doc ${r.getAs[Long]("doc_id")}: removed-token count mismatch")
+      val clean = toks.zipWithIndex.collect {
+        case (tok, i) if !cov(i) => tok }.mkString(" ")
+      assert(r.getAs[String]("clean_text") == clean)
+      assert(r.getAs[Long]("chars_removed") ==
+        (docs(r.getAs[Long]("doc_id")).length - clean.length).toLong)
+      totalRemoved += cov.size
+    }
+    assert(totalRemoved > 0, "fixture must contain repeated passages to excise")
   }
 
   test("q65 lateral top-2 equals the window-rank formulation") {
