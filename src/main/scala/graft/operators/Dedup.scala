@@ -499,5 +499,78 @@ object Dedup {
       .limit(50)
   }
 
-  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd10, dd11, dd12)
+  /** dd13 — repeated-passage REMOVAL: dd11 reports cross-document
+    * repeated 8-gram spans; this emits the corpus with them excised —
+    * the actual Lee et al. rewrite step (exact repeated substrings are
+    * removed span-wise, not doc-wise). A token is removed iff it is
+    * covered by ANY span (all df≥2 spans, not dd11's display top-50)
+    * whose 8-gram occurs in ≥2 distinct documents; survivors are
+    * rejoined with single spaces.
+    *
+    * Scale shape: the span table is dd11's (fingerprints hashed to
+    * 60-bit longs PRE-shuffle); the flagged-span join moves 8-byte keys;
+    * covered positions shuffle as (doc_id, int) pairs — fixed-width,
+    * bounded by token count; the rewrite itself is ONE doc_id join plus
+    * a narrow higher-order filter over the token array (no explode-and-
+    * regroup of token text, no windows). Output ≈ corpus size, which is
+    * inherent to a rewrite. BOTH engines reconstruct the text from the
+    * token array (rather than keeping the original for untouched docs)
+    * so split/join semantics are identical by construction. */
+  val dd13 = QueryDef.sql("dd13_passage_removal",
+    """WITH toks AS (
+      |  SELECT doc_id, text, string_split(text,' ') AS t FROM documents),
+      |sp AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    CAST(('0x'||substr(md5(array_to_string(t[i:i+7], ' ')),1,15)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, t, UNNEST(range(1, len(t)-6)) AS i
+      |        FROM toks WHERE len(t) >= 8) z),
+      |rep AS (SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, pos + k AS i
+      |  FROM sp JOIN rep USING (h), (SELECT UNNEST(range(0, 8)) AS k) ks),
+      |tokpos AS (
+      |  SELECT doc_id, i - 1 AS i, t[i] AS tok
+      |  FROM (SELECT doc_id, t, UNNEST(range(1, len(t)+1)) AS i FROM toks) z),
+      |keep AS (
+      |  SELECT tp.doc_id, tp.i, tp.tok FROM tokpos tp
+      |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+      |                    WHERE c.doc_id = tp.doc_id AND c.i = tp.i)),
+      |ct AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+      |       FROM keep GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(ct.clean_text, '') AS clean_text,
+      |  CAST(coalesce(cv.n, 0) AS BIGINT) AS n_tokens_removed,
+      |  CAST(len(d.text) - len(coalesce(ct.clean_text, '')) AS BIGINT) AS chars_removed
+      |FROM documents d
+      |LEFT JOIN ct USING (doc_id)
+      |LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id) cv
+      |  USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
+    val sp = toks.filter(size(col("t")) >= 8)
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(0, size(t)-8)")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(expr("concat_ws(' ', slice(t, pos+1, 8))")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val rep = sp.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select("h")
+    val covered = sp.join(rep, "h")
+      .select(col("doc_id"), explode(expr("sequence(pos, pos+7)")).as("i"))
+      .distinct()
+      .groupBy("doc_id").agg(collect_set(col("i")).as("cov"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        expr("concat_ws(' ', filter(t, (x, i) -> cov IS NULL OR NOT array_contains(cov, i)))")
+          .as("clean_text"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_tokens_removed"))
+      .select(col("doc_id"), col("clean_text"), col("n_tokens_removed"),
+        (length(col("text")) - length(col("clean_text"))).cast("long")
+          .as("chars_removed"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd10, dd11, dd12, dd13)
 }
