@@ -323,6 +323,38 @@ object Dedup {
   private def dupClustersUncached(s: SparkSession, d: String): DataFrame = {
     val pairs = jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
       .select(col("da"), col("db"))
+    connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected components over an undirected edge list (`da`, `db`) →
+    * (`id`, `label` = component-min id), shared by dd05 and its specs.
+    *
+    * Phase 1 is simple min-label propagation: one join + min-agg per
+    * round, rounds = component diameter. (A pointer-jumping-from-round-0
+    * variant was measured 2× SLOWER here: near-dup components are
+    * shallow, so the extra join per round outweighs the saved rounds.)
+    * Convergence detection rides along in the SAME job: the old label is
+    * carried through the min-agg (each id has exactly one non-null
+    * `old`, from the labels branch), so each round is exactly ONE action
+    * — no separate old-vs-new count join.
+    *
+    * Phase 2 — deep-chain insurance at 100 TB, where one boilerplate
+    * chain can string thousands of docs together: if the graph has NOT
+    * converged after [[jumpAfter]] rounds (i.e. some component's
+    * diameter exceeds it), each subsequent round ALSO folds in
+    * label-of-label (pointer jumping), which halves the remaining label
+    * depth per round — total rounds become jumpAfter + O(log diameter),
+    * so a depth-10⁶ chain converges in ~28 rounds instead of 10⁶. The
+    * extra join is paid only by graphs that need it; the fixture's
+    * shallow components converge in phase 1 and never take it. Still
+    * fails loudly at 64 rounds rather than silently emitting a partial
+    * fixpoint that would hash-mismatch the oracle's transitive closure
+    * (with jumping, 64 rounds covers diameters beyond 2⁵⁰ — any
+    * non-convergence is a bug, not a deep graph). */
+  private[graft] def connectedComponents(
+      pairs: DataFrame, jumpAfter: Int = 8): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("db").as("da"), col("da").as("db")))
       .distinct().cache()
@@ -333,26 +365,24 @@ object Dedup {
       .agg(min(col("db")).as("mn"))
       .select(col("da").as("id"), least(col("da"), col("mn")).as("label"))
       .cache()
-    // simple min-label propagation: one join + min-agg per round, rounds
-    // = component diameter. (A pointer-jumping variant — also folding in
-    // label-of-label per round for O(log d) rounds — was measured 2×
-    // SLOWER here: near-dup components are shallow, so the extra join
-    // per round outweighs the saved rounds. Revisit only if deep-chain
-    // components appear.) Convergence detection rides along in the SAME
-    // job: the old label is carried through the min-agg (each id has
-    // exactly one non-null `old`, from the labels branch), so each round
-    // is exactly ONE action — no separate old-vs-new count join.
     var prev: DataFrame = labels
     var converged = false
     var rounds = 0
-    val maxRounds = 64 // >= any plausible near-dup component diameter
+    val maxRounds = 64
     while (!converged && rounds < maxRounds) {
-      var next = edges
+      val nullOld = lit(null).cast("long").as("old")
+      var parts = edges
         .join(labels, edges("db") === labels("id"))
-        .select(edges("da").as("id"), col("label"),
-          lit(null).cast("long").as("old"))
+        .select(edges("da").as("id"), col("label"), nullOld)
         .union(labels.select(col("id"), col("label"), col("label").as("old")))
-        .groupBy("id")
+      if (rounds >= jumpAfter) {
+        // pointer jumping: label(v) ← label(label(v)); labels are always
+        // vertex ids present in `labels`, so the self-join is total
+        parts = parts.union(labels.as("a")
+          .join(labels.as("b"), col("a.label") === col("b.id"))
+          .select(col("a.id").as("id"), col("b.label").as("label"), nullOld))
+      }
+      var next = parts.groupBy("id")
         .agg(min("label").as("label"), min("old").as("old"))
       // every few rounds cut the growing iterative lineage so planning
       // stays O(1) per round (lazy: materialized by the count below)
@@ -365,11 +395,8 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
-    // fail loudly rather than silently emitting a partial fixpoint that
-    // would hash-mismatch the oracle's full transitive closure
-    require(converged, s"dd05 label propagation did not converge in $maxRounds rounds")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id")
+    require(converged, s"label propagation did not converge in $maxRounds rounds")
+    labels
   }
 
   /** dd06 — train/test contamination: documents are split 80/20 by a

@@ -111,6 +111,19 @@ class StorageSimilaritySpec extends AnyFunSuite {
       d1 > d2 || (d1 == d2 && n1 >= n2) })
   }
 
+  test("connectedComponents converges on a depth-100 chain via pointer jumping") {
+    // a 101-vertex path has diameter 100 > the 64-round loud-failure cap:
+    // phase-1 propagation alone could never converge, so this passing
+    // proves the round-8 pointer-jumping fallback engages and collapses
+    // the chain in jumpAfter + O(log diameter) rounds
+    import spark.implicits._
+    val pairs = (0L until 100L).map(i => (i, i + 1)).toDF("da", "db")
+    val labels = operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 101)
+    assert(labels.forall(_._2 == 0L), "all chain members must collapse to min id 0")
+  }
+
   test("dd13 removes exactly the tokens covered by repeated 8-gram spans") {
     // full driver-side re-derivation from first principles (gram STRINGS,
     // not the engine's 60-bit fingerprints — a fingerprinting bug would
