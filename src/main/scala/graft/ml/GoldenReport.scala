@@ -28,7 +28,22 @@ object GoldenReport {
   final case class TopicSummary(
       topic: Int, terms: Seq[(String, Double)], books: Seq[String])
 
-  def render(k: Int, books: Seq[BookResult], topics: Seq[TopicSummary]): String = {
+  /** Formatting era. The two differ only in the per-topic book-list
+    * block (`LDALoader.scala:195-205` at reference HEAD vs the
+    * checked-in golden `Result_EN_1591723228815`):
+    *  - [[GoldenEra]] (default, the grading target): "List of Books."
+    *    with a period; the closing rule concatenates DIRECTLY after the
+    *    list; the report's LAST topic renders a trailing ", " as ",\n".
+    *  - [[HeadEra]]: "List of Books:" with a colon; an unconditional
+    *    newline between the list and the closing rule (HEAD appends
+    *    `list + "\n" + rule + "\n\n"` whatever the list ends with); no
+    *    last-topic anomaly. */
+  sealed trait FormatEra
+  case object GoldenEra extends FormatEra
+  case object HeadEra extends FormatEra
+
+  def render(k: Int, books: Seq[BookResult], topics: Seq[TopicSummary],
+      era: FormatEra = GoldenEra): String = {
     val sb = new StringBuilder
     sb.append(hashRule).append('\n')
     sb.append(s"LDA Model with $k topics\n")
@@ -63,30 +78,31 @@ object GoldenReport {
       sb.append(dashRule).append('\n')
       sb.append(s"Amount of books in the topic: ${t.books.length}\n")
       sb.append(dashRule).append('\n')
-      // "List of Books." with a PERIOD: the checked-in golden
-      // (Result_EN_1591723228815) is the only byte-level ground truth,
-      // and it reads "List of Books." — the reference's current head
-      // (LDALoader.scala:200) says ":" but has no golden of its own.
-      sb.append("List of Books.\n")
+      // "List of Books." with a PERIOD in the golden era: the checked-in
+      // golden (Result_EN_1591723228815) is the only byte-level ground
+      // truth and it reads "List of Books."; reference HEAD
+      // (LDALoader.scala:200) writes ":" — see [[FormatEra]].
+      sb.append(if (era == HeadEra) "List of Books:\n" else "List of Books.\n")
       sb.append(dashRule).append('\n')
-      // Book list, byte-derived from the golden (GoldenReportParitySpec
-      // round-trips it): a separator follows EVERY book — "\n" after
-      // each 3rd within the topic, ", " otherwise (LDALoader.scala:
-      // 142-149) — and the closing rule is concatenated DIRECTLY after
-      // the list, so a list ending ", " keeps the rule on the same line
-      // ("….txt, ----") while one ending "\n" puts it on its own line.
-      // Sole observed exception: the report's LAST topic renders a
-      // trailing ", " as ",\n" (golden byte anomaly, kept verbatim).
-      // Era note: this pins the CHECKED-IN golden's formatting; the
-      // reference HEAD's LDALoader has since drifted (always "\n"+rule
-      // after the list, writes "List of Books:"). The golden file is
-      // the grading target — see COVERAGE.md §2.2 K3.
+      // Book list (both eras): a separator follows EVERY book — "\n"
+      // after each 3rd within the topic, ", " otherwise
+      // (LDALoader.scala:142-149). Golden era, byte-derived from the
+      // golden (GoldenReportParitySpec round-trips it): the closing rule
+      // concatenates DIRECTLY after the list, so a list ending ", "
+      // keeps the rule on the same line ("….txt, ----") while one
+      // ending "\n" puts it on its own line; sole observed exception:
+      // the report's LAST topic renders a trailing ", " as ",\n"
+      // (golden byte anomaly, kept verbatim). HEAD era: always
+      // list + "\n" + rule (LDALoader.scala:205), no anomaly.
       val list = t.books.zipWithIndex.map { case (name, i) =>
         name + (if ((i + 1) % 3 == 0) "\n" else ", ")
       }.mkString
-      val isLast = ti == topics.length - 1
-      sb.append(
-        if (isLast && list.endsWith(", ")) list.dropRight(2) + ",\n" else list)
+      if (era == HeadEra) sb.append(list).append('\n')
+      else {
+        val isLast = ti == topics.length - 1
+        sb.append(
+          if (isLast && list.endsWith(", ")) list.dropRight(2) + ",\n" else list)
+      }
       sb.append(dashRule).append("\n\n")
     }
     sb.append(starRule).append("\n\n")
@@ -99,7 +115,7 @@ object GoldenReport {
     * main_topic, top_words); `topics` is describeTopics output
     * (topic, terms, termWeights). */
   def fromDataFrames(k: Int, assigned: DataFrame, topics: DataFrame,
-      nameCol: String = "book_name"): String = {
+      nameCol: String = "book_name", era: FormatEra = GoldenEra): String = {
     val hasWords = assigned.columns.contains("top_words")
     val cols = Seq("doc_id", nameCol, "topicDistribution", "main_topic") ++
       (if (hasWords) Seq("top_words") else Nil)
@@ -119,7 +135,7 @@ object GoldenReport {
         r.getSeq[String](1).zip(r.getSeq[Double](2)).toSeq,
         books.filter(_.mainTopic == r.getInt(0)).map(_.name).toSeq)
     }
-    render(k, books.toSeq, topicRows.toSeq)
+    render(k, books.toSeq, topicRows.toSeq, era)
   }
 
   def write(path: String, content: String): Unit = {

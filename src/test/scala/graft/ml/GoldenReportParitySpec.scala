@@ -140,4 +140,72 @@ class GoldenReportParitySpec extends AnyFunSuite {
         s"golden ...${raw.slice(at - 40, at + 40)}...")
     }
   }
+
+  test("HeadEra renders the reference HEAD's byte sequence (regenerated sample)") {
+    // Independent re-derivation of LDALoader HEAD's append sequence
+    // (LDALoader.scala:172-207): the booksPerTopicNameVector string is
+    // accumulated with a separator after EVERY book ("\n" each 3rd
+    // within the topic, ", " otherwise), then the topics section writes
+    // rule/TOPIC i/rule, term\tweight lines, blank, rule, Amount, rule,
+    // "List of Books:" (COLON at HEAD), rule, list + "\n" + rule + "\n\n"
+    // — unconditionally, no golden-era last-topic anomaly. Fixture
+    // chosen so topic lists end every way: ", " (1 and 4 books), "\n"
+    // (3 books), and empty.
+    val hashRule = "#" * 87
+    val starRule = "*" * 87
+    val dashRule = "-" * 55
+    val books = Seq(
+      GoldenReport.BookResult(0, "a.txt", Seq(0.8, 0.2, 0.0, 0.0), 0, 0.8, Seq("w1", "w2")),
+      GoldenReport.BookResult(1, "b.txt", Seq(0.1, 0.9, 0.0, 0.0), 1, 0.9, Seq("w3")),
+      GoldenReport.BookResult(2, "c.txt", Seq(0.0, 0.6, 0.4, 0.0), 1, 0.6, Seq()),
+      GoldenReport.BookResult(3, "d.txt", Seq(0.0, 0.7, 0.3, 0.0), 1, 0.7, Seq("w4")),
+      GoldenReport.BookResult(4, "e.txt", Seq(0.0, 0.55, 0.45, 0.0), 1, 0.55, Seq()))
+    val topics = Seq(
+      GoldenReport.TopicSummary(0, Seq("t0" -> 0.5), Seq("a.txt")),
+      GoldenReport.TopicSummary(1, Seq("t1" -> 0.4, "t2" -> 0.1),
+        Seq("b.txt", "c.txt", "d.txt", "e.txt")),
+      GoldenReport.TopicSummary(2, Seq("t3" -> 0.2), Seq("c.txt", "d.txt", "e.txt")),
+      GoldenReport.TopicSummary(3, Seq.empty, Seq.empty))
+    val sb = new StringBuilder
+    sb.append(hashRule).append('\n').append("LDA Model with 4 topics\n").append(hashRule).append('\n')
+    books.foreach { b =>
+      sb.append(starRule).append('\n')
+      sb.append(s"Book's number: ${b.number}\n")
+      sb.append(s"Book's name: ${b.name}\n")
+      sb.append('\n').append(dashRule).append('\n')
+      sb.append("Topics Nr. \t|\t Distribution\n").append(dashRule).append('\n')
+      b.distribution.zipWithIndex.foreach { case (w, i) => sb.append(s"Nr.: $i \t\t|\t $w\n") }
+      sb.append(s"Main topic of the book: Topic Nr. (${b.mainTopic}), Weight (${b.mainWeight})\n")
+      sb.append("Book most important words\n").append(dashRule).append('\n')
+      sb.append("Word. \t|\t TF\n").append(dashRule).append('\n')
+      b.topWords.foreach(w => sb.append(s"$w, "))
+      sb.append('\n').append(starRule).append("\n\n")
+    }
+    sb.append(starRule).append('\n').append("List of topics\n").append(starRule).append('\n')
+    topics.foreach { t =>
+      sb.append(dashRule).append('\n').append(s"TOPIC ${t.topic}: top-weighted terms\n")
+        .append(dashRule).append('\n')
+      t.terms.foreach { case (term, w) => sb.append(s"$term\t$w\n") }
+      sb.append('\n').append(dashRule).append('\n')
+      sb.append(s"Amount of books in the topic: ${t.books.length}\n").append(dashRule).append('\n')
+      sb.append("List of Books:\n").append(dashRule).append('\n')
+      t.books.zipWithIndex.foreach { case (name, i) =>
+        sb.append(name).append(if ((i + 1) % 3 == 0) "\n" else ", ") }
+      sb.append('\n').append(dashRule).append("\n\n")
+    }
+    sb.append(starRule).append("\n\n").append(hashRule).append('\n')
+    val expected = sb.toString
+    val rendered = GoldenReport.render(4, books, topics, GoldenReport.HeadEra)
+    if (rendered != expected) {
+      val d = rendered.zip(expected).indexWhere { case (a, b) => a != b }
+      val at = if (d < 0) math.min(rendered.length, expected.length) else d
+      fail(s"HEAD-era byte divergence at offset $at: " +
+        s"rendered ...${rendered.slice(at - 40, at + 40)}... vs " +
+        s"expected ...${expected.slice(at - 40, at + 40)}...")
+    }
+    // and the two eras differ ONLY in the topics-list block
+    val golden = GoldenReport.render(4, books, topics)
+    assert(golden != rendered)
+    assert(golden.contains("List of Books.") && rendered.contains("List of Books:"))
+  }
 }
