@@ -836,7 +836,94 @@ object Streams {
     }
   }
 
+  /** st14 — streaming near-dup ADMISSION: the ingestion-time shape of
+    * the dd03 MinHash dedup. Incoming documents (doc_id % 5 == 0 plays
+    * the "new crawl batch") are streamed; each is checked against a
+    * STATIC MinHash band index of the existing corpus (doc_id % 5 != 0)
+    * and every (incoming, corpus) pair sharing ≥1 of the 8 signature
+    * components is emitted with its shared-band count — the admission
+    * filter a training-data pipeline runs on every crawl delta before
+    * the batch dedup ever sees the data.
+    *
+    * The scale story is the point: the stream side computes its k=8
+    * signature with SCALAR expressions only — array_distinct over the
+    * shingle fingerprints, then array_min per component — so signature
+    * extraction is map-only (no explode, no per-doc groupBy, no shuffle
+    * before the join; dd03's batch form pays one groupBy because its
+    * input is the corpus-wide pruned shingle table). The corpus index
+    * is precomputed batch state keyed by (component, value) — at 100 TB
+    * it is a bucketed table the micro-batch joins against (small here,
+    * so Spark broadcasts it); only genuinely colliding pairs leave the
+    * join. Signatures are md5-derived exactly as dd03's, so the DuckDB
+    * oracle re-derives the whole pipeline bit-exactly (no df≤100 prune
+    * on either side: an incoming doc cannot know corpus-wide shingle
+    * document frequencies at admission time, and the oracle encodes the
+    * same choice). */
+  val st14 = QueryDef.sql("st14_stream_neardup_admission",
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents
+      |              WHERE len(string_split(text,' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id,
+      |          CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM (
+      |  SELECT doc_id, UNNEST(list_transform(range(1, len(t)-1),
+      |    i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s FROM toks)),
+      |sig AS (SELECT doc_id, i, MIN(md5(i||':'||CAST(h AS VARCHAR))) AS m
+      |        FROM sh0, generate_series(0, 7) g(i) GROUP BY doc_id, i),
+      |inc AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+      |corp AS (SELECT * FROM sig WHERE doc_id % 5 <> 0)
+      |SELECT inc.doc_id AS incoming_id, corp.doc_id AS corpus_id,
+      |  COUNT(*) AS shared_bands, COUNT(*) * 1e0 / 8 AS est_sim
+      |FROM inc JOIN corp ON inc.i = corp.i AND inc.m = corp.m
+      |GROUP BY 1, 2
+      |ORDER BY incoming_id, corpus_id""".stripMargin) { (s, d) =>
+    val name = s"st14_sink_${System.nanoTime()}"
+    val corpusIndex = scalarSignatures(T.documents(s, d))
+      .filter(col("doc_id") % 5 =!= 0)
+      .withColumnRenamed("doc_id", "corpus_id")
+    val batchSchema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val admitted = scalarSignatures(stream)
+      .filter(col("doc_id") % 5 === 0)
+      .withColumnRenamed("doc_id", "incoming_id")
+      .join(corpusIndex, Seq("i", "m"))
+      .groupBy("incoming_id", "corpus_id")
+      .agg(count(lit(1)).as("shared_bands"))
+    val q = admitted.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("incoming_id"), col("corpus_id"), col("shared_bands"),
+        (col("shared_bands") * lit(1.0) / 8).as("est_sim"))
+      .orderBy("incoming_id", "corpus_id")
+  }
+
+  /** Map-only k=8 MinHash signatures in long form (doc_id, i, m): the
+    * per-doc distinct 3-gram shingle fingerprints (60-bit md5 longs,
+    * the dd02/dd03 derivation) reduced per signature component with
+    * array_min — pure scalar expressions, so the SAME code runs on a
+    * batch frame (corpus index build) and a streaming frame (per-batch
+    * admission) with zero pre-join shuffles on either. stack() unpivots
+    * the 8 wide columns; it is a stateless generator, so the streaming
+    * plan stays aggregation-free until the post-join count. */
+  private def scalarSignatures(docs: DataFrame): DataFrame = {
+    val wide = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .withColumn("shs", expr(
+        """array_distinct(transform(sequence(0, size(t)-3),
+          |  i -> CAST(conv(substring(md5(concat(t[i], ' ', t[i+1], ' ', t[i+2])), 1, 15), 16, 10) AS BIGINT)))""".stripMargin))
+      .select(col("doc_id") +: (0 to 7).map { i =>
+        expr(s"array_min(transform(shs, h -> md5(concat('$i:', CAST(h AS STRING)))))").as(s"m$i")
+      }: _*)
+    wide.select(col("doc_id"), expr(
+      "stack(8, " + (0 to 7).map(i => s"$i, m$i").mkString(", ") + ") AS (i, m)"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(st01, st01b, st02, st03, st04, st05, st06, st07, st08, st09, st10,
-      st11, st12, st13)
+      st11, st12, st13, st14)
 }

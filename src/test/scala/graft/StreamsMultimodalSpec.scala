@@ -90,6 +90,41 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(sessions == declarative)
   }
 
+  test("st14: streamed admission equals the batch explode/groupBy MinHash form") {
+    // The streaming side computes signatures with SCALAR expressions
+    // (array_distinct + array_min — map-only); this comparator takes the
+    // classical route (explode -> distinct -> 8 min-aggs) over the same
+    // unpruned shingle set. Agreement proves the scalar reduction is the
+    // aggregate min AND that the stream-static band join + complete-mode
+    // count reproduce the batch pipeline.
+    val streamed = streaming.Streams.st14.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val sh0 = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val sigAggs = (0 to 7).map { i =>
+      min(md5(concat(lit(s"$i:"), col("h").cast("string")))).as(s"m$i")
+    }
+    val sig = sh0.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("doc_id"), expr(
+        "stack(8, " + (0 to 7).map(i => s"$i, m$i").mkString(", ") + ") AS (i, m)"))
+    val batch = sig.filter(col("doc_id") % 5 === 0)
+      .withColumnRenamed("doc_id", "incoming_id")
+      .join(sig.filter(col("doc_id") % 5 =!= 0)
+        .withColumnRenamed("doc_id", "corpus_id"), Seq("i", "m"))
+      .groupBy("incoming_id", "corpus_id")
+      .agg(count(lit(1)).as("shared_bands"))
+      .orderBy("incoming_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty, "fixture should produce at least one admission pair")
+    assert(streamed == batch)
+  }
+
   test("mm04: batch inference is partitioning-independent") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
