@@ -683,6 +683,82 @@ object Similarity {
         "self_excluded", "cos_in_range", "scan_pruned", "rerank_dominates")
   }
 
+  /** ss10 — margin-based bitext mining (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * ACL 2019 — the CCMatrix-style parallel-pair miner). Label 0 plays
+    * the source-language shard, label 1 the target shard; every source
+    * vector is aligned to its best target by the MARGIN criterion —
+    * cos(x,y) normalized by the mean of both vectors' top-4 neighbor
+    * cosines — which suppresses hub vectors that plain cosine top-1
+    * mis-aligns. Output: one row per source vector with its best target,
+    * raw cosine, margin, and the mined flag (margin ≥ threshold).
+    *
+    * Exactness: cosines use the fixed left-to-right double accumulation
+    * shared with ss01's oracle; the top-4 means are pivoted into four
+    * columns and added in LITERAL order ((k1+k2+k3+k4)/4 — a windowed
+    * AVG would sum in engine order and drift a ulp), so margins are
+    * bit-identical in both engines and even the threshold boolean
+    * hash-matches. Scale: the demo scores the full A×B pair table
+    * (broadcast of the smaller shard); in production the pair table is
+    * the ANN shortlist (ss02/ss09) and the margin terms are the same
+    * two bounded window aggregations keyed by src/tgt — nothing here
+    * needs the full cross product at 100 TB. */
+  val ss10 = QueryDef.sql("ss10_bitext_margin_mining",
+    s"""WITH a AS (SELECT vec_id AS aid, embedding AS ae FROM embeddings WHERE label = 0),
+       |b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings WHERE label = 1),
+       |pairs AS (SELECT aid, bid, ${duckCosine("ae", "be")} AS cos FROM a, b),
+       |ranked AS (SELECT aid, bid, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY aid ORDER BY cos DESC, bid) AS ra,
+       |  ROW_NUMBER() OVER (PARTITION BY bid ORDER BY cos DESC, aid) AS rb
+       |  FROM pairs),
+       |ka AS (SELECT aid,
+       |  (MAX(CASE WHEN ra = 1 THEN cos END) + MAX(CASE WHEN ra = 2 THEN cos END)
+       |   + MAX(CASE WHEN ra = 3 THEN cos END) + MAX(CASE WHEN ra = 4 THEN cos END)) / 4 AS ka
+       |  FROM ranked WHERE ra <= 4 GROUP BY aid),
+       |kb AS (SELECT bid,
+       |  (MAX(CASE WHEN rb = 1 THEN cos END) + MAX(CASE WHEN rb = 2 THEN cos END)
+       |   + MAX(CASE WHEN rb = 3 THEN cos END) + MAX(CASE WHEN rb = 4 THEN cos END)) / 4 AS kb
+       |  FROM ranked WHERE rb <= 4 GROUP BY bid),
+       |scored AS (SELECT p.aid, p.bid, p.cos, (p.cos * 2e0) / (ka.ka + kb.kb) AS margin
+       |  FROM pairs p JOIN ka USING(aid) JOIN kb USING(bid)),
+       |sel AS (SELECT aid, bid, cos, margin,
+       |  ROW_NUMBER() OVER (PARTITION BY aid ORDER BY margin DESC, bid) AS rk FROM scored)
+       |SELECT aid AS src_id, bid AS tgt_id, cos AS cos_sim, margin,
+       |  margin >= 1.02e0 AS mined
+       |FROM sel WHERE rk = 1
+       |ORDER BY src_id""".stripMargin) { (s, d) =>
+    val e = T.embeddings(s, d)
+    val a = e.filter(col("label") === 0)
+      .select(col("vec_id").as("aid"), col("embedding").as("ae"))
+    val b = e.filter(col("label") === 1)
+      .select(col("vec_id").as("bid"), col("embedding").as("be"))
+    val pairs = a.crossJoin(broadcast(b))
+      .withColumn("cos", expr(cosine("ae", "be")))
+      .select("aid", "bid", "cos")
+    val wa = Window.partitionBy("aid").orderBy(col("cos").desc, col("bid"))
+    val wb = Window.partitionBy("bid").orderBy(col("cos").desc, col("aid"))
+    val ranked = pairs
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+    def top4Mean(grp: String, rnk: String, out: String) = {
+      val ks = (1 to 4).map(i => max(when(col(rnk) === i, col("cos"))).as(s"k$i"))
+      ranked.filter(col(rnk) <= 4).groupBy(grp)
+        .agg(ks.head, ks.tail: _*)
+        .select(col(grp),
+          ((col("k1") + col("k2") + col("k3") + col("k4")) / lit(4)).as(out))
+    }
+    val scored = pairs
+      .join(top4Mean("aid", "ra", "ka"), "aid")
+      .join(top4Mean("bid", "rb", "kb"), "bid")
+      .withColumn("margin", col("cos") * lit(2.0) / (col("ka") + col("kb")))
+    val w1 = Window.partitionBy("aid").orderBy(col("margin").desc, col("bid"))
+    scored.withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
+      .select(col("aid").as("src_id"), col("bid").as("tgt_id"),
+        col("cos").as("cos_sim"), col("margin"),
+        (col("margin") >= lit(1.02)).as("mined"))
+      .orderBy("src_id")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(ss01, ss02, ss03, ss04, ss05, ss06, ss07, ss08, ss09, dd07)
+    Seq(ss01, ss02, ss03, ss04, ss05, ss06, ss07, ss08, ss09, ss10, dd07)
 }

@@ -161,6 +161,55 @@ class StorageSimilaritySpec extends AnyFunSuite {
     assert(totalRemoved > 0, "fixture must contain repeated passages to excise")
   }
 
+  test("ss10 margin mining equals a driver-side brute-force reimplementation") {
+    // Independent oracle in plain Scala: same left-to-right double
+    // accumulation, top-4 means in literal order, argmax by (margin
+    // desc, bid asc). Ids and flags must match exactly; margins to 1e-9
+    // (both engines compute the identical expression, so in practice
+    // they are bit-equal — the epsilon only guards the comparison).
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val A = emb.filter(_._3 == 0).sortBy(_._1)
+    val B = emb.filter(_._3 == 1).sortBy(_._1)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        dot += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val cosMap = (for { (ai, ax, _) <- A; (bi, bx, _) <- B }
+      yield ((ai, bi), cos(ax, bx))).toMap
+    def top4(ns: Seq[(Long, Double)]): Double = {
+      val t = ns.sortBy { case (id, c) => (-c, id) }.take(4).map(_._2)
+      (((t(0) + t(1)) + t(2)) + t(3)) / 4
+    }
+    val ka = A.map { case (ai, _, _) =>
+      ai -> top4(B.map { case (bi, _, _) => (bi, cosMap((ai, bi))) }.toSeq) }.toMap
+    val kb = B.map { case (bi, _, _) =>
+      bi -> top4(A.map { case (ai, _, _) => (ai, cosMap((ai, bi))) }.toSeq) }.toMap
+    val expected = A.map { case (ai, _, _) =>
+      val cands = B.map { case (bi, _, _) =>
+        (bi, cosMap((ai, bi)) * 2.0 / (ka(ai) + kb(bi))) }
+      val (bestB, bestM) = cands.minBy { case (bi, m) => (-m, bi) }
+      (ai, bestB, bestM >= 1.02)
+    }.toSeq
+    val got = operators.Similarity.ss10.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("margin"),
+        r.getBoolean(4))).toSeq
+    assert(got.map(t => (t._1, t._2, t._4)) == expected.map(t => (t._1, t._2, t._3)))
+    val expM = expected.map(_._1).zip(A.map { case (ai, _, _) => ai }).forall(t => t._1 == t._2)
+    assert(expM)
+    got.zip(expected).foreach { case ((ai, bi, m, _), (eai, ebi, _)) =>
+      val em = cosMap((ai, bi)) * 2.0 / (ka(ai) + kb(bi))
+      assert(math.abs(m - em) < 1e-9, s"margin mismatch for ($ai,$bi)")
+    }
+  }
+
   test("q65 lateral top-2 equals the window-rank formulation") {
     val lateral = SparkEntry.queries("q65_lateral_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
