@@ -126,5 +126,42 @@ object Windows {
       .orderBy("quartile", "c_mktsegment")
   }
 
-  val defs: Seq[QueryDef] = Seq(q11, q12, q13, q14, q15)
+  /** q68 — time-interval RANGE window: trailing-7-day order count and
+    * exact spend per customer, the moving-window feature shape every
+    * time-series / training-data-freshness stat needs. The frame is a
+    * VALUE range (all orders within the prior 6 days incl. the current
+    * date — peers share one frame, so ties can't make the result
+    * order-dependent), not a ROWS frame. Spark's DataFrame API takes
+    * only numeric rangeBetween bounds, so the order key is the date as
+    * epoch days with rangeBetween(-6, 0) — semantically identical to
+    * the oracle's `RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT
+    * ROW` over the raw date. The spend sum is decimal inside the frame
+    * (order-free exactness) and cast to double once.
+    *
+    * Scale: one hash shuffle on o_custkey, per-partition sort by date —
+    * the same plan as q12; the RANGE frame is evaluated with a sliding
+    * two-pointer over the sorted partition, O(rows), no re-scan per
+    * frame. */
+  val q68 = QueryDef.sql("q68_interval_range_window",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_7d
+      |FROM orders
+      |WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("epoch_day"))
+      .rangeBetween(-6, 0)
+    T.orders(s, d)
+      .filter(col("o_custkey") <= 100)
+      .withColumn("epoch_day", datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        count(lit(1)).over(w).cast("bigint").as("n_7d"),
+        sum(d2(col("o_totalprice"))).over(w).cast(DoubleType).as("spend_7d"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q11, q12, q13, q14, q15, q68)
 }

@@ -158,4 +158,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"sliding window must plan a static window expansion:\n$p")
     assert(df.columns.contains("window_start"))
   }
+
+  test("q68: interval RANGE frame stays one windowed sort, never a self-join") {
+    val p = plan("q68_interval_range_window")
+    assert(p.contains("Window"), "RANGE frame must plan a Window operator")
+    assert(!p.contains("Join"),
+      "moving-window aggregation must not rewrite to a range self-join")
+    // exactly one hash exchange (o_custkey) feeds the window sort; the
+    // top-level ORDER BY adds only a rangepartitioning exchange
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly one hash exchange, got $hashEx:\n$p")
+  }
 }
