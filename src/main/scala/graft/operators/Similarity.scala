@@ -28,8 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val dotExpr =
-    "aggregate(zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  /** Sequential double dot product — `vec_dot` is the native codegen'd
+    * [[graft.functions.FloatDot]] Expression, bit-identical (incl. null
+    * semantics) to the aggregate(zip_with(...)) higher-order form it
+    * replaced: those are CodegenFallback and walked two interpreted
+    * closures per row in the hottest scoring loops. Each consuming
+    * query closure calls [[regDot]] before first use. */
+  private val dotExpr = "vec_dot(%s, %s)"
+
+  private def regDot(s: SparkSession): Unit = graft.functions.FloatDot.register(s)
 
   private def cosine(qe: String, ne: String): String =
     s"${dotExpr.format(qe, ne)} / (sqrt(${dotExpr.format(qe, qe)}) * sqrt(${dotExpr.format(ne, ne)}))"
@@ -53,6 +60,7 @@ object Similarity {
        |  FROM scored) t
        |WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    regDot(s)
     val e = T.embeddings(s, d)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -111,6 +119,7 @@ object Similarity {
        |  FROM scored) t
        |WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    regDot(s)
     val e = T.embeddings(s, d)
     val b = e.withColumn("bucket", expr(bucketSpark("embedding")))
     val q = b.filter(col("vec_id") < 10)
@@ -200,6 +209,7 @@ object Similarity {
   }
 
   def ivf(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    regDot(s)
     import org.apache.spark.ml.functions.array_to_vector
     val e = T.embeddings(s, d)
       .withColumn("v", array_to_vector(col("embedding")))
@@ -240,6 +250,7 @@ object Similarity {
        |  FROM scored) t
        |WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    regDot(s)
     val e = T.embeddings(s, d)
     val b = e.withColumn("bucket", expr(bucketSpark("embedding")))
     val q = b.filter(col("vec_id") < 10)
@@ -299,6 +310,7 @@ object Similarity {
        |  FROM scored) t
        |WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    regDot(s)
     val e = T.embeddings(s, d)
       .select(col("vec_id"), expr(quantSpark("embedding")).as("qv"))
     val q = e.filter(col("vec_id") < 10)
@@ -394,6 +406,7 @@ object Similarity {
        |FROM scored
        |WHERE cos_sim >= 0.35e0
        |ORDER BY va, vb""".stripMargin) { (s, d) =>
+    regDot(s)
     val b = T.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         expr(sig16Spark("embedding")).as("sig"),
@@ -498,6 +511,7 @@ object Similarity {
       |  TRUE AS cos_in_range,
       |  TRUE AS selection_useful,
       |  TRUE AS recon_err_ok""".stripMargin) { (s, d) =>
+    regDot(s)
     import s.implicits._
     val models = pqModels(s, d)
     import org.apache.spark.ml.functions.array_to_vector
@@ -568,6 +582,7 @@ object Similarity {
   private[graft] def ivfpqParts(
       s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    regDot(s)
     import org.apache.spark.ml.functions.array_to_vector
     val km = coarseModel(s, d)
     val pq = pqModels(s, d)
@@ -647,6 +662,7 @@ object Similarity {
       |  TRUE AS cos_in_range,
       |  TRUE AS scan_pruned,
       |  TRUE AS rerank_dominates""".stripMargin) { (s, d) =>
+    regDot(s)
     import s.implicits._
     val (cand, short) = ivfpqParts(s, d)
     val corpusN = T.embeddings(s, d).count()
@@ -727,6 +743,7 @@ object Similarity {
        |  margin >= 1.02e0 AS mined
        |FROM sel WHERE rk = 1
        |ORDER BY src_id""".stripMargin) { (s, d) =>
+    regDot(s)
     val e = T.embeddings(s, d)
     val a = e.filter(col("label") === 0)
       .select(col("vec_id").as("aid"), col("embedding").as("ae"))

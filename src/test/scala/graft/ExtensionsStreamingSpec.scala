@@ -40,6 +40,48 @@ class ExtensionsStreamingSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("top_k_ids"))
   }
 
+  test("vec_dot: bit-identical to the HOF form, null semantics, both eval paths") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    functions.FloatDot.register(spark)
+    // seeded irregular floats — exercises float→double widening order
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(64) { i =>
+      (i.toLong,
+        Array.fill(16)((rnd.nextGaussian() * 1e3).toFloat),
+        Array.fill(16)((rnd.nextGaussian() * 1e-3).toFloat))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val hof = "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    def run() = df.selectExpr("id", s"vec_dot(a, b) AS nat", s"$hof AS ref")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // codegen path (default) — exact == : same left-to-right IEEE chain
+    run().foreach { case (_, nat, ref) =>
+      assert(java.lang.Double.doubleToLongBits(nat) == java.lang.Double.doubleToLongBits(ref))
+    }
+    // interpreted path (nullSafeEval) must agree bit-for-bit too
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try run().foreach { case (_, nat, ref) =>
+      assert(java.lang.Double.doubleToLongBits(nat) == java.lang.Double.doubleToLongBits(ref))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // null semantics match the HOF form: length mismatch → NULL (zip_with
+    // pads with null), a null element → NULL, empty arrays → 0.0
+    val edge = spark.sql(
+      """SELECT
+        |  vec_dot(array(1.0F, 2.0F), array(1.0F)) AS len_mismatch,
+        |  vec_dot(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F)) AS null_elem,
+        |  vec_dot(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)) AS null_arr,
+        |  vec_dot(CAST(array() AS ARRAY<FLOAT>), CAST(array() AS ARRAY<FLOAT>)) AS empty,
+        |  vec_dot(array(1.0D, 0.5D), array(2.0D, 4.0D)) AS dbl""".stripMargin).head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+    assert(edge.getDouble(3) == 0.0 && edge.getDouble(4) == 4.0)
+    // non-array args rejected at analysis, named in the message
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot('a', 'b')").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("vec_dot"))
+  }
+
   test("watermarked append-mode windowed agg emits only closed windows") {
     val spark = TestSpark.spark
     import spark.implicits._
