@@ -304,5 +304,65 @@ object Extras {
       .orderBy("c_custkey", "version")
   }
 
-  val defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q60, q64, q65, q67)
+  /** Session settings for [[q69]]: the runtime bloom filter only pays
+    * for itself on a genuinely large probe scan, so Spark gates it on a
+    * 10 GB application-side threshold — far above the local fixture.
+    * Zeroing the byte thresholds here is the ONLY local tuning; a real
+    * cluster reading 100 TB of lineitem leaves both at their defaults
+    * and gets the same plan. Broadcast is disabled because a broadcast
+    * hash join already prunes the probe side with its own runtime
+    * filter — the bloom path exists precisely for joins too big to
+    * broadcast (InjectRuntimeFilter targets probable shuffle joins). */
+  val q69BloomConfs: Seq[(String, String)] = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** The selective fact⋈dim join under [[q69]], built config-free so
+    * the spec can plan it under explicit settings and assert the
+    * injected `might_contain` filter is really there. The dim side
+    * (urgent finished orders) carries the selective literal predicates
+    * InjectRuntimeFilter looks for; the fact side is the full lineitem
+    * scan it protects. */
+  def bloomJoined(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val dim = T.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(ExactAgg.D2)).cast("double").as("total_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q69 — runtime bloom-filter join pruning (semi-join reduction):
+    * when a shuffle join's build side is selectively filtered, Catalyst
+    * plants a BloomFilterAggregate over the dim keys and a
+    * `might_contain` filter on the fact SCAN — fact rows that cannot
+    * match are dropped BEFORE the shuffle, which at 100 TB is the
+    * difference between exchanging the whole table and exchanging the
+    * ~20% that survives. False positives just travel to the join and
+    * drop there, so the result is provably the plain join's — which is
+    * what the oracle checks; PlanShapeSpec asserts the executed plan
+    * really contains the injected filter, so the demo can't silently
+    * degenerate into an unpruned join. Runs inside the fn (confs must
+    * be live at runtime, then restored; ≤3-row agg is driver-safe). */
+  val q69 = QueryDef.sql("q69_bloom_runtime_filter",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val (rows, schema) = withConfs(s, q69BloomConfs) {
+      val df = bloomJoined(s, d)
+      (df.collect(), df.schema)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  val defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q60, q64, q65, q67, q69)
 }

@@ -53,6 +53,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q69: runtime bloom filter is injected on the fact scan side") {
+    val kv = operators.Extras.q69BloomConfs
+    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = operators.Extras.bloomJoined(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"optimized plan must carry the injected bloom probe filter:\n$opt")
+      assert(opt.contains("bloom_filter_agg"),
+        s"optimized plan must build the bloom filter from the dim keys:\n$opt")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q65: LATERAL LIMIT decorrelates to a group-limit window, not re-execution") {
     val p = plan("q65_lateral_topk")
     assert(p.contains("WindowGroupLimit"),
