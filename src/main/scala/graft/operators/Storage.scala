@@ -348,6 +348,117 @@ object Storage {
     finally s.catalog.dropTempView(view)
   }
 
+  /** Bit-spread for the Morton (Z-order) code: every bit of a 32-bit
+    * key moved to the even positions of a 64-bit word via the classic
+    * magic-mask doubling sequence — pure BIGINT shifts/masks, so the
+    * oracle recomputes the identical value in DuckDB. */
+  private val spreadMasks = Seq(
+    16 -> 281470681808895L,    // 0x0000FFFF0000FFFF
+    8 -> 71777214294589695L,   // 0x00FF00FF00FF00FF
+    4 -> 1085102592571150095L, // 0x0F0F0F0F0F0F0F0F
+    2 -> 3689348814741910323L, // 0x3333333333333333
+    1 -> 6148914691236517205L) // 0x5555555555555555
+
+  private def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    spreadMasks.foldLeft(c.cast("long").bitwiseAND(lit(4294967295L))) {
+      case (x, (sh, m)) => x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(m))
+    }
+
+  /** 16-bit normalization before the interleave: the fixtures keep a
+    * ~20:1 partkey:suppkey cardinality ratio, so interleaving the RAW
+    * keys puts partkey's 4-5 extra high bits above every suppkey bit
+    * and the z sort degenerates into a partkey sort (measured: 16 files
+    * bound partkey 15/16, suppkey 0/16). Scaling each key linearly onto
+    * [0, 65535] first — what production z-order implementations do with
+    * a rank/range pass — makes the top z bits alternate between the two
+    * dimensions at ANY scale factor, so range partitions are compact
+    * 2-D blocks. Pure integer arithmetic off the table's min/max, so
+    * the oracle recomputes identical z values. */
+  private def scale16sql(k: String, lo: Long, hi: Long): String =
+    s"((CAST($k AS BIGINT) - $lo) * 65535) DIV ${math.max(hi - lo, 1L)}"
+
+  /** Z-value of the scaled (l_partkey, l_suppkey) — partkey on even
+    * bits, suppkey on odd. Integer `DIV` (DuckDB `//`) keeps the
+    * scaling exact in both engines — no float rounding anywhere. */
+  private[operators] def zCol(pLo: Long, pHi: Long, sLo: Long, sHi: Long): org.apache.spark.sql.Column =
+    spread(expr(scale16sql("l_partkey", pLo, pHi)))
+      .bitwiseOR(shiftleft(spread(expr(scale16sql("l_suppkey", sLo, sHi))), 1))
+
+  /** Writes lineitem Z-clustered on (l_partkey, l_suppkey) — z-sorted
+    * range partitions, z kept as a column — and returns the path.
+    * Shared by [[q70]] and the data-skipping spec. The key-bounds agg
+    * collects 4 longs (driver-safe; at 100 TB it is one cheap
+    * footer-stats pass a layout job runs once). */
+  private[graft] def zorderedLayout(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val tmp = scratchDir("graft_zorder", d)
+    val li = T.lineitem(s, d)
+    val b = li.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).head
+    li.select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
+        col("l_quantity"),
+        zCol(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3)).as("z"))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(tmp)
+    tmp
+  }
+
+  /** q70 — Z-order clustering for multi-dimensional data skipping: a
+    * single sort key can make parquet min/max stats tight in ONE
+    * dimension only; interleaving the bits of two keys (Morton code)
+    * gives a 1-D sort whose range partitions are compact 2-D blocks, so
+    * a box predicate on EITHER column prunes whole files by footer
+    * stats — at 100 TB this is the layout lever (Delta/Iceberg OPTIMIZE
+    * ZORDER BY) that turns a full scan into a few-percent scan without
+    * any index structure. The query round-trips lineitem through the
+    * z-clustered layout and answers a 2-D box query; min/max of the
+    * z-value ride along so the oracle pins the interleave arithmetic
+    * itself (recomputed bit-for-bit in DuckDB), not just the layout's
+    * losslessness. StorageSimilaritySpec asserts the skipping actually
+    * works: under the z layout a suppkey-only predicate excludes whole
+    * files by per-file min/max, which a partkey-sorted layout can never
+    * do. */
+  val q70 = QueryDef.sql("q70_zorder_clustering",
+    """WITH bounds AS (
+      |  SELECT MIN(CAST(l_partkey AS BIGINT)) AS plo, MAX(CAST(l_partkey AS BIGINT)) AS phi,
+      |         MIN(CAST(l_suppkey AS BIGINT)) AS slo, MAX(CAST(l_suppkey AS BIGINT)) AS shi
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    ((CAST(l_partkey AS BIGINT) - plo) * 65535) // GREATEST(phi - plo, 1) AS px,
+      |    ((CAST(l_suppkey AS BIGINT) - slo) * 65535) // GREATEST(shi - slo, 1) AS sx
+      |  FROM lineitem, bounds
+      |  WHERE l_partkey BETWEEN 16 AND 47 AND l_suppkey BETWEEN 2 AND 5),
+      |z1 AS (SELECT l_returnflag, l_quantity,
+      |  ((px | (px << 16)) & 281470681808895) AS px,
+      |  ((sx | (sx << 16)) & 281470681808895) AS sx FROM b),
+      |z2 AS (SELECT l_returnflag, l_quantity,
+      |  ((px | (px << 8)) & 71777214294589695) AS px,
+      |  ((sx | (sx << 8)) & 71777214294589695) AS sx FROM z1),
+      |z3 AS (SELECT l_returnflag, l_quantity,
+      |  ((px | (px << 4)) & 1085102592571150095) AS px,
+      |  ((sx | (sx << 4)) & 1085102592571150095) AS sx FROM z2),
+      |z4 AS (SELECT l_returnflag, l_quantity,
+      |  ((px | (px << 2)) & 3689348814741910323) AS px,
+      |  ((sx | (sx << 2)) & 3689348814741910323) AS sx FROM z3),
+      |z5 AS (SELECT l_returnflag, l_quantity,
+      |  ((px | (px << 1)) & 6148914691236517205) AS px,
+      |  ((sx | (sx << 1)) & 6148914691236517205) AS sx FROM z4)
+      |SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      |  MIN(px | (sx << 1)) AS z_min, MAX(px | (sx << 1)) AS z_max
+      |FROM z5
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val tmp = zorderedLayout(s, d)
+    s.read.parquet(tmp)
+      .filter(col("l_partkey").between(16, 47) && col("l_suppkey").between(2, 5))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"),
+        min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(q38, q39, q40, q41, q42, q48, q49, q53, q54, q56, q59, q62, q63)
+    Seq(q38, q39, q40, q41, q42, q48, q49, q53, q54, q56, q59, q62, q63, q70)
 }

@@ -26,6 +26,40 @@ class StorageSimilaritySpec extends AnyFunSuite {
       s"bucketed join must not shuffle:\n$plan")
   }
 
+  test("q70 z-order layout skips whole files on either dimension") {
+    // sf0.01: 60k rows over a 2000×100 key grid → 16 z-range files are
+    // compact 2-D blocks; at the suite's sf0.001 the grid (200×10) is
+    // too coarse for block structure to emerge reliably.
+    val d = "/root/testdata/sf0.01"
+    val zdir = operators.Storage.zorderedLayout(spark, d)
+    def fileBounds(dir: String) =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey")).head
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    val zb = fileBounds(zdir)
+    assert(zb.length >= 8, s"expected >=8 z-range files, got ${zb.length}")
+    // footer-stat pruning for q70's box, per dimension independently
+    val zPrunableSupp = zb.count { case (_, _, smin, smax) => smax < 2 || smin > 5 }
+    val zPrunablePart = zb.count { case (pmin, pmax, _, _) => pmax < 16 || pmin > 47 }
+    assert(zPrunableSupp > 0 && zPrunablePart > 0,
+      s"z layout must bound BOTH dims per file: supp=$zPrunableSupp part=$zPrunablePart of ${zb.length}")
+    // the single-key sort baseline: partkey is bounded per file, but
+    // every file spans the full suppkey range — suppkey predicates can
+    // never skip a file
+    val ldir = java.nio.file.Files.createTempDirectory("graft_linear_spec").toString
+    Tables.lineitem(spark, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(ldir)
+    val lb = fileBounds(ldir)
+    val lPrunableSupp = lb.count { case (_, _, smin, smax) => smax < 2 || smin > 5 }
+    assert(lPrunableSupp == 0,
+      s"sanity: partkey-sorted layout should never bound suppkey, got $lPrunableSupp")
+  }
+
   test("ss05 multi-probe strictly expands single-probe LSH candidates") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
