@@ -776,6 +776,95 @@ object Similarity {
       .orderBy("src_id")
   }
 
+  /** dd14 — SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with the shared k-means
+    * coarse quantizer (ss04/ss09's cell layout — ONE clustering, three
+    * consumers), compute pairwise cosines WITHIN each cell only, and
+    * drop every document that has a ≥θ semantic duplicate of lower keep
+    * priority. Keep priority follows the paper's diversity-preserving
+    * choice — LOWEST cosine to the cell centroid survives (ties broken
+    * by vec_id), so each duplicate group keeps its least-redundant
+    * exemplar. The scale story is the whole point: candidate pairs are
+    * bounded per cell (k grows with corpus size), never all-pairs, and
+    * the drop rule is a single self-join decision — no iteration.
+    * KMeans cells have no SQL oracle, so the output is the ss04/ss08
+    * audit shape: the corpus count is EXACT (pure SQL) and the booleans
+    * re-derive the drop set's defining properties from the edge set —
+    * kept+dropped partitions the corpus (computed by anti-join, not by
+    * subtraction), every cell's highest-priority doc survived, drops
+    * only ever happen at edge endpoints, and drops occur iff duplicate
+    * pairs exist. Any quantizer/scoring/priority regression flips one
+    * of them red. */
+  /** dd14's moving parts, exposed for the brute-force spec: cell/
+    * priority-scored docs, the ≥θ duplicate edges with their per-edge
+    * loser, and the distinct dropped set. */
+  private[graft] def semDedupParts(s: org.apache.spark.sql.SparkSession, d: String):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    regDot(s)
+    import org.apache.spark.ml.functions.array_to_vector
+    val km = coarseModel(s, d)
+    val e = T.embeddings(s, d).withColumn("v", array_to_vector(col("embedding")))
+    val centDf = {
+      import s.implicits._
+      km.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+    }
+    val scored = km.transform(e)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .join(broadcast(centDf), "cell")
+      .withColumn("prio", expr(cosine("embedding", "centroid")))
+      .select("cell", "vec_id", "embedding", "prio")
+    val a = scored.select(col("cell"), col("vec_id").as("aid"),
+      col("embedding").as("ae"), col("prio").as("ap"))
+    val b = scored.select(col("cell"), col("vec_id").as("bid"),
+      col("embedding").as("be"), col("prio").as("bp"))
+    val aBeatsB = (col("ap") < col("bp")) ||
+      (col("ap") === col("bp") && col("aid") < col("bid"))
+    val edges = a.join(b, Seq("cell")).filter(col("aid") < col("bid"))
+      .withColumn("cos_sim", expr(cosine("ae", "be")))
+      .filter(col("cos_sim") >= 0.35)
+      .select(col("cell"), col("aid"), col("bid"), col("ap"), col("bp"),
+        when(aBeatsB, col("bid")).otherwise(col("aid")).as("loser"))
+    val dropped = edges.select(col("loser").as("vec_id")).distinct()
+    (scored, edges, dropped)
+  }
+
+  val dd14 = QueryDef.sql("dd14_semantic_dedup",
+    """SELECT COUNT(*) AS n_docs, TRUE AS partition_ok,
+      |  TRUE AS cell_minima_kept, TRUE AS drops_within_pairs,
+      |  TRUE AS drops_consistent
+      |FROM embeddings""".stripMargin) { (s, d) =>
+    val (scored0, edges0, dropped0) = semDedupParts(s, d)
+    val scored = scored0.cache()
+    val edges = edges0.cache()
+    val dropped = dropped0.cache()
+    val kept = scored.join(dropped, Seq("vec_id"), "left_anti")
+    val n = scored.count()
+    val nKept = kept.count()
+    val nDropped = dropped.count()
+    val nEdges = edges.count()
+    // the cell's single highest-priority doc can never lose an edge
+    val minima = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cell").orderBy(col("prio"), col("vec_id"))))
+      .filter(col("rk") === 1).select("vec_id")
+    val minimaDropped = minima.join(dropped, Seq("vec_id"), "left_semi").count()
+    val endpoints = edges.select(col("aid").as("vec_id"))
+      .union(edges.select(col("bid").as("vec_id"))).distinct()
+    val strayDrops = dropped.join(endpoints, Seq("vec_id"), "left_anti").count()
+    scored.unpersist(); edges.unpersist(); dropped.unpersist()
+    import s.implicits._
+    Seq((n, nKept + nDropped == n, minimaDropped == 0L, strayDrops == 0L,
+      (nDropped == 0L) == (nEdges == 0L)))
+      .toDF("n_docs", "partition_ok", "cell_minima_kept",
+        "drops_within_pairs", "drops_consistent")
+  }
+
+  /** Test hook alongside clearModelCaches — dd14's spec re-derives the
+    * drop set driver-side and needs the same cell assignment. */
+  private[graft] def coarseModelFor(s: org.apache.spark.sql.SparkSession, d: String) =
+    coarseModel(s, d)
+
   val defs: Seq[QueryDef] =
-    Seq(ss01, ss02, ss03, ss04, ss05, ss06, ss07, ss08, ss09, ss10, dd07)
+    Seq(ss01, ss02, ss03, ss04, ss05, ss06, ss07, ss08, ss09, ss10, dd07, dd14)
 }

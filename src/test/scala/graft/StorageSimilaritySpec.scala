@@ -195,6 +195,41 @@ class StorageSimilaritySpec extends AnyFunSuite {
     assert(totalRemoved > 0, "fixture must contain repeated passages to excise")
   }
 
+  test("dd14 drop set equals a driver-side brute-force SemDeDup") {
+    val (scoredDf, _, droppedDf) = operators.Similarity.semDedupParts(spark, sf)
+    val scored = scoredDf.collect().map { r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray, r.getDouble(3))
+    }
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) {
+        d += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    // full within-cell pairwise, the quadratic form dd14 avoids writing
+    val expectDropped = (for {
+      Seq((ca, ida, ea, pa), (cb, idb, eb, pb)) <- scored.toSeq.combinations(2)
+      if ca == cb && cos(ea, eb) >= 0.35
+    } yield if (pa < pb || (pa == pb && ida < idb)) idb else ida).toSet
+    val gotDropped = droppedDf.collect().map(_.getLong(0)).toSet
+    assert(gotDropped == expectDropped,
+      s"engine drop set ${gotDropped.size} != brute-force ${expectDropped.size}")
+    // priority really is the centroid cosine the paper keys on
+    val km = operators.Similarity.coarseModelFor(spark, sf)
+    val cents = km.clusterCenters.map(_.toArray)
+    scored.take(50).foreach { case (cell, _, e, prio) =>
+      val c = cents(cell)
+      var d = 0.0; var ne = 0.0; var nc = 0.0
+      for (i <- e.indices) {
+        d += e(i).toDouble * c(i); ne += e(i).toDouble * e(i); nc += c(i) * c(i)
+      }
+      assert(math.abs(prio - d / (math.sqrt(ne) * math.sqrt(nc))) < 1e-9)
+    }
+  }
+
   test("ss10 margin mining equals a driver-side brute-force reimplementation") {
     // Independent oracle in plain Scala: same left-to-right double
     // accumulation, top-4 means in literal order, argmax by (margin
