@@ -303,6 +303,13 @@ object TextAnalysis {
       |  CAST(SUM(CASE WHEN c12 <= 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_ratio
       |FROM sc GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    bigramLmDocStats(s, d).orderBy("doc_id")
+  }
+
+  /** ta12's per-doc bigram-LM statistics, unsorted — shared with
+    * ta14's quality bucketing. */
+  private[operators] def bigramLmDocStats(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val fp = (c: org.apache.spark.sql.Column) =>
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     val bg = T.documents(s, d)
@@ -327,7 +334,6 @@ object TextAnalysis {
         sum(when(col("c12") <= 1, 1).otherwise(0)).cast("long").as("rare_bigrams"),
         (sum(when(col("c12") <= 1, 1).otherwise(0)).cast("double") / count(lit(1)))
           .as("rare_ratio"))
-      .orderBy("doc_id")
   }
 
   /** ta13 — BPE merge learning, step zero of training a tokenizer on
@@ -364,6 +370,76 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** ta14 — CCNet-style corpus partition into head/middle/tail quality
+    * buckets (Wenzek et al. 2020 split the corpus into LM-perplexity
+    * terciles; head feeds training, tail is discarded). The ranking key
+    * here is ta12's EXACT bigram-LM statistics — rare-transition ratio,
+    * then minimum smoothed probability, then doc_id — instead of float
+    * perplexity: a mean-of-ln score diverges between libms in the last
+    * ulp (see ta10's ln-free idf), and at 100 TB a bucket boundary that
+    * moves with the math library silently reshuffles training data
+    * between runs. Same signal (both are monotone in how surprising the
+    * doc's transitions are), bit-reproducible boundary.
+    *
+    * Scale shape: the tercile assignment is rank-arithmetic over
+    * [[graft.GlobalIndex]]'s distributed sort — NO single-partition
+    * NTILE window (the oracle's NTILE is only the semantic spec); the
+    * corpus count is the one driver-side long. Bucket sizes follow
+    * NTILE exactly: the first n%3 buckets get one extra row. */
+  val ta14 = QueryDef.sql("ta14_quality_buckets",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+      |  WHERE len(string_split(text,' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id,
+      |    CAST(('0x'||substr(md5(t[i]),1,15)) AS BIGINT) AS h1,
+      |    CAST(('0x'||substr(md5(t[i]||' '||t[i+1]),1,15)) AS BIGINT) AS h12
+      |  FROM (SELECT doc_id, t, UNNEST(range(1, len(t))) AS i FROM toks) s),
+      |cnt12 AS (SELECT h12, COUNT(*) AS c12 FROM bg GROUP BY h12),
+      |cnt1 AS (SELECT h1, COUNT(*) AS c1 FROM bg GROUP BY h1),
+      |v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM
+      |        (SELECT UNNEST(string_split(text,' ')) AS tok FROM documents) z),
+      |sc AS (
+      |  SELECT b.doc_id, cnt12.c12,
+      |    CAST(cnt12.c12 + 1 AS DOUBLE) / CAST(cnt1.c1 + v.vsz AS DOUBLE) AS p
+      |  FROM bg b JOIN cnt12 ON b.h12 = cnt12.h12
+      |            JOIN cnt1 ON b.h1 = cnt1.h1, v),
+      |docstats AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams, MIN(p) AS min_p,
+      |    CAST(SUM(CASE WHEN c12 <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS rare_bigrams,
+      |    CAST(SUM(CASE WHEN c12 <= 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_ratio
+      |  FROM sc GROUP BY doc_id),
+      |bucketed AS (
+      |  SELECT doc_id, n_bigrams, rare_bigrams,
+      |    CAST(NTILE(3) OVER (ORDER BY rare_ratio DESC, min_p, doc_id) AS INT) AS bucket
+      |  FROM docstats)
+      |SELECT bucket, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+      |  CAST(SUM(rare_bigrams) AS BIGINT) AS sum_rare,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM bucketed
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val stats = bigramLmDocStats(s, d)
+    val n = stats.count()
+    val q = n / 3
+    val r = n % 3
+    val ranked = graft.GlobalIndex.withGlobalIndex(stats,
+      Seq(col("rare_ratio").desc, col("min_p"), col("doc_id")), "gidx")
+    // NTILE(3) from the 1-based global rank: first r buckets hold q+1
+    // rows, the rest hold q (integer DIV — exact, no float rounding)
+    val bucket = when(col("gidx") + 1 <= lit(r * (q + 1)),
+        expr(s"(gidx + 1 + $q) DIV ${q + 1}"))
+      .otherwise(expr(s"$r + (gidx + 1 - ${r * (q + 1)} + ${q - 1}) DIV ${math.max(q, 1L)}"))
+    ranked.withColumn("bucket", bucket.cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("sum_bigrams"),
+        sum("rare_bigrams").as("sum_rare"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("bucket")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(ta01, ta02, ta03, ta04, ta05, ta06, ta07, ta11, ta12, ta13)
+    Seq(ta01, ta02, ta03, ta04, ta05, ta06, ta07, ta11, ta12, ta13, ta14)
 }

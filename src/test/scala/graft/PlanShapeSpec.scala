@@ -79,6 +79,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"lateral must decorrelate to an equi-join, not a nested loop:\n$p")
   }
 
+  test("ta14: tercile bucketing plans no window operator (GlobalIndex path)") {
+    val p = plan("ta14_quality_buckets")
+    assert(!p.contains("Window"),
+      s"ta14's NTILE semantics must come from rank arithmetic, not a global window:\n$p")
+  }
+
   test("sp06: packing plans no window operator (GlobalCumsum path)") {
     val p = plan("sp06_sequence_packing")
     assert(!p.contains("Window"),
