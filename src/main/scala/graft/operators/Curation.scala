@@ -647,7 +647,57 @@ object Curation {
       .orderBy("bin_id")
   }
 
+  /** sp10 — temperature-scaled mixture sampling: sp03's rebalance rule
+    * at temperature α=0.5, the multilingual-LM standard (XLM-R/mT5
+    * upsample low-resource languages with p ∝ share^α rather than
+    * flattening the mix outright). weight = (min_tokens/tokens)^0.5 —
+    * the α=1 case IS sp03's min/tokens — and each document is kept by
+    * the same deterministic md5-uniform test sp02/sp08 use, so the
+    * realized per-language sample sits next to its target weight in
+    * one low-cardinality audit row. Exact cross-engine by
+    * construction: integer token totals, ONE division, ONE sqrt (IEEE
+    * correctly-rounded in any engine), and the md5-fraction compare —
+    * no float sums, no normalization over languages (a cross-language
+    * Σ of doubles would be order-sensitive; pairwise-to-min ratios are
+    * not). Scale: one hash agg + a broadcast 5-row weight join +
+    * stateless filter. */
+  val sp10 = QueryDef.sql("sp10_temperature_mixture",
+    """WITH lt AS (
+      |  SELECT lang, CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS tokens,
+      |    COUNT(*) AS n_docs
+      |  FROM documents GROUP BY lang),
+      |mn AS (SELECT MIN(tokens) AS m FROM lt),
+      |w AS (SELECT lang, tokens, n_docs, sqrt((mn.m * 1e0) / tokens) AS weight
+      |      FROM lt, mn),
+      |s AS (SELECT d.lang, COUNT(*) AS n_sampled
+      |      FROM documents d JOIN w ON d.lang = w.lang
+      |      WHERE (CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT) * 1e0)
+      |              / 4294967296e0 < w.weight
+      |      GROUP BY d.lang)
+      |SELECT w.lang, w.tokens, w.n_docs, w.weight,
+      |  COALESCE(s.n_sampled, 0) AS n_sampled
+      |FROM w LEFT JOIN s ON w.lang = s.lang
+      |ORDER BY w.lang""".stripMargin) { (s, d) =>
+    val lt = T.documents(s, d)
+      .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+      .groupBy("lang").agg(sum("ntok").as("tokens"), count(lit(1)).as("n_docs"))
+    val mn = lt.agg(min("tokens").as("m"))
+    val w = lt.crossJoin(broadcast(mn))
+      .select(col("lang"), col("tokens"), col("n_docs"),
+        sqrt(col("m") * lit(1.0) / col("tokens")).as("weight"))
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") * lit(1.0) / lit(4294967296.0)
+    val sampled = T.documents(s, d)
+      .join(broadcast(w.select(col("lang"), col("weight"))), "lang")
+      .filter(u < col("weight"))
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    w.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("tokens"), col("n_docs"), col("weight"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(ta08, ta09, ta10, sp01, sp02, sp03, sp04, sp05, sp06, sp07, sp08,
-      sp09, dd08, dd09)
+      sp09, sp10, dd08, dd09)
 }
