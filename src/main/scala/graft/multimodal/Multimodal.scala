@@ -196,5 +196,54 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04)
+  /** mm05 — CLIP-score pair filtering, the LAION curation gate: an
+    * (image, caption) pair survives iff the cosine between its two
+    * modality embeddings clears a threshold (LAION-400M used 0.28 on
+    * CLIP ViT-B/32 scores). The fixture has no paired-modality rows, so
+    * adjacent vec_ids stand in as a pair (even = image-side, odd =
+    * caption-side embedding; `pair_id = vec_id DIV 2` — in a real
+    * multimodal table the two embeddings are columns of ONE row and the
+    * join disappears entirely). Scale: an equi-join on the pair id —
+    * co-partitioned, no candidate generation at all — then the narrow
+    * codegen'd vec_dot score; this is the cheapest filter in the whole
+    * curation family, which is exactly why LAION could run it at
+    * 5-billion-pair scale. Exact oracle: same pairing and the same
+    * sequential-double cosine in DuckDB. */
+  val mm05 = QueryDef.sql("mm05_clip_score_filter",
+    """WITH img AS (
+      |  SELECT vec_id // 2 AS pair_id, vec_id AS img_id, embedding AS ie
+      |  FROM embeddings WHERE vec_id % 2 = 0),
+      |cap AS (
+      |  SELECT vec_id // 2 AS pair_id, vec_id AS cap_id, embedding AS ce
+      |  FROM embeddings WHERE vec_id % 2 = 1),
+      |scored AS (
+      |  SELECT i.pair_id, img_id, cap_id,
+      |    list_sum(list_transform(range(1, len(ie)+1),
+      |      k -> CAST(ie[k] AS DOUBLE) * CAST(ce[k] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1, len(ie)+1),
+      |         k -> CAST(ie[k] AS DOUBLE) * CAST(ie[k] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(range(1, len(ce)+1),
+      |         k -> CAST(ce[k] AS DOUBLE) * CAST(ce[k] AS DOUBLE)))))
+      |      AS clip_cos
+      |  FROM img i JOIN cap c ON i.pair_id = c.pair_id)
+      |SELECT pair_id, img_id, cap_id, clip_cos, clip_cos >= 0.28e0 AS kept
+      |FROM scored
+      |ORDER BY pair_id""".stripMargin) { (s, d) =>
+    graft.functions.FloatDot.register(s)
+    val e = T.embeddings(s, d)
+    val img = e.filter(col("vec_id") % 2 === 0)
+      .select(expr("vec_id DIV 2").as("pair_id"),
+        col("vec_id").as("img_id"), col("embedding").as("ie"))
+    val cap = e.filter(col("vec_id") % 2 === 1)
+      .select(expr("vec_id DIV 2").as("pair_id"),
+        col("vec_id").as("cap_id"), col("embedding").as("ce"))
+    img.join(cap, "pair_id")
+      .withColumn("clip_cos",
+        expr("vec_dot(ie, ce) / (sqrt(vec_dot(ie, ie)) * sqrt(vec_dot(ce, ce)))"))
+      .select(col("pair_id"), col("img_id"), col("cap_id"), col("clip_cos"),
+        (col("clip_cos") >= lit(0.28)).as("kept"))
+      .orderBy("pair_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05)
 }
