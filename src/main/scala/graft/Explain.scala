@@ -18,7 +18,11 @@ object Explain {
         // sampling, broadcast-asymmetric decontamination, variant
         "dd07_embedding_neardup", "sp01_token_budget",
         "sp02_stratified_sample", "dd09_benchmark_decontamination",
-        "q61_variant_json")
+        "q61_variant_json",
+        // round-5 surface: injected runtime bloom filter, z-clustered
+        // round-trip, window-free terciles
+        "q69_bloom_runtime_filter", "q70_zorder_clustering",
+        "ta14_quality_buckets")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
