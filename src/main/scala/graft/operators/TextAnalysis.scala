@@ -307,8 +307,21 @@ object TextAnalysis {
   }
 
   /** ta12's per-doc bigram-LM statistics, unsorted — shared with
-    * ta14's quality bucketing. */
+    * ta14's quality bucketing. Cached per (application, dir) like
+    * Dedup's shingle index: the LM count tables are the materialize-
+    * once artifact of a real perplexity-gating pipeline, and the two
+    * consumers would otherwise re-scan and re-count the corpus each.
+    * The cache holds lazily-cached DataFrames for the session lifetime
+    * (bounded: one per benchmarked sf dir). */
+  private val lmStatsCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
   private[operators] def bigramLmDocStats(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    lmStatsCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d",
+      bigramLmDocStatsUncached(s, d).cache())
+
+  private def bigramLmDocStatsUncached(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val fp = (c: org.apache.spark.sql.Column) =>
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
