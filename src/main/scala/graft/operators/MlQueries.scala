@@ -369,6 +369,62 @@ object MlQueries {
       .orderBy("doc_id")
   }
 
+  /** ml07 — UMass topic coherence (Mimno et al. 2011), the standard
+    * intrinsic evaluation the reference's pipeline stops short of:
+    * for each topic's top-10 terms, C = Σ_{l<m} ln((D(w_m,w_l)+1) /
+    * D(w_l)) over document co-occurrence counts, pairs ordered by the
+    * topic's own term ranking (the denominator is the higher-ranked
+    * term's document frequency). The co-occurrence table comes from a
+    * doc_id self-join of the term-incidence list PRUNED to the ≤50
+    * topic terms first (broadcast semi-join), so the fanout is ≤50²
+    * per document no matter the corpus size. The coherence value is
+    * engine-defined (it depends on the fitted model), so the oracle
+    * gates its PROVABLE envelope, not a fixture-tuned band: each
+    * pair's ratio lies in [1/N, (df+1)/df] ⊆ [1/N, 2], hence
+    * C ∈ [-45·ln N, 45·ln 2] for ANY model and corpus — plus exact
+    * pair accounting (45 pairs per topic including zero-co-occurrence
+    * pairs via the left join) and cross-derived count bounds
+    * (co ≤ min(df); df ≥ 1 since top terms come from the corpus). */
+  val ml07 = QueryDef.sql("ml07_topic_coherence",
+    """SELECT CAST(r AS INTEGER) AS topic, 45 AS n_pairs,
+      |  TRUE AS df_positive, TRUE AS co_bounded,
+      |  TRUE AS coherence_finite, TRUE AS coherence_in_envelope
+      |FROM range(5) t(r)
+      |ORDER BY topic""".stripMargin) { (s, d) =>
+    val fitted = ldaFit(s, d)
+    val topics = LdaPipeline.describeTopics(s, fitted, 10)
+      .select(col("topic"), posexplode(col("terms")).as(Seq("idx", "term")))
+    val termList = topics.select("term").distinct()
+    val inc = T.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .join(broadcast(termList), Seq("term"), "left_semi")
+    val df = inc.groupBy("term").agg(count(lit(1)).as("df"))
+    val co = inc.as("x").join(inc.as("y"), "doc_id")
+      .select(col("x.term").as("tl"), col("y.term").as("tm"))
+      .groupBy("tl", "tm").agg(count(lit(1)).as("co"))
+    val pairs = topics.as("a").join(topics.as("b"), "topic")
+      .filter(col("a.idx") < col("b.idx"))
+      .select(col("topic"), col("a.term").as("tl"), col("b.term").as("tm"))
+    val n = T.documents(s, d).count()
+    val hi = 45.0 * math.log(2.0)
+    val lo = -45.0 * math.log(n.toDouble.max(2.0))
+    pairs
+      .join(co, Seq("tl", "tm"), "left")
+      .join(df.select(col("term").as("tl"), col("df")), "tl")
+      .select(col("topic"), coalesce(col("co"), lit(0L)).as("co"), col("df"),
+        log((coalesce(col("co"), lit(0L)) + 1).cast("double") / col("df")).as("term_c"))
+      .groupBy("topic")
+      .agg(
+        count(lit(1)).cast("int").as("n_pairs"),
+        (min("df") >= 1).as("df_positive"),
+        (max(col("co") - col("df")) <= 0).as("co_bounded"),
+        (!isnan(sum("term_c")) && sum("term_c").isNotNull).as("coherence_finite"),
+        (sum("term_c") >= lo && sum("term_c") <= hi).as("coherence_in_envelope"))
+      .orderBy("topic")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(tf01, tf02, tf03, tf04, tf05, tf06, ml01, ml02, ml03, ml04, ml05, ml06)
+    Seq(tf01, tf02, tf03, tf04, tf05, tf06, ml01, ml02, ml03, ml04, ml05,
+      ml06, ml07)
 }
