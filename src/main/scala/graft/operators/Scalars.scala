@@ -229,5 +229,43 @@ object Scalars {
       .orderBy("r_name")
   }
 
-  val defs: Seq[QueryDef] = Seq(q22, q23, q24, q25, q26, q27, q28, q29, q61, q66)
+  /** q71 — corrupt-record-tolerant JSON ingestion: the permissive-mode
+    * contract every real feed needs (q25/q35/q59/q61 all assume clean
+    * JSON). A deterministic seventh of the rows is malformed by
+    * prepending '{' (invalid from the first token — no parser
+    * ambiguity about trailing data), then parsed with
+    * mode=PERMISSIVE + columnNameOfCorruptRecord, the Spark idiom
+    * that quarantines bad rows into a column instead of failing the
+    * job or silently dropping them. The oracle knows EXACTLY which
+    * rows were injected, so the compared columns prove the parser
+    * flagged all of them and none of the clean ones — a parser that
+    * leniently accepts the broken rows (or chokes on a good one)
+    * hash-mismatches. Stateless row-local transform: scales as a
+    * narrow map, corrupt quarantine adds zero shuffles. */
+  val q71 = QueryDef.sql("q71_corrupt_json_handling",
+    """SELECT COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+      |  CAST(SUM(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+      |  CAST(SUM(CASE WHEN event_id % 7 <> 0
+      |           THEN CAST(json_extract(props, '$.k') AS INTEGER) END) AS BIGINT) AS sum_k
+      |FROM events""".stripMargin) { (s, d) =>
+    val withJson = T.events(s, d)
+      .withColumn("js", when(col("event_id") % 7 === 0,
+        concat(lit("{"), col("props"))).otherwise(col("props")))
+    withJson
+      .select(from_json(col("js"), "k INT, _corrupt_record STRING",
+        java.util.Map.of("mode", "PERMISSIVE",
+          "columnNameOfCorruptRecord", "_corrupt_record")).as("p"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("p._corrupt_record").isNotNull, 1).otherwise(0))
+          .as("n_corrupt"),
+        sum(when(col("p._corrupt_record").isNull, 1).otherwise(0))
+          .as("n_valid"),
+        sum(when(col("p._corrupt_record").isNull, col("p.k"))).cast("long")
+          .as("sum_k"))
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(q22, q23, q24, q25, q26, q27, q28, q29, q61, q66, q71)
 }
