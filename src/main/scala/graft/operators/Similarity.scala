@@ -865,6 +865,79 @@ object Similarity {
   private[graft] def coarseModelFor(s: org.apache.spark.sql.SparkSession, d: String) =
     coarseModel(s, d)
 
+  /** ss11 — kNN label probe: the standard embedding-quality evaluation
+    * (a k-nearest-neighbor classifier over the frozen embeddings; the
+    * linear/kNN-probe protocol of the self-supervised literature, e.g.
+    * Caron et al. DINO, arXiv:2104.14294 §4). Probe vectors (vec_id <
+    * 20) are classified by majority vote over their 10 nearest train
+    * neighbors (vec_id ≥ 20) by cosine; output is one row per probe
+    * with its true label, predicted label, vote count, and the correct
+    * flag.
+    *
+    * Shape: this is the first similarity query whose top-k runs through
+    * the native [[graft.functions.TopKIds]] TypedImperativeAggregate
+    * instead of a row_number window — each map task sends AT MOST k
+    * candidates per probe into the shuffle, vs the window form sorting
+    * every (probe, train) pair. At 100 TB with the pair table replaced
+    * by an ANN shortlist (ss02/ss09), this exact aggregate is the
+    * reduction step, so the demo exercises the production plan shape.
+    * The neighbor-label lookup joins the 200-row exploded top-k list
+    * (broadcast) against the train side — a narrow scan, no corpus
+    * shuffle; the vote argmax window runs on ≤ probes × classes rows.
+    *
+    * Exactness: cosines share ss01's bit-exact vec_dot chain; TopKIds
+    * and the oracle's ROW_NUMBER both order by (cos DESC, nid ASC), and
+    * the vote argmax is pinned by (votes DESC, label ASC) — every
+    * column incl. the correct boolean hash-matches. */
+  val ss11 = QueryDef.sql("ss11_knn_label_probe",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS true_label
+       |           FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS nid, embedding AS ne, label AS nlabel
+       |      FROM embeddings WHERE vec_id >= 20),
+       |scored AS (
+       |  SELECT qid, true_label, nid, nlabel, ${duckCosine("qe", "ne")} AS cos_sim
+       |  FROM q, c),
+       |topk AS (
+       |  SELECT qid, true_label, nlabel FROM (
+       |    SELECT qid, true_label, nlabel,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+       |    FROM scored) t
+       |  WHERE rk <= 10),
+       |votes AS (
+       |  SELECT qid, true_label, nlabel, COUNT(*) AS votes
+       |  FROM topk GROUP BY qid, true_label, nlabel)
+       |SELECT qid, true_label, nlabel AS pred_label, votes,
+       |  true_label = nlabel AS correct
+       |FROM (SELECT qid, true_label, nlabel, votes,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel) AS vr
+       |      FROM votes) v
+       |WHERE vr = 1
+       |ORDER BY qid""".stripMargin) { (s, d) =>
+    regDot(s)
+    graft.functions.TopKIds.register(s)
+    val e = T.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("true_label"))
+    val train = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("label").as("nlabel"))
+    val topk = train.crossJoin(broadcast(q))
+      .withColumn("cos_sim", expr(cosine("qe", "ne")))
+      .groupBy("qid", "true_label")
+      .agg(expr("top_k_ids(cos_sim, nid, 10)").as("nids"))
+      .select(col("qid"), col("true_label"), explode(col("nids")).as("nid"))
+    val votes = train.select("nid", "nlabel")
+      .join(broadcast(topk), "nid")
+      .groupBy("qid", "true_label", "nlabel")
+      .agg(count(lit(1)).as("votes"))
+    val vw = Window.partitionBy("qid").orderBy(col("votes").desc, col("nlabel"))
+    votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+      .select(col("qid"), col("true_label"), col("nlabel").as("pred_label"),
+        col("votes"), (col("true_label") === col("nlabel")).as("correct"))
+      .orderBy("qid")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(ss01, ss02, ss03, ss04, ss05, ss06, ss07, ss08, ss09, ss10, dd07, dd14)
+    Seq(ss01, ss02, ss03, ss04, ss05, ss06, ss07, ss08, ss09, ss10, ss11, dd07, dd14)
 }

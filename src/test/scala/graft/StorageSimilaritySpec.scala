@@ -293,4 +293,39 @@ class StorageSimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lateral == ranked, "lateral and window top-2 disagree")
   }
+
+  test("ss11 kNN probe equals a driver-side brute-force vote; top-k is the native aggregate") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        dot += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val probes = emb.filter(_._1 < 20).sortBy(_._1)
+    val train = emb.filter(_._1 >= 20)
+    val expected = probes.map { case (qid, qe, tl) =>
+      val top = train.map { case (nid, ne, nl) => (nid, nl, cos(qe, ne)) }
+        .sortBy { case (nid, _, c) => (-c, nid) }.take(10)
+      val (pred, votes) = top.groupBy(_._2).view.mapValues(_.size).toSeq
+        .minBy { case (l, n) => (-n, l) }
+      (qid, tl, pred, votes.toLong, tl == pred)
+    }.toSeq
+    val df = operators.Similarity.ss11.fn(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got == expected, s"kNN vote mismatch:\n got=$got\n exp=$expected")
+    // the top-k must run through the map-side TopKIds aggregate, not a
+    // row_number sort over the full pair table
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("topkids") || plan.contains("top_k_ids"),
+      s"expected native top_k_ids aggregate in plan:\n$plan")
+  }
 }
