@@ -23,6 +23,7 @@ object SparkEntry {
       operators.MlQueries.defs ++
       operators.Advanced.defs ++
       operators.Extras.defs ++
+      operators.Graph.defs ++
       operators.Storage.defs ++
       operators.Reshape.defs ++
       streaming.Streams.defs ++

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics — the authority-scoring step of a web-curation
+  * pipeline (Common-Crawl-style domain ranking feeding per-document
+  * quality weights). Declared extension surface; absent from the
+  * reference (SURVEY.md §2.9).
+  *
+  * Scale design: PageRank at 100 TB is iterated (join on src → groupBy
+  * dst) over an edge table that dwarfs the rank vector. The shape here
+  * is exactly that — the edge list is hash-partitioned on `src` ONCE
+  * and persisted; every iteration's join then reuses the layout, and
+  * each aggregate output is already partitioned on the node key it
+  * feeds the next round with. No windows, no driver-side iteration
+  * state (node count enters as a broadcast 1-row aggregate, the q21r
+  * pattern), fixed iteration count so the whole rank computation is one
+  * lazy DAG.
+  *
+  * Exactness: ranks are fixed-point BIGINTs (SCALE = 10^12). Every
+  * operation is integer multiply / integer divide on positive values,
+  * where Spark's `DIV` and DuckDB's `//` agree bit-for-bit — float
+  * summation order never enters, so the oracle hash-matches exactly
+  * despite 5 rounds of distributed aggregation.
+  */
+object Graph {
+
+  /** Fixed-point scale for rank mass: 10^12 keeps six significant
+    * digits after the per-edge integer division even for out-degrees in
+    * the thousands, while 85 * SCALE stays far below Long.MaxValue. */
+  private val Scale = 1000000000000L
+
+  private val Iters = 5
+
+  /** gr01 — PageRank over the customer↔supplier purchase graph (damping
+    * 0.85, 5 synchronous iterations, undirected edges from distinct
+    * (customer, supplier) order lines; node ids disambiguated by parity:
+    * customer c → 2c, supplier s → 2s+1). Output: every supplier node's
+    * fixed-point rank, descending — the "domain authority" table a
+    * curation pipeline would join document weights against.
+    *
+    * Dangling-node note: undirected edges mean every node in the graph
+    * has out-degree ≥ 1, so no rank mass ever dangles and the
+    * sum-over-in-neighbors form needs no special case — the property
+    * that makes the single join+agg per iteration sufficient. */
+  val gr01 = QueryDef.sql("gr01_pagerank_authority",
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS (
+       |  SELECT 2*c AS src, 2*sk+1 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT 2*sk+1 AS src, 2*c AS dst FROM pairs),
+       |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |base AS (SELECT CAST($Scale AS BIGINT) // COUNT(*) AS base FROM deg),
+       |r0 AS (SELECT node, outdeg, (SELECT base FROM base) AS rank FROM deg),
+       |r1 AS (
+       |  SELECT d.node, d.outdeg,
+       |    CAST((15 * (SELECT base FROM base)) // 100 + (85 * m.msg) // 100 AS BIGINT) AS rank
+       |  FROM (SELECT e.dst AS node, SUM(r.rank // r.outdeg) AS msg
+       |        FROM edges e JOIN r0 r ON e.src = r.node GROUP BY e.dst) m
+       |  JOIN deg d ON m.node = d.node),
+       |r2 AS (
+       |  SELECT d.node, d.outdeg,
+       |    CAST((15 * (SELECT base FROM base)) // 100 + (85 * m.msg) // 100 AS BIGINT) AS rank
+       |  FROM (SELECT e.dst AS node, SUM(r.rank // r.outdeg) AS msg
+       |        FROM edges e JOIN r1 r ON e.src = r.node GROUP BY e.dst) m
+       |  JOIN deg d ON m.node = d.node),
+       |r3 AS (
+       |  SELECT d.node, d.outdeg,
+       |    CAST((15 * (SELECT base FROM base)) // 100 + (85 * m.msg) // 100 AS BIGINT) AS rank
+       |  FROM (SELECT e.dst AS node, SUM(r.rank // r.outdeg) AS msg
+       |        FROM edges e JOIN r2 r ON e.src = r.node GROUP BY e.dst) m
+       |  JOIN deg d ON m.node = d.node),
+       |r4 AS (
+       |  SELECT d.node, d.outdeg,
+       |    CAST((15 * (SELECT base FROM base)) // 100 + (85 * m.msg) // 100 AS BIGINT) AS rank
+       |  FROM (SELECT e.dst AS node, SUM(r.rank // r.outdeg) AS msg
+       |        FROM edges e JOIN r3 r ON e.src = r.node GROUP BY e.dst) m
+       |  JOIN deg d ON m.node = d.node),
+       |r5 AS (
+       |  SELECT d.node, d.outdeg,
+       |    CAST((15 * (SELECT base FROM base)) // 100 + (85 * m.msg) // 100 AS BIGINT) AS rank
+       |  FROM (SELECT e.dst AS node, SUM(r.rank // r.outdeg) AS msg
+       |        FROM edges e JOIN r4 r ON e.src = r.node GROUP BY e.dst) m
+       |  JOIN deg d ON m.node = d.node)
+       |SELECT (r.node - 1) // 2 AS s_suppkey, s.s_name, r.rank AS rank_fp
+       |FROM r5 r JOIN supplier s ON (r.node - 1) // 2 = s.s_suppkey
+       |WHERE r.node % 2 = 1
+       |ORDER BY rank_fp DESC, s_suppkey""".stripMargin) { (s, d) =>
+    val pairs = T.orders(s, d)
+      .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    // Partitioned on src once; all five iteration joins and the degree
+    // aggregate reuse this exchange instead of re-shuffling the edges.
+    val edges = pairs
+      .select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .unionAll(pairs.select((col("sk") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      .repartition(col("src"))
+      .persist()
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    // Node count as a broadcast 1-row aggregate — never a driver action.
+    val baseDf = deg.agg(expr(s"${Scale}L DIV count(1)").as("base"))
+    val nodes = deg.crossJoin(broadcast(baseDf))
+    var ranks = nodes.withColumn("rank", col("base"))
+    for (_ <- 1 to Iters) {
+      val msgs = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"), expr("rank DIV outdeg").as("contrib"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("contrib").as("msg"))
+      ranks = nodes
+        .join(msgs, "node")
+        .select(col("node"), col("outdeg"), col("base"),
+          expr("(15 * base) DIV 100 + (85 * msg) DIV 100").as("rank"))
+    }
+    ranks
+      .filter(col("node") % 2 === 1)
+      .select(expr("(node - 1) DIV 2").as("s_suppkey"), col("rank").as("rank_fp"))
+      .join(broadcast(T.supplier(s, d)), "s_suppkey")
+      .select(col("s_suppkey"), col("s_name"), col("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("s_suppkey"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(gr01)
+}
