@@ -82,6 +82,28 @@ object LdaPipeline {
     Fitted(lda.fit(corpus), vocab, idf, corpus)
   }
 
+  /** Per-iteration EM training times (seconds) as recorded by the mllib
+    * optimizer inside the fitted model — the decomposition that lets a
+    * slow ml04 wall time be attributed to iterations × per-iteration
+    * cost (a real plan regression) vs a loaded environment (uniform
+    * inflation across iterations). Only the EM optimizer records these;
+    * online fits return None. The mllib `iterationTimes` accessor is
+    * public but reachable only through the ml wrapper's public
+    * name-mangled bridge method — hence the reflective call (no
+    * setAccessible, no private API crossed). */
+  def emIterationTimes(fitted: Fitted): Option[Seq[Double]] = fitted.model match {
+    case m: DistributedLDAModel =>
+      try {
+        val bridge = m.getClass.getMethod(
+          "org$apache$spark$ml$clustering$DistributedLDAModel$$oldDistributedModel")
+        val old = bridge.invoke(m)
+        val times = old.getClass.getMethod("iterationTimes")
+          .invoke(old).asInstanceOf[Array[Double]]
+        Some(times.toIndexedSeq)
+      } catch { case _: ReflectiveOperationException => None }
+    case _ => None
+  }
+
   /** A8 — topic descriptions with term indices resolved through the
     * vocabulary (broadcast lookup, not a driver loop). */
   def describeTopics(spark: SparkSession, fitted: Fitted, maxTermsPerTopic: Int): DataFrame = {

@@ -44,6 +44,56 @@ object Graph {
     * has out-degree ≥ 1, so no rank mass ever dangles and the
     * sum-over-in-neighbors form needs no special case — the property
     * that makes the single join+agg per iteration sufficient. */
+  /** Iteration core shared by gr01 and the 20-iteration lineage spec.
+    * Returns the rank table (node, outdeg, base, rank) after `iters`
+    * synchronous rounds.
+    *
+    * Lineage truncation: each iteration adds a join+agg to the lazy DAG;
+    * past ~8 rounds the growing lineage inflates planning time and risks
+    * stack-depth blowups at 100 TB PageRank iteration counts (20+). So
+    * every [[CheckpointEvery]] rounds the rank table is
+    * `localCheckpoint`ed (the dd05 pointer-jumping / GlobalCumsum
+    * pattern) — the rank vector is tiny next to the edge table, so
+    * materializing it is cheap, and the persisted `edges` layout is
+    * untouched. Below the threshold the DAG stays fully lazy, which
+    * keeps gr01's 5-round oracle plan a single DAG. */
+  private val CheckpointEvery = 8
+
+  private[graft] def pageRankRanks(
+      s: org.apache.spark.sql.SparkSession, d: String, iters: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val pairs = T.orders(s, d)
+      .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    // Partitioned on src once; every iteration join and the degree
+    // aggregate reuse this exchange instead of re-shuffling the edges.
+    val edges = pairs
+      .select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .unionAll(pairs.select((col("sk") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      .repartition(col("src"))
+      .persist()
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    // Node count as a broadcast 1-row aggregate — never a driver action.
+    val baseDf = deg.agg(expr(s"${Scale}L DIV count(1)").as("base"))
+    val nodes = deg.crossJoin(broadcast(baseDf))
+    var ranks = nodes.withColumn("rank", col("base"))
+    for (i <- 1 to iters) {
+      val msgs = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"), expr("rank DIV outdeg").as("contrib"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("contrib").as("msg"))
+      ranks = nodes
+        .join(msgs, "node")
+        .select(col("node"), col("outdeg"), col("base"),
+          expr("(15 * base) DIV 100 + (85 * msg) DIV 100").as("rank"))
+      if (i % CheckpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
   val gr01 = QueryDef.sql("gr01_pagerank_authority",
     s"""WITH pairs AS (
        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
@@ -89,34 +139,7 @@ object Graph {
        |FROM r5 r JOIN supplier s ON (r.node - 1) // 2 = s.s_suppkey
        |WHERE r.node % 2 = 1
        |ORDER BY rank_fp DESC, s_suppkey""".stripMargin) { (s, d) =>
-    val pairs = T.orders(s, d)
-      .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-      .distinct()
-    // Partitioned on src once; all five iteration joins and the degree
-    // aggregate reuse this exchange instead of re-shuffling the edges.
-    val edges = pairs
-      .select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
-      .unionAll(pairs.select((col("sk") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
-      .repartition(col("src"))
-      .persist()
-    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
-    // Node count as a broadcast 1-row aggregate — never a driver action.
-    val baseDf = deg.agg(expr(s"${Scale}L DIV count(1)").as("base"))
-    val nodes = deg.crossJoin(broadcast(baseDf))
-    var ranks = nodes.withColumn("rank", col("base"))
-    for (_ <- 1 to Iters) {
-      val msgs = edges
-        .join(ranks, edges("src") === ranks("node"))
-        .select(col("dst"), expr("rank DIV outdeg").as("contrib"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum("contrib").as("msg"))
-      ranks = nodes
-        .join(msgs, "node")
-        .select(col("node"), col("outdeg"), col("base"),
-          expr("(15 * base) DIV 100 + (85 * msg) DIV 100").as("rank"))
-    }
-    ranks
+    pageRankRanks(s, d, Iters)
       .filter(col("node") % 2 === 1)
       .select(expr("(node - 1) DIV 2").as("s_suppkey"), col("rank").as("rank_fp"))
       .join(broadcast(T.supplier(s, d)), "s_suppkey")

@@ -264,8 +264,16 @@ object MlQueries {
       val fitted = LdaPipeline.train(s, tokens,
         LdaPipeline.Params(k = 5, maxIterations = 50, algorithm = "em",
           checkpointInterval = -1, seed = 42L))
+      ml04IterTimes = LdaPipeline.emIterationTimes(fitted)
       topicsChecked(s, fitted, 10)
   }
+
+  /** Telemetry sink for ml04's most recent EM fit: the optimizer's
+    * per-iteration training times. Bench folds these into its JSON line
+    * so a slow driver-environment ml04 decomposes into 50 × per-iter
+    * cost instead of needing forensics (r5 verdict item 3). Not part of
+    * any query's result — purely observability. */
+  @volatile var ml04IterTimes: Option[Seq[Double]] = None
 
   /** ml06 — A6 on the ONLINE optimizer at the reference's FULL training
     * configuration (k=5, 50 iterations, auto α/β, the `0.05 +

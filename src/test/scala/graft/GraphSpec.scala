@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** gr01 PageRank: value-level re-derivation, plan-shape locks on the
+  * persisted edge layout, and the 20-iteration lineage-truncation run.
+  * (The DuckDB oracle is the value gate at sf0.01; these specs pin the
+  * distributed computation against an independent driver-side model and
+  * the scale-relevant physical shape.) */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val Scale = 1000000000000L
+
+  /** Independent driver-side fixed-point PageRank over the same
+    * customer↔supplier pair graph, plain Scala Long arithmetic. */
+  private def driverRanks(iters: Int): Map[Long, Long] = {
+    import org.apache.spark.sql.functions._
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (c, s) =>
+      Seq((2 * c, 2 * s + 1), (2 * s + 1, 2 * c))
+    }
+    val outdeg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val base = Scale / outdeg.size
+    var rank = outdeg.map { case (n, _) => n -> base }
+    for (_ <- 1 to iters) {
+      val msg = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (src, dst) => msg(dst) += rank(src) / outdeg(src) }
+      rank = outdeg.map { case (n, _) =>
+        n -> ((15 * base) / 100 + (85 * msg(n)) / 100)
+      }
+    }
+    rank
+  }
+
+  test("gr01 ranks are bit-identical to a driver-side re-derivation (5 iters)") {
+    val got = SparkEntry.queries("gr01_pagerank_authority")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("rank_fp")).toMap
+    val want = driverRanks(5).collect {
+      case (n, r) if n % 2 == 1 => (n - 1) / 2 -> r
+    }
+    assert(got == want,
+      "distributed fixed-point ranks must match the sequential model exactly")
+  }
+
+  test("gr01 plan reuses the persisted edge exchange across iterations") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = SparkEntry.queries("gr01_pagerank_authority")(spark, sf)
+    df.collect() // materialize the cache so the reuse shape is the executed one
+    // walk the executed tree, treating cached scans as leaves (their
+    // InMemoryRelation build plan is not live work in THIS query)
+    var fileScans, cachedScans = 0
+    def go(n: SparkPlan): Unit = n match {
+      case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+      case q: QueryStageExec        => go(q.plan)
+      case _: InMemoryTableScanExec => cachedScans += 1
+      case f: FileSourceScanExec    => fileScans += 1
+      case other                    => other.children.foreach(go)
+    }
+    go(df.queryExecution.executedPlan)
+    // every iteration's edge side reads the cached, pre-partitioned table
+    assert(cachedScans >= 5,
+      s"each of the 5 iterations must scan the persisted edges, got $cachedScans")
+    // the orders⋈lineitem edge build ran once, inside the cache fill; the
+    // only live parquet scan left is the broadcast supplier dim
+    assert(fileScans <= 2,
+      s"iterations must not rebuild edges from parquet ($fileScans live fact scans)")
+    // (BroadcastNestedLoopJoin IS expected here: the 1-row broadcast(base)
+    // scalar join — the q21r pattern. A cartesian never is.)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "rank propagation must never plan an all-pairs join")
+  }
+
+  test("20 iterations complete with truncated lineage and match the driver model") {
+    val ranks = operators.Graph.pageRankRanks(spark, sf, 20)
+    val got = ranks.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank")).toMap
+    val want = driverRanks(20)
+    assert(got == want, "20-round fixed point must stay bit-exact")
+    // lineage is truncated: the analyzed plan after 20 rounds must not be
+    // a 20-deep join chain (each localCheckpoint resets to a leaf)
+    val depth = ranks.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(depth < 120,
+      s"localCheckpoint must bound plan size past $depth nodes")
+  }
+}

@@ -49,6 +49,7 @@ class QuerySurfaceSpec extends AnyFunSuite {
       operators.Similarity.defs ++ operators.MlQueries.defs ++
       operators.Advanced.defs ++ operators.Extras.defs ++
       operators.Storage.defs ++ operators.Reshape.defs ++
+      operators.Graph.defs ++
       streaming.Streams.defs ++ multimodal.Multimodal.defs
     assert(names.map(_.name).distinct.size == names.size, "duplicate query name")
     assert(names.size == SparkEntry.queries.size, "module not wired into SparkEntry")
