@@ -26,15 +26,48 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. We read nanos as raw longs
-    * (`spark.sql.legacy.parquet.nanosAsLong`, set session-wide by
-    * Verify/Bench/tests) and rebuild a proper TimestampType column. The
-    * fixture's nanos are microsecond-aligned, so `div 1000` is lossless. */
+  /** events.parquet has shipped `ts` under two parquet encodings:
+    * TIMESTAMP(NANOS) — which Spark's vectorized reader only accepts as a
+    * raw long via `spark.sql.legacy.parquet.nanosAsLong` (set session-wide
+    * by Verify/Bench/tests) — and plain TIMESTAMP(MICROS), which reads
+    * natively (as TIMESTAMP_NTZ when the file is not UTC-adjusted). A real
+    * ingest sees both, so the loader adapts on the *raw* schema instead of
+    * assuming one encoding:
+    *   - LongType  → nanos-as-long read; rebuild via `div 1000` (the
+    *     fixture's nanos are microsecond-aligned, so this is lossless);
+    *   - TimestampNTZType → cast to session-TZ TimestampType (UTC session,
+    *     so the instant is preserved and `unix_micros` / oracle schema
+    *     hashes match the nanos-era output bit-for-bit);
+    *   - TimestampType → pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     val raw = s.read.parquet(s"$d/events.parquet")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.withColumn("ts", eventsTsCol(raw.schema))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** The adaptive `ts` rebuild shared by the batch and streaming events
+    * loaders — keyed off the RAW schema the reader produced. */
+  private def eventsTsCol(raw: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    raw("ts").dataType match {
+      case LongType      => timestamp_micros(expr("ts div 1000"))
+      case TimestampType => col("ts")
+      case _             => col("ts").cast(TimestampType) // TIMESTAMP_NTZ et al.
+    }
+  }
+
+  /** Streaming variant of [[events]] — a file-stream source over the sf
+    * dir (glob-filtered to the single fixture file; the file source
+    * needs a directory) with the same adaptive `ts` normalization, so
+    * every streaming operator sees the identical contract
+    * (ts: TimestampType) regardless of the fixture's physical encoding. */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", eventsTsCol(rawSchema))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -39,12 +39,7 @@ object Streams {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
-    // schema from the batch reader (nanos ts arrives as LONG); the file
-    // stream source needs a directory → glob-filter the sf dir
-    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-    val stream = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = T.eventsStream(s, d)
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
@@ -83,10 +78,7 @@ object Streams {
       |WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR <= mx.w
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
-    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-    val stream = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = T.eventsStream(s, d)
       .withWatermark("ts", "10 minutes")
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -172,10 +164,8 @@ object Streams {
   def stateful(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     assertSingleReplayFile(d)
-    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-    val stream = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .select(col("user_id"), expr("ts div 1000").as("tsMicros"))
+    val stream = T.eventsStream(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
       .as[Ev]
     val gapMicros = 30L * 60 * 1000 * 1000
     val sessions = stream
@@ -265,10 +255,8 @@ object Streams {
     import org.apache.spark.sql.streaming.OutputMode
     import s.implicits._
     assertSingleReplayFile(d)
-    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-    val stream = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .select(col("user_id"), expr("ts div 1000").as("tsMicros"), col("event_id"))
+    val stream = T.eventsStream(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"), col("event_id"))
       .as[Ev2]
     val gapMicros = 30L * 60 * 1000 * 1000
     val rows = stream
@@ -329,9 +317,7 @@ object Streams {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (s, d) =>
-    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-    val stream = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val stream = T.eventsStream(s, d)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
       .groupBy("event_type")
@@ -365,10 +351,7 @@ object Streams {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (s, d) =>
-    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-    val stream = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = T.eventsStream(s, d)
       .withWatermark("ts", "10 minutes")
       .select(col("ts"), col("user_id"), col("event_type"))
       .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -418,10 +401,7 @@ object Streams {
       |WHERE window_start + INTERVAL 1 HOUR <= mx.w
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
-    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-    val stream = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = T.eventsStream(s, d)
       .withWatermark("ts", "10 minutes")
     val agg = stream
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
@@ -476,10 +456,7 @@ object Streams {
       |SELECT user_id, session_start, session_end, n_events
       |FROM g, mx WHERE session_end <= mx.w
       |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
-    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-    val stream = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = T.eventsStream(s, d)
       .withWatermark("ts", "10 minutes")
     val agg = stream
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -526,8 +503,9 @@ object Streams {
       val in = new java.io.File(dir, "in")
       val done = new java.io.File(dir, "_DONE")
       if (!done.exists()) {
-        val raw = s.read.parquet(s"$d/events.parquet")
-          .withColumn("us", expr("ts div 1000"))
+        // stage from the ADAPTIVE loader so the staged replay files carry
+        // the normalized TimestampType ts whatever the fixture encoding
+        val raw = T.events(s, d).withColumn("us", unix_micros(col("ts")))
         val maxUs = raw.agg(max("us")).head().getLong(0)
         val cutoff = maxUs - 50L * 60 * 1000 * 1000
         def writeOne(df: DataFrame, part: String, target: String, mtime: Long): Unit = {
@@ -602,11 +580,12 @@ object Streams {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
     val inDir = stageLateReplay(s, d)
+    // staged files are written from the adaptive loader: ts is already
+    // a normalized TimestampType column
     val schema = s.read.parquet(inDir).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "10 minutes")
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -649,9 +628,7 @@ object Streams {
       ("click", "engagement", 1), ("view", "engagement", 1),
       ("purchase", "revenue", 5), ("signup", "revenue", 3),
       ("error", "ops", 0)).toDF("event_type", "category", "w")
-    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-    val stream = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val stream = T.eventsStream(s, d)
       .select(col("event_type"), col("value"))
       .join(broadcast(dim), "event_type")
       .groupBy("category")
@@ -689,10 +666,7 @@ object Streams {
       | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
       |ORDER BY view_id, purchase_id""".stripMargin) { (s, d) =>
     assertSingleReplayFile(d)
-    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-    def src() = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    def src() = T.eventsStream(s, d).withColumn("ets", col("ts"))
     val views = src().filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ets").as("view_ts"))
@@ -806,10 +780,8 @@ object Streams {
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-      val stream = s.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .select(col("user_id"), expr("ts div 1000").as("tsMicros"))
+      val stream = T.eventsStream(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
         .as[Ev]
       val sessions = stream
         .groupByKey(_.user_id)

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixture drift guard. The driver regenerates /root/testdata between
+  * rounds and has already changed physical encodings once (events.ts:
+  * TIMESTAMP(NANOS) → TIMESTAMP(MICROS), round 6). Every oracle hash is
+  * computed against the schema the *loader* produces, so this suite pins
+  * that contract for all 10 tables: if a fixture regeneration changes what
+  * `Tables.load` emits, the drift fails here in one named test instead of
+  * surfacing as 19 opaque bench rows across 4 suites.
+  *
+  * Deliberately asserts the LOADER output (post-adaptation), not the raw
+  * parquet footer — raw encodings are allowed to drift as long as the
+  * loader absorbs them.
+  */
+class FixtureSchemaSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def expect(name: String): Seq[(String, DataType)] = name match {
+    case "region" => Seq("r_regionkey" -> IntegerType, "r_name" -> StringType)
+    case "nation" => Seq(
+      "n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType)
+    case "customer" => Seq(
+      "c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType)
+    case "supplier" => Seq(
+      "s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType)
+    case "part" => Seq(
+      "p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType)
+    case "orders" => Seq(
+      "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType)
+    case "lineitem" => Seq(
+      "l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampNTZType)
+    case "events" => Seq(
+      "event_id" -> LongType, "ts" -> TimestampType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType)
+    case "documents" => Seq(
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType)
+    case "embeddings" => Seq(
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+      "label" -> IntegerType)
+  }
+
+  for (name <- Tables.all) {
+    test(s"loader schema contract: $name") {
+      val df = Tables.load(spark, sf, name)
+      val got = df.schema.fields.toSeq.map(f => f.name -> f.dataType)
+      assert(got == expect(name),
+        s"$name loader schema drifted.\n  got:      $got\n  expected: ${expect(name)}\n" +
+          "If the fixture regenerated with a new physical encoding, teach the " +
+          "loader in Tables.scala to absorb it (keep this contract stable); " +
+          "only update this spec if the LOGICAL contract intentionally changed.")
+      assert(df.head(1).nonEmpty, s"$name is empty at $sf")
+    }
+  }
+
+  test("events loader adapts: ts is a concrete instant, never NTZ or raw long") {
+    val ts = Tables.events(spark, sf).schema("ts").dataType
+    assert(ts == TimestampType, s"events.ts must load as TimestampType, got $ts")
+  }
+}
