@@ -26,9 +26,10 @@ class GoldenReportParitySpec extends AnyFunSuite {
   private val goldenPath = Paths.get(
     "/root/reference/TextClustering/src/main/resources/TestOutput/Result_EN_1591723228815")
 
-  test("render() reproduces the reference golden byte-for-byte") {
-    assume(Files.exists(goldenPath), "reference golden not present")
-    val raw = new String(Files.readAllBytes(goldenPath), StandardCharsets.UTF_8)
+  /** Parse the golden artifact into renderer fixtures — shared by the
+    * GoldenEra byte round-trip and the committed HeadEra regeneration. */
+  private def parseGolden(raw: String)
+      : (Int, Seq[GoldenReport.BookResult], Seq[GoldenReport.TopicSummary]) = {
     val lines = raw.split("\n", -1) // -1: keep the final empty element
 
     val hashRule = "#" * 87
@@ -130,14 +131,49 @@ class GoldenReportParitySpec extends AnyFunSuite {
     assert(i == lines.length - 1 && lines(i).isEmpty,
       "golden fully consumed up to the trailing newline")
     assert(nTopics == k)
+    (k, books.result(), topics.result())
+  }
 
-    val rendered = GoldenReport.render(k, books.result(), topics.result())
+  test("render() reproduces the reference golden byte-for-byte") {
+    assume(Files.exists(goldenPath), "reference golden not present")
+    val raw = new String(Files.readAllBytes(goldenPath), StandardCharsets.UTF_8)
+    val (k, books, topics) = parseGolden(raw)
+    val rendered = GoldenReport.render(k, books, topics)
     if (rendered != raw) {
       val d = rendered.zip(raw).indexWhere { case (a, b) => a != b }
       val at = if (d < 0) math.min(rendered.length, raw.length) else d
       fail(s"byte divergence at offset $at: " +
         s"rendered ...${rendered.slice(at - 40, at + 40)}... vs " +
         s"golden ...${raw.slice(at - 40, at + 40)}...")
+    }
+  }
+
+  test("HeadEra full golden: the complete report re-rendered in the new format") {
+    // r5 carryover item 8: a FULL new-format golden, not just the
+    // synthetic append-sequence sample below. The same parsed content
+    // as the byte round-trip above, rendered with the HeadEra switch and
+    // pinned against a committed fixture — so the new-format renderer is
+    // locked at real-report scale (17 books, 5 topics, every list-ending
+    // shape the corpus produces). Regenerate deliberately with
+    // -Dgraft.regen.golden=true after an intentional format change.
+    assume(Files.exists(goldenPath), "reference golden not present")
+    val raw = new String(Files.readAllBytes(goldenPath), StandardCharsets.UTF_8)
+    val (k, books, topics) = parseGolden(raw)
+    val rendered = GoldenReport.render(k, books, topics, GoldenReport.HeadEra)
+    val fixture = Paths.get("src/test/resources/Result_EN_headera.txt")
+    if (sys.props.get("graft.regen.golden").contains("true")) {
+      Files.write(fixture, rendered.getBytes(StandardCharsets.UTF_8))
+      fail(s"HeadEra golden regenerated at $fixture — commit it and rerun")
+    }
+    assert(Files.exists(fixture),
+      "HeadEra golden fixture missing — regenerate with -Dgraft.regen.golden=true")
+    val expected = new String(Files.readAllBytes(fixture), StandardCharsets.UTF_8)
+    if (rendered != expected) {
+      val d = rendered.zip(expected).indexWhere { case (a, b) => a != b }
+      val at = if (d < 0) math.min(rendered.length, expected.length) else d
+      fail(s"HeadEra full-golden divergence at offset $at: " +
+        s"rendered ...${rendered.slice(at - 40, at + 40)}... vs " +
+        s"fixture ...${expected.slice(at - 40, at + 40)}...")
     }
   }
 
