@@ -138,9 +138,10 @@ object Bench {
     // the round-1 driver failed to tail-parse stdout (sbt appends
     // "[success] ..." after our line).
     spark.stop()
-    // never let a filtered iteration run overwrite the checked-in
-    // full-surface artifact (BENCH_LOCAL.json is the claims record)
-    if (only.isEmpty)
+    // never let a filtered iteration run OR an off-scale audit run (sf1
+    // etc.) overwrite the checked-in full-surface artifact
+    // (BENCH_LOCAL.json is the claims record at the driver's sf0.1)
+    if (only.isEmpty && sfDir == "/root/testdata/sf0.1")
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -304,6 +304,44 @@ class StorageSimilaritySpec extends AnyFunSuite {
     assert(agree >= 0.5, f"ANN top-1 agreement $agree%.2f below sanity floor")
   }
 
+  test("prefix-filtered jaccardPairs is lossless at the 0.3 verification floor") {
+    // Re-derive the shingle universe and the UNFILTERED co-shingling
+    // pair table inline (the pre-r7 formulation), then require the
+    // prefix-filtered jaccardPairs to agree exactly on every pair with
+    // J >= 0.3 — the AllPairs pigeonhole guarantee, checked on data.
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+    val sh0 = toks.select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val dfT = sh0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= 100)
+    val sh = sh0.join(dfT, "h").select("doc_id", "h")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jaccard", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= 0.3)
+      .select("da", "db", "c", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val got = operators.Dedup.jaccardPairs(spark, sf)
+      .filter(col("jaccard") >= 0.3)
+      .select("da", "db", "c", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == brute,
+      s"prefix filter lost or altered pairs: brute=${brute.size} got=${got.size} " +
+        s"missing=${(brute.keySet -- got.keySet).take(5)} extra=${(got.keySet -- brute.keySet).take(5)}")
+    assert(brute.nonEmpty, "fixture produced no J>=0.3 pairs — test is vacuous")
+  }
+
   test("q65 lateral top-2 equals the window-rank formulation") {
     val lateral = SparkEntry.queries("q65_lateral_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
