@@ -1080,7 +1080,64 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** ss12 — truncated-dimension two-stage retrieval (the Matryoshka /
+    * dimension-truncation pattern — Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022: score cheaply on a prefix
+    * of the embedding, rerank exactly on the full vector). Stage 1
+    * scores every candidate on the FIRST 16 of 64 dims (¼ the flops and
+    * ¼ the bytes through the scan — with a columnar layout storing the
+    * prefix separately, the full vectors page in only for the
+    * shortlist); stage 2 reranks the per-query top-20 shortlist with the
+    * full-dimension cosine and keeps top-5. Complementary to IVF: ss04/
+    * ss09 prune WHICH rows are scanned, this cheapens EVERY scanned row
+    * — at 100 TB the two compose (truncated ADC inside probed cells).
+    *
+    * Unlike the k-means paths, truncation is a pure function of the
+    * data, so this is a FULL VALUE oracle (the ss01 pattern): both
+    * engines compute the identical left-to-right double dot on the
+    * 16-dim slice, the same (trunc_cos DESC, nid) shortlist, and the
+    * same exact rerank — every row, rank, and cosine hash-matches. */
+  val ss12 = QueryDef.sql("ss12_truncated_rerank",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS nid, embedding AS ne FROM embeddings),
+       |t16 AS (
+       |  SELECT qid, nid, qe, ne,
+       |    ${duckCosine("(qe[1:16])", "(ne[1:16])")} AS trunc_cos
+       |  FROM q, c WHERE qid <> nid),
+       |short AS (
+       |  SELECT qid, nid, qe, ne, trunc_cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY trunc_cos DESC, nid) AS sr
+       |  FROM t16),
+       |rer AS (
+       |  SELECT qid, nid, trunc_cos, ${duckCosine("qe", "ne")} AS cos_sim
+       |  FROM short WHERE sr <= 20)
+       |SELECT qid, nid, rank, trunc_cos, cos_sim FROM (
+       |  SELECT qid, nid, trunc_cos, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS INTEGER) AS rank
+       |  FROM rer) t
+       |WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    regDot(s)
+    val e = T.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val wShort = Window.partitionBy("qid").orderBy(col("trunc_cos").desc, col("nid"))
+    val wRank = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("trunc_cos",
+        expr(cosine("slice(qe, 1, 16)", "slice(ne, 1, 16)")))
+      .withColumn("sr", row_number().over(wShort))
+      .filter(col("sr") <= 20)
+      .withColumn("cos_sim", expr(cosine("qe", "ne")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select("qid", "nid", "rank", "trunc_cos", "cos_sim")
+      .orderBy("qid", "rank")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(ss01, ss02, ss03, ss04, ss05, ss06, ss07, ss08, ss09, ss10, ss10b,
-      ss11, dd07, dd14)
+      ss11, ss12, dd07, dd14)
 }

@@ -459,6 +459,42 @@ object Storage {
       .orderBy("l_returnflag")
   }
 
+  /** q72 — compaction planning: the layout-maintenance pass every
+    * long-lived 100 TB table needs (Delta/Iceberg OPTIMIZE's binning
+    * step). `documents` plays the file manifest (doc_id = file id,
+    * n_chars = file bytes); files are packed in id order into bins that
+    * OPEN at each multiple of the 16 KiB target — a file belongs to the
+    * bin its starting byte offset falls in, so oversized files occupy
+    * bins alone and small files coalesce. The assignment is a pure
+    * function of the ordered prefix sum: bin = floor((cum − bytes) /
+    * target). The running sum is the two-pass distributed scan
+    * ([[graft.GlobalCumsum]]) — the windowed SUM OVER the oracle uses
+    * would collapse a real manifest to one partition. Output one row
+    * per planned output bin; every column value-oracled. */
+  val q72 = QueryDef.sql("q72_compaction_plan",
+    """WITH m AS (
+      |  SELECT doc_id, n_chars,
+      |    SUM(n_chars) OVER (ORDER BY doc_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM documents)
+      |SELECT CAST((cum - n_chars) // 16384 AS BIGINT) AS bin_id,
+      |  COUNT(*) AS n_files,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+      |  MIN(doc_id) AS first_file, MAX(doc_id) AS last_file
+      |FROM m
+      |GROUP BY 1
+      |ORDER BY bin_id""".stripMargin) { (s, d) =>
+    val manifest = T.documents(s, d).select("doc_id", "n_chars")
+    graft.GlobalCumsum
+      .withRunningSum(manifest, Seq(col("doc_id")), "n_chars", "cum")
+      .withColumn("bin_id", floor((col("cum") - col("n_chars")) / lit(16384)))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_files"), sum("n_chars").as("total_bytes"),
+        min("doc_id").as("first_file"), max("doc_id").as("last_file"))
+      .orderBy("bin_id")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(q38, q39, q40, q41, q42, q48, q49, q53, q54, q56, q59, q62, q63, q70)
+    Seq(q38, q39, q40, q41, q42, q48, q49, q53, q54, q56, q59, q62, q63, q70,
+      q72)
 }
