@@ -703,6 +703,86 @@ object Streams {
       .orderBy("view_id", "purchase_id")
   }
 
+  /** st15 — stream-stream LEFT OUTER interval join: st08 plus the
+    * null-emission path, the shape a training pipeline uses to mine
+    * views WITHOUT a conversion (negative sampling) online. Inner
+    * matches emit as they join; an unmatched view emits with NULL
+    * purchase columns only once the watermark proves no match can
+    * arrive — i.e. when wm passes view_ts + 30 min, after which the
+    * view's state is evicted. The GLOBAL watermark is the MINIMUM over
+    * both inputs' per-stream watermarks (each stream's own max event
+    * time − 1 h) — using the whole table's max ts instead was exactly
+    * one row wrong at sf0.01 (a view between the two maxima). That
+    * eviction-time emission happens in the trailing no-data micro-batch
+    * (the SPARK-40925 two-watermark machinery st01b/st06 already pin),
+    * so over the single-file replay the emitted set is a deterministic
+    * function of the data and the oracle encodes it exactly: all inner
+    * pairs, plus views with no in-window purchase whose window end is
+    * strictly below the final wm. Views younger than that stay in
+    * state unreported —
+    * append-mode truth, same as st01b's open windows. NULLS FIRST is
+    * explicit in the oracle's ORDER BY (Spark ASC default) per the
+    * repo-wide null-sort gotcha. */
+  val st15 = QueryDef.sql("st15_stream_outer_join",
+    """WITH wm AS (
+      |  SELECT LEAST(
+      |    (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'view'),
+      |    (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'purchase'))
+      |    - INTERVAL 1 HOUR AS w),
+      |v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'purchase'),
+      |inner_pairs AS (
+      |  SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |    v.ts AS view_ts, p.ts AS purchase_ts
+      |  FROM v JOIN p ON p.user_id = v.user_id
+      |   AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE),
+      |unmatched AS (
+      |  SELECT v.user_id, v.event_id AS view_id, CAST(NULL AS BIGINT) AS purchase_id,
+      |    v.ts AS view_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+      |  FROM v, wm
+      |  WHERE v.ts + INTERVAL 30 MINUTE < wm.w
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM p WHERE p.user_id = v.user_id
+      |        AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE))
+      |SELECT * FROM inner_pairs
+      |UNION ALL
+      |SELECT * FROM unmatched
+      |ORDER BY view_id, purchase_id NULLS FIRST""".stripMargin) { (s, d) =>
+    assertSingleReplayFile(d)
+    def src() = T.eventsStream(s, d).withColumn("ets", col("ts"))
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ets").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ets").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(purchases,
+      expr("""p_user = v_user
+             |AND purchase_ts > view_ts
+             |AND purchase_ts <= view_ts + interval 30 minutes""".stripMargin),
+      "left_outer")
+    val name = s"st15_sink_${System.nanoTime()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+      .orderBy(col("view_id"), col("purchase_id").asc_nulls_first)
+  }
+
   /** st09 — foreachBatch sink: the production escape hatch for sinks
     * Structured Streaming lacks natively (JDBC, multi-table, merge).
     * Each micro-batch of the staged 3-file replay is appended as
@@ -897,5 +977,5 @@ object Streams {
 
   val defs: Seq[QueryDef] =
     Seq(st01, st01b, st02, st03, st04, st05, st06, st07, st08, st09, st10,
-      st11, st12, st13, st14)
+      st11, st12, st13, st14, st15)
 }
