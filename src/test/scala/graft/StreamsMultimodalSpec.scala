@@ -43,6 +43,37 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("st15: left-outer = st08 inner + watermark-closed unmatched views") {
+    val outer = streaming.Streams.st15.fn(spark, sf).collect()
+    val inner = streaming.Streams.st08.fn(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val matched = outer.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(matched == inner, "matched subset must equal the inner join")
+    // null-emitted views re-derived batch-side: no in-window purchase AND
+    // window end strictly under the min-of-both-streams watermark
+    val ev = Tables.events(spark, sf)
+    val maxV = ev.filter(col("event_type") === "view")
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val maxP = ev.filter(col("event_type") === "purchase")
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wm = math.min(maxV, maxP) - 3600000000L
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), unix_micros(col("ts")), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectedNull = views.filter { case (_, vus, uid) =>
+      vus + 1800000000L < wm &&
+        !purch.exists { case (pu, pus) =>
+          pu == uid && pus > vus && pus <= vus + 1800000000L }
+    }.map(_._1).toSet
+    val gotNull = outer.filter(_.isNullAt(2)).map(_.getLong(1)).toSet
+    assert(gotNull == expectedNull)
+    assert(gotNull.nonEmpty, "no unmatched views at this sf — test is vacuous")
+  }
+
   test("st13: native session windows equal st04's stateful sessions, closed-filtered") {
     val mxTs = Tables.events(spark, sf).agg(max(unix_micros(col("ts")))).head().getLong(0)
     val wm = mxTs - 600000000L // watermark: max(ts) - 10 min, in micros
