@@ -4,9 +4,12 @@ stretch item 9: turn "no scale-dependent nondeterminism" into a
 measured row at 10x the driver's max scale.
 
 The driver's generator is not in this repo, so this synthesizer only
-matches the driver fixtures' SCHEMAS (including physical parquet
-types: events.ts timestamp[ns], order/ship dates timestamp[ms],
-float32 list embeddings) and their broad value distributions
+matches the driver fixtures' SCHEMAS (physical parquet types as of
+the r5-era fixtures: events.ts timestamp[ns], order/ship dates
+timestamp[ms], float32 list embeddings; the r6+ driver fixtures emit
+events.ts as timestamp[us] — keeping ns HERE is deliberate, it
+exercises the legacy nanosAsLong branch of Tables.events while the
+driver fixtures exercise the native-timestamp branch) and their broad value distributions
 (cardinality ratios, value domains, duplicate/near-duplicate docs so
 the dedup family has work to do). That is sufficient for what sf1
 measures: Spark-vs-DuckDB agreement and bench scaling on the SAME
