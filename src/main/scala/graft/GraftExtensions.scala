@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatDot, PolyHash, TopKIds}
+import graft.functions.{FloatDot, FloatL2, PolyHash, TopKIds}
 
 /** SparkSessionExtensions entry point — the idiomatic deployment path
   * for this engine's native expressions: users add
@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "vec_dot"),
       (children: Seq[Expression]) => FloatDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_l2sq"),
+      new ExpressionInfo(classOf[FloatL2].getName, "vec_l2sq"),
+      (children: Seq[Expression]) => FloatL2(children(0), children(1))))
   }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables => T}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -101,10 +101,27 @@ object Dedup {
   private val jacCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** The prefix filter inside [[jaccardPairs]] makes the pair table
+    * COMPLETE only for J ≥ this floor — an implicit contract a future
+    * consumer filtering lower (or aggregating over all pairs) would
+    * silently violate. Every consumer must go through
+    * [[jaccardAtLeast]], which fails fast below the floor. */
+  private[graft] val JaccardCompletenessFloor = 0.3
+
+  /** The only sanctioned way to threshold [[jaccardPairs]]: rejects (at
+    * plan-build time, not silently at run time) any threshold below the
+    * completeness floor the prefix filter guarantees. */
+  private[graft] def jaccardAtLeast(t: Double): Column = {
+    require(t >= JaccardCompletenessFloor,
+      s"jaccardPairs is only complete for J >= $JaccardCompletenessFloor" +
+        s" (prefix filter); a $t filter would silently under-report")
+    col("jaccard") >= t
+  }
+
   private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame =
     jacCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d", {
       val sh = shingles(s, d)
-      val t = 0.3 // completeness floor; consumers re-filter at their own
+      val t = JaccardCompletenessFloor // consumers re-filter at their own
       val dfTab = sh.groupBy("h").agg(count(lit(1)).as("hdf"))
       val wDoc = Window.partitionBy("doc_id").orderBy(col("hdf"), col("h"))
       val prefix = sh.join(dfTab, "h")
@@ -161,7 +178,7 @@ object Dedup {
        |FROM jac WHERE jaccard >= 0.5e0
        |ORDER BY jaccard DESC, da, db""".stripMargin) { (s, d) =>
     jaccardPairs(s, d)
-      .filter(col("jaccard") >= 0.5)
+      .filter(jaccardAtLeast(0.5))
       .select(col("da"), col("db"), col("c").as("common_shingles"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("da"), col("db"))
   }
@@ -199,7 +216,7 @@ object Dedup {
       .agg(count(lit(1)).as("matches"))
     val jac = jaccardPairs(s, d).select(col("da"), col("db"), col("jaccard"))
     cand.join(jac, Seq("da", "db"))
-      .filter(col("jaccard") >= 0.3)
+      .filter(jaccardAtLeast(0.3))
       .select(col("da"), col("db"), (col("matches") * lit(1.0) / 8).as("est_sim"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("da"), col("db"))
   }
@@ -245,7 +262,7 @@ object Dedup {
       (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
     val b = sigW.select(col("doc_id").as("db") +:
       (0 until 16).map(i => col(s"m$i").as(s"b$i")): _*)
-    val pairs = jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
+    val pairs = jaccardPairs(s, d).filter(jaccardAtLeast(0.5))
       .select(col("da"), col("db"), col("jaccard"))
     val est = col("matches") * lit(1.0) / 16
     pairs.join(a, "da").join(b, "db")
@@ -354,7 +371,7 @@ object Dedup {
       dupClustersUncached(s, d).localCheckpoint(true))
 
   private def dupClustersUncached(s: SparkSession, d: String): DataFrame = {
-    val pairs = jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
+    val pairs = jaccardPairs(s, d).filter(jaccardAtLeast(0.5))
       .select(col("da"), col("db"))
     connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -429,6 +446,10 @@ object Dedup {
       rounds += 1
     }
     require(converged, s"label propagation did not converge in $maxRounds rounds")
+    // convergence telemetry (r8): makes rounds-to-convergence auditable
+    // in bench/verify logs — a dd05 cold-cost regression decomposes into
+    // rounds × per-round cost instead of needing forensics
+    System.err.println(s"[cc] converged in $rounds rounds (jumpAfter=$jumpAfter)")
     labels
   }
 
@@ -458,7 +479,7 @@ object Dedup {
        |ORDER BY test_doc, train_doc""".stripMargin) { (s, d) =>
     def bucket(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c.cast("string")), 1, 2), 16, 10).cast("int") % 100
-    jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
+    jaccardPairs(s, d).filter(jaccardAtLeast(0.5))
       .withColumn("ba", bucket(col("da")))
       .withColumn("bb", bucket(col("db")))
       .filter((col("ba") >= 80) =!= (col("bb") >= 80))

@@ -91,14 +91,16 @@ object Extras {
       .orderBy("lang")
   }
 
-  private def withConfs[A](s: org.apache.spark.sql.SparkSession,
-      kv: Seq[(String, String)])(body: => A): A = {
-    val prev = kv.map { case (k, _) => k -> s.conf.getOption(k) }
-    kv.foreach { case (k, v) => s.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
-    }
+  /** Clone of `s` (shared SparkContext, PRIVATE SessionState) carrying
+    * the given conf overrides — scopes the runtime-tuning demos (q64
+    * skew, q69 bloom) to their own session instead of the pre-r8
+    * set-then-restore on the caller's conf, which was racy under
+    * concurrent queries in one session (r7 verdict item #5's pattern). */
+  private def scoped(s: org.apache.spark.sql.SparkSession,
+      kv: Seq[(String, String)]): org.apache.spark.sql.SparkSession = {
+    val ss = s.newSession()
+    kv.foreach { case (k, v) => ss.conf.set(k, v) }
+    ss
   }
 
   /** AQE-tuned session settings for [[q64]]: thresholds scaled down to
@@ -168,9 +170,9 @@ object Extras {
     * result is provably identical to the unsplit join, which is what
     * the oracle checks; PlanShapeSpec asserts the executed plan really
     * contains skew-split shuffle reads, so the demo can't silently
-    * degenerate into an ordinary join. Executed inside the fn (the
-    * session confs must be live at runtime, then restored — the
-    * ~99-row aggregate is driver-safe to hold). */
+    * degenerate into an ordinary join. Executed inside the fn on a
+    * conf-scoped session clone (the confs must be live at runtime —
+    * the ~99-row aggregate is driver-safe to hold). */
   val q64 = QueryDef.sql("q64_aqe_skew_join",
     """WITH fact AS (
       |  SELECT CAST(CASE WHEN l_partkey % 5 < 3 THEN 7
@@ -184,10 +186,8 @@ object Extras {
       |FROM fact f JOIN dim d ON f.jk = d.jk
       |GROUP BY f.jk
       |ORDER BY f.jk""".stripMargin) { (s, d) =>
-    val (rows, schema) = withConfs(s, q64SkewConfs) {
-      val df = skewJoined(s, d)
-      (df.collect(), df.schema)
-    }
+    val df = skewJoined(scoped(s, q64SkewConfs), d)
+    val (rows, schema) = (df.collect(), df.schema)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
@@ -348,8 +348,8 @@ object Extras {
     * drop there, so the result is provably the plain join's — which is
     * what the oracle checks; PlanShapeSpec asserts the executed plan
     * really contains the injected filter, so the demo can't silently
-    * degenerate into an unpruned join. Runs inside the fn (confs must
-    * be live at runtime, then restored; ≤3-row agg is driver-safe). */
+    * degenerate into an unpruned join. Runs inside the fn on a
+    * conf-scoped session clone (≤3-row agg is driver-safe). */
   val q69 = QueryDef.sql("q69_bloom_runtime_filter",
     """SELECT l_returnflag, COUNT(*) AS n,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
@@ -357,10 +357,8 @@ object Extras {
       |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    val (rows, schema) = withConfs(s, q69BloomConfs) {
-      val df = bloomJoined(s, d)
-      (df.collect(), df.schema)
-    }
+    val df = bloomJoined(scoped(s, q69BloomConfs), d)
+    val (rows, schema) = (df.collect(), df.schema)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 

@@ -76,7 +76,13 @@ object Graph {
     val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     // Node count as a broadcast 1-row aggregate — never a driver action.
     val baseDf = deg.agg(expr(s"${Scale}L DIV count(1)").as("base"))
-    val nodes = deg.crossJoin(broadcast(baseDf))
+    // The rank-vector side is TINY next to the edge table and appears in
+    // every iteration's plan (the per-round join and the dangling-free
+    // base); persisting it once keeps each round's plan a cached scan +
+    // one shuffle instead of re-deriving deg from the edge table per
+    // reference (exchange reuse catches some of that, but the cached
+    // form also halves the unrolled plan the final action must compile).
+    val nodes = deg.crossJoin(broadcast(baseDf)).persist()
     var ranks = nodes.withColumn("rank", col("base"))
     for (i <- 1 to iters) {
       val msgs = edges

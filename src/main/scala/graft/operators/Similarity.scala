@@ -36,7 +36,13 @@ object Similarity {
     * query closure calls [[regDot]] before first use. */
   private val dotExpr = "vec_dot(%s, %s)"
 
-  private def regDot(s: SparkSession): Unit = graft.functions.FloatDot.register(s)
+  private def regDot(s: SparkSession): Unit = {
+    graft.functions.FloatDot.register(s)
+    // the distance sibling for the IVF probe paths (r7 verdict item #3):
+    // vec_l2sq replaces the CodegenFallback aggregate(zip_with(...))
+    // squared-distance at centroid-assignment time, bit-identical chain
+    graft.functions.FloatL2.register(s)
+  }
 
   private def cosine(qe: String, ne: String): String =
     s"${dotExpr.format(qe, ne)} / (sqrt(${dotExpr.format(qe, qe)}) * sqrt(${dotExpr.format(ne, ne)}))"
@@ -529,9 +535,11 @@ object Similarity {
     val cand = enc.select(col("vec_id").as("nid"), col("embedding").as("ne"),
       concat(recon: _*).as("recon"))
     // mean relative reconstruction error over the whole corpus
+    // vec_l2sq(ne, recon) ≡ vec_dot(ne−recon, ne−recon): the same
+    // left-to-right Σ(x−y)² chain, without materializing the zip_with
+    // difference array per row
     val errRow = cand.select(
-      (expr(dotExpr.format("zip_with(ne, recon, (x, y) -> CAST(x AS DOUBLE) - y)",
-        "zip_with(ne, recon, (x, y) -> CAST(x AS DOUBLE) - y)")) /
+      (expr("vec_l2sq(ne, recon)") /
         expr(dotExpr.format("ne", "ne"))).as("rel_err"))
       .agg(avg("rel_err")).head()
     val meanRelErr = errRow.getDouble(0)
@@ -600,20 +608,25 @@ object Similarity {
     }
     val cells = enc.select(col("vec_id").as("nid"), col("embedding").as("ne"),
       col("cell"), concat(recon: _*).as("recon"))
-    // query-side cell probing: distance to each of the 8 centroids (a
-    // literal array — the codebook-as-literal trick again), keep the
-    // nprobe nearest. 8 rows per query; centroid count is a constant of
-    // the layout, not the corpus, so this stays tiny at any scale.
+    // query-side cell probing: distance to each centroid (a literal
+    // array — the codebook-as-literal trick again), keep the nprobe
+    // nearest — computed PER ROW as slice(array_sort(transform(...)))
+    // over the broadcast codebook, so probing is a narrow map: no
+    // k-fold posexplode row blowup and no row_number window EXCHANGE
+    // (the pre-r8 shape shuffled queries×k rows just to rank 8
+    // distances). Struct sort is field-lexicographic — (dist, cell) —
+    // the identical tie-break to the window orderBy it replaces, and
+    // the distance is the same native vec_l2sq, so probe sets cannot
+    // move. This is also the k≈√N story (r7 verdict item #6): at
+    // thousands of cells the per-row cost is O(k log k) with ZERO
+    // shuffled rows, where the explode+window form shuffled N·k rows.
     val centLit = array(km.clusterCenters.map(c => array(c.toArray.map(lit): _*)): _*)
-    val wProbe = Window.partitionBy("qid").orderBy(col("dist"), col("cell"))
     val probes = T.embeddings(s, d).filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .select(col("qid"), col("qe"), posexplode(centLit).as(Seq("cell", "cent")))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(qe, cent, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select(col("qid"), col("qe"), col("cell"))
+      .withColumn("cents", centLit)
+      .select(col("qid"), col("qe"), explode(expr(
+        s"slice(array_sort(transform(cents, (c, i) -> struct(vec_l2sq(qe, c) AS d, i AS cell))), 1, $nprobe)")).as("pc"))
+      .select(col("qid"), col("qe"), col("pc.cell").as("cell"))
     // cell-pruned candidate scan: the corpus side only ever meets the
     // probed cells' rows (broadcast hash join on cell — the probe side
     // is queries×nprobe rows, tiny at any corpus scale)
@@ -822,16 +835,16 @@ object Similarity {
     // the alignment — recall is worth more here than per-query scan
     // cost. The dial stays nprobe/#cells; at real scale #cells grows
     // with the corpus and this ratio shrinks.
-    def probed(df: org.apache.spark.sql.DataFrame, id: String, vec: String) = {
-      val w = Window.partitionBy(id).orderBy(col("dist"), col("cell"))
+    // per-row nprobe-nearest-centroid selection — narrow map over the
+    // broadcast codebook, no explode-then-window exchange (see the
+    // ivfpqParts probe for the full rationale); (d, cell) struct sort
+    // reproduces the window's (dist, cell) tie-break exactly
+    def probed(df: org.apache.spark.sql.DataFrame, id: String, vec: String) =
       df.drop("cell")
-        .select(col(id), col(vec), posexplode(centLit).as(Seq("cell", "cent")))
-        .withColumn("dist", expr(
-          s"aggregate(zip_with($vec, cent, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
-        .withColumn("pr", row_number().over(w))
-        .filter(col("pr") <= marginNprobe)
-        .select(col(id), col(vec), col("cell"))
-    }
+        .withColumn("cents", centLit)
+        .select(col(id), col(vec), explode(expr(
+          s"slice(array_sort(transform(cents, (c, i) -> struct(vec_l2sq($vec, c) AS d, i AS cell))), 1, $marginNprobe)")).as("pc"))
+        .select(col(id), col(vec), col("pc.cell").as("cell"))
     val cand = probed(a, "aid", "ae").join(b, Seq("cell"))
       .select("aid", "ae", "bid", "be")
       .unionByName(a.join(probed(b, "bid", "be"), Seq("cell"))
@@ -902,8 +915,13 @@ object Similarity {
       val nB = e.filter(col("label") === 1).count()
       val nOut = aligned.count()
       val nPairs = cand.count()
+      // ±Infinity is possible if the top-4 normalizer (ka+kb) sums to ~0
+      // (negative cosines cancelling in a sparse cell) — isNaN alone
+      // would pass it, violating the oracle's "finite" intent
       val badMargin = aligned
-        .filter(col("margin").isNull || col("margin").isNaN).count()
+        .filter(col("margin").isNull || col("margin").isNaN ||
+          col("margin") === Double.PositiveInfinity ||
+          col("margin") === Double.NegativeInfinity).count()
       val exact = marginMineExact(s, d)
         .select(col("src_id"), col("tgt_id").as("exact_tgt"))
       val agree = aligned.select("src_id", "tgt_id")

@@ -161,6 +161,22 @@ object Streams {
         "handle cross-batch event-time order/eviction before lifting this")
   }
 
+  /** A cloned session — shared SparkContext/SharedState, PRIVATE
+    * SessionState — carrying per-query conf overrides (r7 verdict item
+    * #5). Stateful streams pin their state-store partition count from
+    * the session conf at query START; the pre-r8 pattern of mutating the
+    * caller's session-global conf around `.start()` (restored in a
+    * `finally`) was racy under concurrent queries in one session. The
+    * clone scopes the override to this query alone: sources, the stream,
+    * and the memory-sink table all live on the clone, and the caller's
+    * conf is never touched. Builder-time configs (timezone, AQE,
+    * nanosAsLong) carry over via the shared initial session options. */
+  private def scopedSession(s: SparkSession, confs: (String, String)*): SparkSession = {
+    val ss = s.newSession()
+    confs.foreach { case (k, v) => ss.conf.set(k, v) }
+    ss
+  }
+
   def stateful(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     assertSingleReplayFile(d)
@@ -666,7 +682,15 @@ object Streams {
       | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
       |ORDER BY view_id, purchase_id""".stripMargin) { (s, d) =>
     assertSingleReplayFile(d)
-    def src() = T.eventsStream(s, d).withColumn("ets", col("ts"))
+    // state-store partition count is pinned at stream START and should
+    // track key cardinality/throughput, not the batch default: each
+    // shuffle partition instantiates per-operator state stores, and a
+    // 150-user fixture across 32×3 stores is pure overhead (measured
+    // 11 s → ~4 s at 8). A 100 TB deployment sizes this UP instead —
+    // same knob, opposite direction. Scoped to a cloned session so the
+    // caller's conf is never mutated (racy under concurrent queries).
+    val ss = scopedSession(s, "spark.sql.shuffle.partitions" -> "8")
+    def src() = T.eventsStream(ss, d).withColumn("ets", col("ts"))
     val views = src().filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ets").as("view_ts"))
@@ -680,24 +704,14 @@ object Streams {
              |AND purchase_ts > view_ts
              |AND purchase_ts <= view_ts + interval 30 minutes""".stripMargin))
     val name = s"st08_sink_${System.nanoTime()}"
-    // state-store partition count is pinned at stream START and should
-    // track key cardinality/throughput, not the batch default: each
-    // shuffle partition instantiates per-operator state stores, and a
-    // 150-user fixture across 32×3 stores is pure overhead (measured
-    // 11 s → ~4 s at 8). A 100 TB deployment sizes this UP instead —
-    // same knob, opposite direction.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
+    ss.table(name)
       .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts"), col("purchase_ts"))
       .orderBy("view_id", "purchase_id")
@@ -751,7 +765,9 @@ object Streams {
       |SELECT * FROM unmatched
       |ORDER BY view_id, purchase_id NULLS FIRST""".stripMargin) { (s, d) =>
     assertSingleReplayFile(d)
-    def src() = T.eventsStream(s, d).withColumn("ets", col("ts"))
+    // per-query state-store sizing via a cloned session (see st08)
+    val ss = scopedSession(s, "spark.sql.shuffle.partitions" -> "8")
+    def src() = T.eventsStream(ss, d).withColumn("ets", col("ts"))
     val views = src().filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ets").as("view_ts"))
@@ -766,18 +782,14 @@ object Streams {
              |AND purchase_ts <= view_ts + interval 30 minutes""".stripMargin),
       "left_outer")
     val name = s"st15_sink_${System.nanoTime()}"
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
+    ss.table(name)
       .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts"), col("purchase_ts"))
       .orderBy(col("view_id"), col("purchase_id").asc_nulls_first)
@@ -853,39 +865,36 @@ object Streams {
     * three implementations (declarative window, mapGroupsWithState,
     * transformWithState) must agree bit-for-bit. */
   val st10 = QueryDef.sql("st10_transform_with_state", st02.oracle.get) { (s, d) =>
-    import s.implicits._
     assertSingleReplayFile(d)
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(providerKey)
-    s.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val stream = T.eventsStream(s, d)
-        .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
-        .as[Ev]
-      val sessions = stream
-        .groupByKey(_.user_id)
-        .transformWithState(new SessionProcessor,
-          org.apache.spark.sql.streaming.TimeMode.None(),
-          org.apache.spark.sql.streaming.OutputMode.Update())
-      val name = s"st10_sink_${System.nanoTime()}"
-      val q = sessions.writeStream
-        .outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      s.table(name)
-        .groupBy("user_id")
-        .agg(max(struct(col("n_events"), col("n_sessions"))).as("st"))
-        .select(col("user_id"), col("st.n_sessions").as("n_sessions"),
-          col("st.n_events").as("n_events"))
-        .orderBy("user_id")
-    } finally prev match {
-      case Some(v) => s.conf.set(providerKey, v)
-      case None => s.conf.unset(providerKey)
-    }
+    // RocksDB provider scoped to a cloned session (see scopedSession):
+    // the pre-r8 set/finally-restore on the caller's conf was racy under
+    // concurrent queries in one session
+    val ss = scopedSession(s,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val stream = T.eventsStream(ss, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
+      .as[Ev]
+    val sessions = stream
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val name = s"st10_sink_${System.nanoTime()}"
+    val q = sessions.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    ss.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("st"))
+      .select(col("user_id"), col("st.n_sessions").as("n_sessions"),
+        col("st.n_events").as("n_events"))
+      .orderBy("user_id")
   }
 
   /** st14 — streaming near-dup ADMISSION: the ingestion-time shape of

@@ -82,6 +82,53 @@ class ExtensionsStreamingSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("vec_dot"))
   }
 
+  test("vec_l2sq: bit-identical to the HOF squared-distance form, null semantics, both eval paths") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    functions.FloatL2.register(spark)
+    // float query vs DOUBLE centroid — the exact shape of the IVF probe
+    // path (embedding ARRAY<FLOAT> against a literal centroid ARRAY<DOUBLE>)
+    val rnd = new scala.util.Random(43)
+    val rows = Seq.tabulate(64) { i =>
+      (i.toLong,
+        Array.fill(16)((rnd.nextGaussian() * 1e3).toFloat),
+        Array.fill(16)(rnd.nextGaussian() * 1e-3))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val hof = "aggregate(zip_with(a, b, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    def run() = df.selectExpr("id", s"vec_l2sq(a, b) AS nat", s"$hof AS ref")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    run().foreach { case (_, nat, ref) =>
+      assert(java.lang.Double.doubleToLongBits(nat) == java.lang.Double.doubleToLongBits(ref))
+    }
+    // interpreted path (nullSafeEval) must agree bit-for-bit too
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try run().foreach { case (_, nat, ref) =>
+      assert(java.lang.Double.doubleToLongBits(nat) == java.lang.Double.doubleToLongBits(ref))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // vec_l2sq(a, b) ≡ vec_dot(a−b, a−b): same Σ(x−y)² left-to-right chain
+    functions.FloatDot.register(spark)
+    df.selectExpr("vec_l2sq(a, b) AS l2",
+        "vec_dot(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) - y), zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) - y)) AS dd")
+      .collect().foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      }
+    val edge = spark.sql(
+      """SELECT
+        |  vec_l2sq(array(1.0F, 2.0F), array(1.0F)) AS len_mismatch,
+        |  vec_l2sq(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F)) AS null_elem,
+        |  vec_l2sq(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)) AS null_arr,
+        |  vec_l2sq(CAST(array() AS ARRAY<FLOAT>), CAST(array() AS ARRAY<FLOAT>)) AS empty,
+        |  vec_l2sq(array(1.0D, 0.5D), array(2.0D, 4.0D)) AS dbl""".stripMargin).head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+    assert(edge.getDouble(3) == 0.0 && edge.getDouble(4) == 1.0 + 3.5 * 3.5)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_l2sq('a', 'b')").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("vec_l2sq"))
+  }
+
   test("watermarked append-mode windowed agg emits only closed windows") {
     val spark = TestSpark.spark
     import spark.implicits._
