@@ -93,8 +93,25 @@ object Dedup {
     * GLOBAL (df, h) order, the smallest common shingle must sit within
     * the first |A| − ⌈t·|A|⌉ + 1 shingles of BOTH docs — rarest-first
     * order, so candidate generation joins only low-df shingles and the
-    * near-cap boilerplate never fans out. Verification then computes the
-    * EXACT intersection per candidate from the full sorted fingerprint
+    * near-cap boilerplate never fans out. On top of the prefix, the
+    * candidate join applies PPJoin's LENGTH and POSITIONAL filters
+    * (both lossless for J ≥ t): length — c ≤ min(|A|,|B|) and
+    * J = c/(|A|+|B|−c) force min ≥ t·max, so wildly different-sized
+    * docs never pair; positional — every common shingle sits at
+    * global-order position ≥ its match position in BOTH docs, so for
+    * the pair's minimal-rank shared shingle c ≤ 1 + min(|A|−pa,
+    * |B|−pb), and a pair is kept iff some shared prefix row satisfies
+    * 1 + min(|A|−pa, |B|−pb) ≥ t/(1+t)·(|A|+|B|) (the minimal row has
+    * the loosest bound, so a qualifying pair always survives via it;
+    * comparison carries a 1e−9 slack so binary-float t can never
+    * round-prune a boundary pair). The r8 sf1 probe
+    * (tools/ProbeDd02.scala) measured the prefix-only join at 60.7 M
+    * candidate pairs / 84 s verify for a 60 k-doc corpus of short
+    * templated docs (prefix keeps ~70% of 40-shingle sets — near-
+    * useless alone when every doc shares moderately-rare template
+    * shingles); length+positional collapse the candidate set to the
+    * near-dup neighborhood. Verification then computes the EXACT
+    * intersection per candidate from the full sorted fingerprint
     * arrays (two hash joins + array_intersect — no second corpus-wide
     * self-join), so emitted jaccard values are identical to the
     * all-pairs form's and the DuckDB oracle stays the semantic spec. */
@@ -128,24 +145,65 @@ object Dedup {
         .withColumn("rnk", row_number().over(wDoc))
         .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         .filter(col("rnk") <= col("n") - ceil(col("n") * lit(t)) + 1)
-        .select("doc_id", "h")
+        .select("doc_id", "h", "rnk", "n")
+      // length + positional filters (see the losslessness argument in
+      // the jacCache doc above); the 1e-9 slack keeps binary-float t
+      // from ever round-pruning a boundary pair
+      val posBound = lit(1.0) +
+        least(col("a.n") - col("a.rnk"), col("b.n") - col("b.rnk"))
       val cand = prefix.as("a")
         .join(prefix.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.n"), col("b.n")) >=
+              lit(t) * greatest(col("a.n"), col("b.n")) - lit(1e-9) &&
+            posBound >= lit(t / (1 + t)) * (col("a.n") + col("b.n")) - lit(1e-9))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
       val sets = sh.groupBy("doc_id")
         .agg(sort_array(collect_list("h")).as("hs"), count(lit(1)).as("n"))
+      // Stats-based join strategy for the verify step (the CBO move
+      // Catalyst can't make itself: `sets` sits behind a groupBy, so its
+      // size estimate is unusable and AQE keeps a sort-merge join). The
+      // doc-fingerprint side is ndocs rows of ~8·avg|shingles| bytes —
+      // measured from the cached shingle index (one subsecond agg) — and
+      // when it fits a broadcast, BOTH verify joins become map-side
+      // lookups against the candidate stream instead of shuffling the
+      // (possibly 10⁷-row) candidate table twice with full array
+      // payloads: measured 89 s → 7.7 s at sf1 (tools/ProbeDd02.scala).
+      // Past the threshold — true corpus scale, where no doc-fingerprint
+      // table fits in memory — the shuffle join is the correct plan and
+      // is kept automatically.
+      val stats = sh.agg(
+        count(lit(1)).as("nsh"), countDistinct("doc_id").as("nd")).head()
+      val estSetsBytes = stats.getLong(1) * 48L + stats.getLong(0) * 8L
+      def setsAs(idAs: String, hsAs: String, nAs: String): DataFrame = {
+        val side = sets.select(col("doc_id").as(idAs), col("hs").as(hsAs),
+          col("n").as(nAs))
+        if (estSetsBytes < SetsBroadcastBytes) broadcast(side) else side
+      }
       cand
-        .join(sets.select(col("doc_id").as("da"), col("hs").as("ha"),
-          col("n").as("na")), "da")
-        .join(sets.select(col("doc_id").as("db"), col("hs").as("hb"),
-          col("n").as("nb")), "db")
+        .join(setsAs("da", "ha", "na"), "da")
+        .join(setsAs("db", "hb", "nb"), "db")
         .withColumn("c", size(array_intersect(col("ha"), col("hb"))).cast("long"))
         .withColumn("jaccard", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+        // completeness floor pre-filter: rows below the floor are outside
+        // the table's contract (jaccardAtLeast rejects any consumer that
+        // could see them) and dominate the row count — at sf1 they are
+        // 34 M of the 34 M verified candidates vs ~10⁴ true near-dups —
+        // so dropping them before the cache shrinks the memoized table
+        // from ~1.6 GB to the actual near-dup neighborhood. The predicate
+        // is the exact >= every consumer applies, so no boundary row can
+        // differ between pre- and post-filter evaluation.
+        .filter(col("jaccard") >= JaccardCompletenessFloor)
         .select("da", "db", "c", "na", "nb", "jaccard")
         .cache()
     })
+
+  /** Broadcast-or-shuffle switch point for the verify join's
+    * doc-fingerprint side (see the stats note in [[jaccardPairs]]):
+    * far above any broadcast Spark would risk on its own 10 MB default,
+    * far below executor memory. */
+  private val SetsBroadcastBytes = 128L << 20
 
   private val jaccardCte =
     s"""$shingleCte,
