@@ -44,7 +44,14 @@ class StreamsMultimodalSpec extends AnyFunSuite {
   }
 
   test("st15: left-outer = st08 inner + watermark-closed unmatched views") {
+    // no-mutation contract: st15 tunes shuffle.partitions for its
+    // state-store sizing in a PRIVATE newSession clone; the caller's
+    // session conf must be untouched afterwards (the r7 set-then-restore
+    // pattern was racy under concurrent queries in one session)
+    val confBefore = spark.conf.get("spark.sql.shuffle.partitions")
     val outer = streaming.Streams.st15.fn(spark, sf).collect()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == confBefore,
+      "st15 must not mutate the caller session's conf")
     val inner = streaming.Streams.st08.fn(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(2))).toSet
     val matched = outer.filter(!_.isNullAt(2))
