@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatDot, FloatL2, PolyHash, TopKIds}
+import graft.functions.{FloatDot, FloatL2, PolyHash, TopKIds, TopKVals}
 
 /** SparkSessionExtensions entry point — the idiomatic deployment path
   * for this engine's native expressions: users add
@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("top_k_ids"),
       new ExpressionInfo(classOf[TopKIds].getName, "top_k_ids"),
       (children: Seq[Expression]) => TopKIds.build(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_vals"),
+      new ExpressionInfo(classOf[TopKVals].getName, "top_k_vals"),
+      (children: Seq[Expression]) => TopKVals.build(children)))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "vec_dot"),

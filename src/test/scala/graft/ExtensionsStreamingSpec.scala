@@ -22,6 +22,26 @@ class ExtensionsStreamingSpec extends AnyFunSuite {
     assert(got == acc)
   }
 
+  test("top_k_vals: equals the window form's top-k value slice, partitioning-independent") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    functions.TopKVals.register(spark)
+    val rnd = new scala.util.Random(7)
+    // duplicate values force the (value DESC, id ASC) tie-break to matter
+    val rows = Seq.tabulate(500)(i =>
+      (i % 13, rnd.nextInt(20).toDouble, i.toLong))
+    def run(parts: Int) = rows.toDF("k", "v", "id").repartition(parts)
+      .groupBy("k").agg(expr("top_k_vals(v, id, 4)").as("ks"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toList).toMap
+    val got = run(3)
+    // oracle: window rank by (v DESC, id ASC), take first 4 values
+    val want = rows.groupBy(_._1).map { case (k, g) =>
+      k -> g.sortBy { case (_, v, id) => (-v, id) }.take(4).map(_._2).toList
+    }
+    assert(got == want)
+    assert(run(17) == got, "result must not depend on partitioning")
+  }
+
   test("top_k_ids: widening casts in the builder, analysis-time type check") {
     val spark = TestSpark.spark
     import spark.implicits._
