@@ -428,9 +428,23 @@ object Similarity {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
       .distinct()
+    // stats-chosen broadcast for the verify joins (the jaccardPairs
+    // pattern): `b` sits behind a projection+cache so Catalyst's size
+    // estimate is the raw scan's, and the two joins would shuffle the
+    // candidate table (~N²·bands/2^bits rows — 28 M at the 30× fixture)
+    // twice with full embedding payloads. The vector side is N rows of
+    // ~4·dim bytes — broadcast it while it fits; past the threshold the
+    // shuffle join is the correct at-scale plan and is kept.
+    val nVec = b.count()
+    val bSmall = nVec * (48L + 4L * 64) < (128L << 20)
+    def side(idAs: String, eAs: String, nAs: String) = {
+      val s0 = b.select(col("vec_id").as(idAs), col("embedding").as(eAs),
+        col("nrm").as(nAs))
+      if (bSmall) broadcast(s0) else s0
+    }
     cand
-      .join(b.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na")), "va")
-      .join(b.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb")), "vb")
+      .join(side("va", "ea", "na"), "va")
+      .join(side("vb", "eb", "nb"), "vb")
       .withColumn("cos_sim", expr(dotExpr.format("ea", "eb")) / (col("na") * col("nb")))
       .filter(col("cos_sim") >= 0.35)
       .select("va", "vb", "cos_sim")
