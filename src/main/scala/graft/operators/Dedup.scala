@@ -205,7 +205,7 @@ object Dedup {
     * far below executor memory. */
   private val SetsBroadcastBytes = 128L << 20
 
-  private val jaccardCte =
+  private[graft] val jaccardCte =
     s"""$shingleCte,
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |pairs AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) c

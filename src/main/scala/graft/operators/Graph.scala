@@ -153,5 +153,110 @@ object Graph {
       .orderBy(col("rank_fp").desc, col("s_suppkey"))
   }
 
-  val defs: Seq[QueryDef] = Seq(gr01)
+  /** gr02 — connected components over the HIGH-VALUE co-purchase graph:
+    * customers and suppliers linked by order lines whose order totals
+    * ≥ 498 000 (top ~0.3% of orders), labeled with their component's
+    * minimum node id plus the component size. The supply-chain-cluster /
+    * collusion-screen query of a curation pipeline's entity-graph stage:
+    * thresholding first SPARSIFIES the graph (the full bipartite graph
+    * is one giant component and says nothing), then the component
+    * structure is the signal.
+    *
+    * Shape: reuses [[Dedup.connectedComponents]] — dd05's min-label
+    * propagation core (one equi-join + min-agg per round, convergence
+    * piggybacked on the same job, pointer-jumping insurance for deep
+    * chains) — on a different domain graph; the component-size column is
+    * a window over the tiny (node, label) table, never over edges. The
+    * oracle recomputes the same fixpoint as a recursive CTE (the dd05
+    * pattern) over the identically-encoded node ids (customer c → 2c,
+    * supplier s → 2s+1, gr01's parity trick). */
+  val gr02 = QueryDef.sql("gr02_copurchase_components",
+    """WITH RECURSIVE hv AS (
+      |  SELECT o_orderkey, o_custkey FROM orders
+      |  WHERE o_totalprice >= 498000e0),
+      |p AS (
+      |  SELECT DISTINCT 2*h.o_custkey AS a, 2*l.l_suppkey+1 AS b
+      |  FROM hv h JOIN lineitem l ON h.o_orderkey = l.l_orderkey),
+      |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |lab AS (
+      |  SELECT a AS node_id, CAST(least(a, MIN(b)) AS BIGINT) AS component_id
+      |  FROM reach GROUP BY a)
+      |SELECT node_id, component_id,
+      |  CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size
+      |FROM lab
+      |ORDER BY component_id, node_id""".stripMargin) { (s, d) =>
+    val pairs = T.orders(s, d)
+      .filter(col("o_totalprice") >= 498000.0)
+      .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("da"),
+        (col("l_suppkey") * 2 + 1).as("db"))
+      .distinct()
+    val lab = Dedup.connectedComponents(pairs)
+      .select(col("id").as("node_id"), col("label").as("component_id"))
+    lab.withColumn("component_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("component_id")))
+      .orderBy("component_id", "node_id")
+  }
+
+  /** gr03 — triangle census of the near-duplicate graph: per-document
+    * triangle participation counts over the Jaccard ≥ 0.3 pair graph
+    * (docs as nodes, verified near-dup pairs as edges). Triangles
+    * measure the TRANSITIVITY of the near-dup relation — how cliquish
+    * duplicate neighborhoods are — which is the audit that tells a
+    * dedup pipeline whether single-link clustering (dd05) is safe or
+    * will chain unrelated docs through sparse bridges: high triangle
+    * density around a doc ⇒ its neighborhood is a genuine clique;
+    * triangle-free chains ⇒ bridge risk.
+    *
+    * Shape: edges come from the SHARED memoized pair table
+    * ([[Dedup.jaccardPairs]] — prefix-filtered candidates, stats-chosen
+    * broadcast verify), already oriented da < db, so the triangle join
+    * is the standard ordered 3-way equi-join e1(u,v) ⨝ e2(v,w) ⨝
+    * e3(u,w) with u < v < w — each triangle materializes exactly once,
+    * no orientation pass needed. Edge count is the near-dup pair count
+    * (a corpus property that stays FAR below all-pairs at any scale —
+    * 25 edges at sf0.01, 256 at sf0.1), so the join is never the
+    * bottleneck; the pair table build it reuses is. Per-doc counts via
+    * explode of the 3 corners + one agg. */
+  val gr03 = QueryDef.sql("gr03_neardup_triangles",
+    s"""WITH ${Dedup.jaccardCte},
+       |e AS (SELECT da AS u, db AS v FROM jac WHERE jaccard >= 0.3e0),
+       |tri AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+       |            JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),
+       |corners AS (
+       |  SELECT UNNEST([a, b, c]) AS doc_id FROM tri)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tri_count
+       |FROM corners
+       |GROUP BY doc_id
+       |ORDER BY tri_count DESC, doc_id""".stripMargin) { (s, d) =>
+    triangleCounts(
+      Dedup.jaccardPairs(s, d)
+        .filter(Dedup.jaccardAtLeast(0.3))
+        .select(col("da").as("u"), col("db").as("v")))
+  }
+
+  /** Per-node triangle participation over an edge list already oriented
+    * u < v (each triangle joins exactly once as u < v < w). Factored
+    * for gr03 and its synthetic-graph spec. */
+  private[graft] def triangleCounts(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("tri_count"))
+      .orderBy(col("tri_count").desc, col("doc_id"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(gr01, gr02, gr03)
 }

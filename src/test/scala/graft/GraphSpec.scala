@@ -90,4 +90,55 @@ class GraphSpec extends AnyFunSuite {
     assert(depth < 120,
       s"localCheckpoint must bound plan size past $depth nodes")
   }
+
+  test("gr02 components equal a driver-side union-find") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("gr02_copurchase_components")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "threshold leaves no edges at this sf — vacuous")
+    // independent union-find over the same thresholded edge list
+    val pairs = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") >= 498000.0)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = parent.keys.map(n => n -> find(n)).toMap
+    val sizes = comp.groupBy(_._2).map { case (c, g) => c -> g.size.toLong }
+    val want = comp.toSeq
+      .map { case (n, c) => (n, c, sizes(c)) }
+      .sortBy { case (n, c, _) => (c, n) }
+    assert(got.toSeq == want,
+      "component labels/sizes must match the union-find fixpoint")
+  }
+
+  test("gr03 triangle counts match brute force on a known graph") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // K4 on {1,2,3,4} (4 triangles, 3 per node) + a pendant chain 4-5-6
+    // (no triangles) + a separate triangle {7,8,9}
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L),
+      (7L, 8L), (7L, 9L), (8L, 9L)).toDF("u", "v")
+    val got = operators.Graph.triangleCounts(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val want = List(
+      (1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L),
+      (7L, 1L), (8L, 1L), (9L, 1L))
+      .sortBy { case (id, c) => (-c, id) }
+    assert(got == want)
+    // the sf0.001 corpus graph must at least run (may be triangle-free)
+    SparkEntry.queries("gr03_neardup_triangles")(spark, sf).collect()
+  }
 }
