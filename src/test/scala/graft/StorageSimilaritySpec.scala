@@ -290,6 +290,11 @@ class StorageSimilaritySpec extends AnyFunSuite {
       "ANN margin miner plans a CartesianProduct")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "ANN margin miner plans a BroadcastNestedLoopJoin")
+    // r8 lock: the top-4 normalizers and the per-source top-1 both run
+    // through the native map-side top-k aggregates (TopKVals/TopKIds);
+    // no Window may sort the candidate pair table anywhere in the miner
+    assert(!plan.contains("Window"),
+      "ANN margin miner plans a Window sort over the pair table")
     // every source aligned exactly once, and top-1 agreement with the
     // exact miner stays useful at the tiny spec sf (oracle pins >= 0.80
     // at sf0.01; the sf0.001 shards are sparser per cell so the bar
