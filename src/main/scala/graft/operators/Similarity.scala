@@ -317,17 +317,35 @@ object Similarity {
        |WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
     regDot(s)
+    // r8: the int8 code dot runs through the native vec_dot over the
+    // codes cast to doubles — EXACT, not approximate: |code| ≤ 127, so
+    // every product (≤ 16 129) and every 64-term partial sum (≤ 1.04e6)
+    // is an integer far below 2^53, and vec_dot's left-to-right chain
+    // adds them in the same order as the bigint HOF fold it replaces —
+    // same integer, cast once. The per-vector self-dot is hoisted to
+    // the N-row code table (it was recomputed per PAIR row, 2 of the 3
+    // HOF folds per candidate were redundant).
+    // quantization with the per-vector |max| HOISTED to its own column:
+    // the one-expression form recomputes array_max(transform(v, abs))
+    // for EVERY element — O(d²) interpreted HOF work per vector; one max
+    // per row then a single transform is the same arithmetic (identical
+    // codes) at O(d)
     val e = T.embeddings(s, d)
-      .select(col("vec_id"), expr(quantSpark("embedding")).as("qv"))
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+      .withColumn("mx", greatest(
+        expr("array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))"),
+        lit(1e-30)))
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0D / mx) AS BIGINT))")
+        .as("qv"))
+      .withColumn("qvd", expr("transform(qv, x -> CAST(x AS DOUBLE))"))
+      .withColumn("self", expr("vec_dot(qvd, qvd)"))
+    val q = e.select(col("vec_id").as("qid"), col("qvd").as("qqd"),
+      col("self").as("qself")).filter(col("qid") < 10)
     val w = Window.partitionBy("qid").orderBy(col("qcos").desc, col("nid"))
     e.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("qcos",
-        expr(s"CAST(${intDotSpark("qq", "qv")} AS DOUBLE)") /
-          (sqrt(expr(s"CAST(${intDotSpark("qq", "qq")} AS DOUBLE)")) *
-            sqrt(expr(s"CAST(${intDotSpark("qv", "qv")} AS DOUBLE)"))))
+        expr("vec_dot(qqd, qvd)") / (sqrt(col("qself")) * sqrt(col("self"))))
       .withColumnRenamed("vec_id", "nid")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
