@@ -453,6 +453,83 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** ta15 — Count-Min-Sketch heavy hitters: estimate the counts of the
+    * exact top-20 tokens from a depth=4 × width=256 CMS and audit the
+    * estimates against truth (overcount ≥ 0 always — CMS never
+    * undercounts — plus the realized ε-bound per row).
+    *
+    * Why a sketch, and why THIS shape at 100 TB: exact token counts
+    * need a vocabulary-sized shuffle (the groupBy(token) here is the
+    * AUDIT side, affordable only at bench scale). The sketch side
+    * aggregates the raw token stream DIRECTLY into depth·width = 1024
+    * cells — `explode(d) → (d, bucket) → sum` — so map-side combine
+    * collapses every partition to ≤ 1024 rows before the shuffle no
+    * matter how large the corpus or vocabulary is: constant-size state,
+    * mergeable across partitions/streams, the same reason Spark ships
+    * HLL/quantile sketches. Estimates then cost one broadcast lookup
+    * per (query-token, row).
+    *
+    * Fully oracle-able, unlike library sketches: the hash family is
+    * md5-derived (portable), so the REALIZED sketch — and therefore
+    * every estimate and every bound boolean — is a deterministic
+    * function of the data that DuckDB reproduces bit-for-bit; the
+    * sketch's probabilistic guarantee shows up as the audited realized
+    * booleans, not as an unverifiable tolerance. */
+  val ta15 = QueryDef.sql("ta15_cms_heavy_hitters",
+    """WITH tok AS (
+      |  SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      |n AS (SELECT COUNT(*) AS n FROM tok),
+      |cells AS (
+      |  SELECT d, CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || tok), 1, 8)) AS BIGINT) % 256 AS bucket,
+      |         COUNT(*) AS c
+      |  FROM tok, (SELECT UNNEST(range(0, 4)) AS d) ds
+      |  GROUP BY 1, 2),
+      |top20 AS (
+      |  SELECT tok, COUNT(*) AS exact_cnt FROM tok
+      |  GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 20),
+      |est AS (
+      |  SELECT t.tok, t.exact_cnt, MIN(c.c) AS est_cnt
+      |  FROM top20 t
+      |  JOIN cells c
+      |    ON c.bucket = CAST(('0x' || substr(md5(CAST(c.d AS VARCHAR) || '|' || t.tok), 1, 8)) AS BIGINT) % 256
+      |  GROUP BY t.tok, t.exact_cnt)
+      |SELECT tok, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+      |  CAST(est_cnt AS BIGINT) AS est_cnt,
+      |  CAST(est_cnt - exact_cnt AS BIGINT) AS overcount,
+      |  est_cnt - exact_cnt <= 2 * (SELECT n FROM n) / 256 AS within_eps
+      |FROM est
+      |ORDER BY exact_cnt DESC, tok""".stripMargin) { (s, d) =>
+    def bucket(dCol: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(dCol.cast("string"), lit("|"), tok)), 1, 8),
+        16, 10).cast("long") % 256
+    val tok = T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val nTok = tok.count()
+    // sketch build: raw stream → (d, bucket) → sum; partial aggregation
+    // bounds every map task's output at depth·width rows
+    val cells = tok
+      .select(col("tok"), explode(expr("array(0, 1, 2, 3)")).as("d"))
+      .withColumn("bucket", bucket(col("d"), col("tok")))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+    // audit side: exact top-20 (the vocabulary-sized shuffle the sketch
+    // exists to avoid at scale)
+    val top20 = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    val est = top20
+      .select(col("tok"), col("exact_cnt"),
+        explode(expr("array(0, 1, 2, 3)")).as("d"))
+      .withColumn("bucket", bucket(col("d"), col("tok")))
+      .join(broadcast(cells), Seq("d", "bucket"))
+      .groupBy("tok", "exact_cnt").agg(min(col("c")).as("est_cnt"))
+    est
+      .withColumn("overcount", col("est_cnt") - col("exact_cnt"))
+      .withColumn("within_eps",
+        col("est_cnt") - col("exact_cnt") <= lit(2L * nTok) / lit(256L))
+      .select("tok", "exact_cnt", "est_cnt", "overcount", "within_eps")
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(ta01, ta02, ta03, ta04, ta05, ta06, ta07, ta11, ta12, ta13, ta14)
+    Seq(ta01, ta02, ta03, ta04, ta05, ta06, ta07, ta11, ta12, ta13, ta14,
+      ta15)
 }
