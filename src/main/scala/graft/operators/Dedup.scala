@@ -49,19 +49,25 @@ object Dedup {
   private def shingles(s: SparkSession, d: String): DataFrame =
     // key includes the application id: a dir-only key would hand a
     // DataFrame bound to a stopped SparkContext to a fresh session
-    shingleCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d", {
-      val toks = T.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 3)
-      val sh0 = toks
-        .select(col("doc_id"), explode(
-          expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
-        .distinct()
-      val df = sh0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= 100)
-      sh0.join(df, "h").select("doc_id", "h").cache()
-    })
+    shingleCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d",
+      shinglesOf(T.documents(s, d)).cache())
+
+  /** The shingle-index dataflow over an arbitrary (doc_id, text) frame —
+    * factored so the PPJoin losslessness property test can drive random
+    * corpora through the exact production pipeline. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+    val sh0 = toks
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val df = sh0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= 100)
+    sh0.join(df, "h").select("doc_id", "h")
+  }
 
   /** Oracle-side equivalent of [[shingles]] (DuckDB CTEs) — including
     * the 60-bit fingerprint, so hash collisions (if any) are shared. */
@@ -136,8 +142,14 @@ object Dedup {
   }
 
   private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    jacCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d", {
-      val sh = shingles(s, d)
+    jacCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d",
+      jaccardPairsOf(shingles(s, d)).cache())
+
+  /** The candidate-generation + verify dataflow over an arbitrary
+    * shingle index — factored so the losslessness property test can run
+    * random corpora through the exact production pipeline (filters,
+    * stats probe, broadcast choice and all). */
+  private[graft] def jaccardPairsOf(sh: DataFrame): DataFrame = {
       val t = JaccardCompletenessFloor // consumers re-filter at their own
       val dfTab = sh.groupBy("h").agg(count(lit(1)).as("hdf"))
       val wDoc = Window.partitionBy("doc_id").orderBy(col("hdf"), col("h"))
@@ -196,8 +208,7 @@ object Dedup {
         // differ between pre- and post-filter evaluation.
         .filter(col("jaccard") >= JaccardCompletenessFloor)
         .select("da", "db", "c", "na", "nb", "jaccard")
-        .cache()
-    })
+  }
 
   /** Broadcast-or-shuffle switch point for the verify join's
     * doc-fingerprint side (see the stats note in [[jaccardPairs]]):

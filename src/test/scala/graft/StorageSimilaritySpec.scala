@@ -347,6 +347,59 @@ class StorageSimilaritySpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture produced no J>=0.3 pairs — test is vacuous")
   }
 
+  test("jaccardPairs losslessness holds on randomized corpora (PPJoin filters property)") {
+    // The r8 length/positional filters prune candidates with pigeonhole
+    // BOUNDS — a bug there drops true pairs SILENTLY (the fixture spec
+    // above can't catch a bound that only bites on shapes the fixture
+    // lacks). Drive 8 seeded random corpora — tiny vocab so shingle
+    // overlap is dense, mixed doc lengths so the length filter has
+    // unequal sizes to bite on, appended near-dups so true pairs exist —
+    // through the EXACT production dataflow (shinglesOf → jaccardPairsOf,
+    // stats probe + broadcast choice included) and require exact
+    // agreement with the unfiltered co-shingling join at the 0.3 floor.
+    val s = spark
+    import s.implicits._
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g")
+    var sawPairs = 0L
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val base = Seq.tabulate(30) { i =>
+        val n = 3 + rnd.nextInt(25)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      // near-dups: copy some docs with a one-token edit (true J≥0.3 mass)
+      val dups = (0 until 6).map { j =>
+        val (_, txt) = base(rnd.nextInt(base.length))
+        val t = txt.split(" ")
+        t(rnd.nextInt(t.length)) = vocab(rnd.nextInt(vocab.length))
+        ((100 + j).toLong, t.mkString(" "))
+      }
+      val docs = (base ++ dups).toDF("doc_id", "text")
+      val sh = operators.Dedup.shinglesOf(docs).cache()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val brute = sh.as("a")
+        .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("c"))
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .withColumn("jaccard", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+        .filter(col("jaccard") >= 0.3)
+        .select("da", "db", "c", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val got = operators.Dedup.jaccardPairsOf(sh)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(5)))
+        .toMap
+      sh.unpersist()
+      assert(got == brute,
+        s"seed=$seed: filters lost/altered pairs: brute=${brute.size} got=${got.size} " +
+          s"missing=${(brute.keySet -- got.keySet).take(5)} extra=${(got.keySet -- brute.keySet).take(5)}")
+      sawPairs += brute.size
+    }
+    assert(sawPairs > 0, "no random corpus produced a J>=0.3 pair — property is vacuous")
+  }
+
   test("q65 lateral top-2 equals the window-rank formulation") {
     val lateral = SparkEntry.queries("q65_lateral_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
