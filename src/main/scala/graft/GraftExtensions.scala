@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatDot, FloatL2, PolyHash, TopKIds, TopKVals}
+import graft.functions.{FloatDot, FloatL2, FloatSq8, PolyHash, TopKIds, TopKVals}
 
 /** SparkSessionExtensions entry point — the idiomatic deployment path
   * for this engine's native expressions: users add
@@ -39,5 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_l2sq"),
       new ExpressionInfo(classOf[FloatL2].getName, "vec_l2sq"),
       (children: Seq[Expression]) => FloatL2(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_sq8"),
+      new ExpressionInfo(classOf[FloatSq8].getName, "vec_sq8"),
+      (children: Seq[Expression]) => FloatSq8(children.head)))
   }
 }

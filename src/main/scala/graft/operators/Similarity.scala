@@ -325,18 +325,14 @@ object Similarity {
     // same integer, cast once. The per-vector self-dot is hoisted to
     // the N-row code table (it was recomputed per PAIR row, 2 of the 3
     // HOF folds per candidate were redundant).
-    // quantization with the per-vector |max| HOISTED to its own column:
-    // the one-expression form recomputes array_max(transform(v, abs))
-    // for EVERY element — O(d²) interpreted HOF work per vector; one max
-    // per row then a single transform is the same arithmetic (identical
-    // codes) at O(d)
+    // quantization through the native vec_sq8 expression — bit-identical
+    // to the HOF transform/round form (same BigDecimal HALF_UP call per
+    // element, spec-locked), one fused codegen loop instead of the
+    // interpreted lambdas that were 11.1 of ss06's 12.3 s at the 30×
+    // fixture (tools/ProbeSs06.scala)
+    graft.functions.FloatSq8.register(s)
     val e = T.embeddings(s, d)
-      .withColumn("mx", greatest(
-        expr("array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))"),
-        lit(1e-30)))
-      .select(col("vec_id"), expr(
-        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0D / mx) AS BIGINT))")
-        .as("qv"))
+      .select(col("vec_id"), expr("vec_sq8(embedding)").as("qv"))
       .withColumn("qvd", expr("transform(qv, x -> CAST(x AS DOUBLE))"))
       .withColumn("self", expr("vec_dot(qvd, qvd)"))
     val q = e.select(col("vec_id").as("qid"), col("qvd").as("qqd"),

@@ -22,6 +22,49 @@ class ExtensionsStreamingSpec extends AnyFunSuite {
     assert(got == acc)
   }
 
+  test("vec_sq8: bit-identical to the HOF quantizer, null pass-through, both eval paths") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    functions.FloatSq8.register(spark)
+    val rnd = new scala.util.Random(11)
+    // mixed magnitudes + sign, incl. ulp-adjacent .5-boundary values
+    // where floor(x+0.5) shortcuts diverge from round()'s BigDecimal
+    // HALF_UP — the exact corner the expression must reproduce
+    val rows = Seq.tabulate(96) { i =>
+      (i.toLong, Array.tabulate(16) { j =>
+        if (j == 0) 0.49999999999999994f * (i % 3 - 1)
+        else (rnd.nextGaussian() * math.pow(10, i % 5 - 2)).toFloat
+      })
+    } :+ (96L, Array.fill(16)(0.0f)) // all-zero vector → 1e-30 floor
+    val df = rows.toDF("id", "v")
+    val hof = "transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 127.0D / " +
+      "greatest(array_max(transform(v, y -> abs(CAST(y AS DOUBLE)))), 1e-30D)) AS BIGINT))"
+    def run() = df.selectExpr("id", "vec_sq8(v) AS nat", s"$hof AS ref")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    run().foreach { case (id, nat, ref) =>
+      assert(nat == ref, s"codes differ at id=$id: $nat vs $ref")
+    }
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try run().foreach { case (id, nat, ref) =>
+      assert(nat == ref, s"interpreted codes differ at id=$id")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // null element passes through as a null code; null array → null;
+    // double input accepted; non-array rejected at analysis
+    val edge = spark.sql(
+      """SELECT
+        |  vec_sq8(array(1.0F, CAST(NULL AS FLOAT), -2.0F)) AS with_null,
+        |  vec_sq8(CAST(NULL AS ARRAY<FLOAT>)) AS null_arr,
+        |  vec_sq8(array(0.5D, -1.0D)) AS dbl""".stripMargin).head
+    val wn = edge.getSeq[Any](0)
+    assert(wn(1) == null && wn(0) == 64L && wn(2) == -127L)
+    assert(edge.isNullAt(1))
+    assert(edge.getSeq[Long](2) == Seq(64L, -127L))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_sq8('a')").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("vec_sq8"))
+  }
+
   test("top_k_vals: equals the window form's top-k value slice, partitioning-independent") {
     val spark = TestSpark.spark
     import spark.implicits._
