@@ -89,11 +89,13 @@ object Dedup {
     *
     * Candidate generation is PREFIX-FILTERED (AllPairs/PPJoin — Bayardo,
     * Ma & Srikant, WWW 2007), which is what survives 100 TB where the
-    * plain co-shingling self-join does not: the r7 sf1 audit measured
-    * the unfiltered join at 40.8 s for 10× the bench corpus (0.3 s at
-    * sf0.1) because the pair fanout concentrates in shingles NEAR the
-    * df≤100 cap — the cap bounds per-shingle fanout at df², but the
-    * count of near-cap shingles grows with the corpus. The prefix filter
+    * plain co-shingling self-join does not: the pair fanout concentrates
+    * in shingles NEAR the df≤100 cap — the cap bounds per-shingle fanout
+    * at df², but the count of near-cap shingles grows with the corpus.
+    * (The r7 sf1 audit's "40.8 s unfiltered → sub-second filtered"
+    * comparison conflated cold and memo-warm runs; the honest r8
+    * cold-to-cold numbers are in NOTES.md — the structural win is real
+    * but lives mostly in the verify step below, not the prefix alone.) The prefix filter
     * is lossless for J ≥ t by pigeonhole: J(A,B) ≥ t ⇒ c ≥ t·(|A|+|B|)
     * /(1+t) ≥ t·|A| (since |B| ≥ c), so with every doc's shingles in one
     * GLOBAL (df, h) order, the smallest common shingle must sit within
