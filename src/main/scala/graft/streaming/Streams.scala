@@ -984,7 +984,78 @@ object Streams {
       "stack(8, " + (0 to 7).map(i => s"$i, m$i").mkString(", ") + ") AS (i, m)"))
   }
 
+  /** st16 — streaming Count-Min-Sketch heavy-hitter users: the event
+    * stream feeds a depth-4 × width-256 CMS as STREAMING STATE — the
+    * `(d, bucket) → count` aggregation holds at most 1024 rows in the
+    * state store no matter how many events or distinct users flow
+    * through, the constant-state summary shape (top-talkers, rate
+    * outliers) a 100 TB/day stream can actually afford where exact
+    * per-user counts cannot (their state grows with user cardinality).
+    * After the replay drains, the exact top-10 users (batch audit side)
+    * are estimated from the sketch and audited: CMS never undercounts,
+    * and the realized ε-bound rides along per row.
+    *
+    * Deterministic end to end: complete-mode counts over a replayed
+    * file don't depend on micro-batching, and the md5-derived hash
+    * family makes the realized sketch — hence every estimate and
+    * boolean — reproducible in the batch oracle bit-for-bit (ta15 is
+    * the batch twin of this operator over the documents corpus). */
+  val st16 = QueryDef.sql("st16_stream_cms_heavy_users",
+    """WITH n AS (SELECT COUNT(*) AS n FROM events),
+      |cells AS (
+      |  SELECT d, CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS bucket,
+      |         COUNT(*) AS c
+      |  FROM events, (SELECT UNNEST(range(0, 4)) AS d) ds
+      |  GROUP BY 1, 2),
+      |top10 AS (
+      |  SELECT user_id, COUNT(*) AS exact_cnt FROM events
+      |  GROUP BY user_id ORDER BY exact_cnt DESC, user_id LIMIT 10),
+      |est AS (
+      |  SELECT t.user_id, t.exact_cnt, MIN(c.c) AS est_cnt
+      |  FROM top10 t
+      |  JOIN cells c
+      |    ON c.bucket = CAST(('0x' || substr(md5(CAST(c.d AS VARCHAR) || '|' || CAST(t.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256
+      |  GROUP BY t.user_id, t.exact_cnt)
+      |SELECT user_id, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+      |  CAST(est_cnt AS BIGINT) AS est_cnt,
+      |  CAST(est_cnt - exact_cnt AS BIGINT) AS overcount,
+      |  est_cnt - exact_cnt <= 2 * (SELECT n FROM n) / 256 AS within_eps
+      |FROM est
+      |ORDER BY exact_cnt DESC, user_id""".stripMargin) { (s, d) =>
+    def bucket(dCol: org.apache.spark.sql.Column, u: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(dCol.cast("string"), lit("|"), u.cast("string"))), 1, 8),
+        16, 10).cast("long") % 256
+    val cellsAgg = T.eventsStream(s, d)
+      .select(col("user_id"), explode(expr("array(0, 1, 2, 3)")).as("d"))
+      .withColumn("bucket", bucket(col("d"), col("user_id")))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+    val name = s"st16_sink_${System.nanoTime()}"
+    val q = cellsAgg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val cells = s.table(name)
+    val ev = T.events(s, d)
+    val nEv = ev.count()
+    val top10 = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
+    top10
+      .select(col("user_id"), col("exact_cnt"),
+        explode(expr("array(0, 1, 2, 3)")).as("d"))
+      .withColumn("bucket", bucket(col("d"), col("user_id")))
+      .join(broadcast(cells), Seq("d", "bucket"))
+      .groupBy("user_id", "exact_cnt").agg(min(col("c")).as("est_cnt"))
+      .withColumn("overcount", col("est_cnt") - col("exact_cnt"))
+      .withColumn("within_eps",
+        col("est_cnt") - col("exact_cnt") <= lit(2L * nEv) / lit(256L))
+      .select("user_id", "exact_cnt", "est_cnt", "overcount", "within_eps")
+      .orderBy(col("exact_cnt").desc, col("user_id"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(st01, st01b, st02, st03, st04, st05, st06, st07, st08, st09, st10,
-      st11, st12, st13, st14, st15)
+      st11, st12, st13, st14, st15, st16)
 }

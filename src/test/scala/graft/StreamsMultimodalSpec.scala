@@ -81,6 +81,37 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(gotNull.nonEmpty, "no unmatched views at this sf — test is vacuous")
   }
 
+  test("st16: streamed CMS equals the batch sketch and never undercounts") {
+    val got = streaming.Streams.st16.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.length == 10)
+    // CMS's one deterministic guarantee: estimates never undercount
+    got.foreach { case (u, exact, est, over, _) =>
+      assert(est >= exact && over == est - exact, s"user $u undercounted")
+    }
+    // the streamed sketch must agree with a batch-built one: re-derive
+    // the estimates from a plain batch aggregation of the same cells
+    import org.apache.spark.sql.functions._
+    def bucket(dCol: org.apache.spark.sql.Column, u: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(dCol.cast("string"), lit("|"), u.cast("string"))), 1, 8),
+        16, 10).cast("long") % 256
+    val ev = Tables.events(spark, sf)
+    val cells = ev.select(col("user_id"), explode(expr("array(0,1,2,3)")).as("d"))
+      .withColumn("bucket", bucket(col("d"), col("user_id")))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.foreach { case (u, _, est, _, _) =>
+      val batchEst = (0 to 3).map { dd =>
+        // recompute the bucket driver-side via the same md5 prefix
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$dd|$u".getBytes("UTF-8")).take(4)
+          .map("%02x".format(_)).mkString
+        cells((dd, java.lang.Long.parseLong(hex, 16) % 256))
+      }.min
+      assert(est == batchEst, s"user $u: streamed est $est != batch $batchEst")
+    }
+  }
+
   test("st13: native session windows equal st04's stateful sessions, closed-filtered") {
     val mxTs = Tables.events(spark, sf).agg(max(unix_micros(col("ts")))).head().getLong(0)
     val wm = mxTs - 600000000L // watermark: max(ts) - 10 min, in micros
