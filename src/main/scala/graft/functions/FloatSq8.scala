@@ -53,10 +53,21 @@ case class FloatSq8(child: Expression) extends UnaryExpression {
     case _ => a.getDouble(i)
   }
 
-  /** The exact arithmetic of Spark's Round(double, 0) + CAST(BIGINT). */
-  @inline private def code(v: Double, mx: Double): Long =
-    java.math.BigDecimal.valueOf(v * 127.0 / mx)
+  /** The exact arithmetic of Spark's Round(double, 0) + legacy (non-ANSI)
+    * CAST(BIGINT). Round passes NaN/Infinity through untouched
+    * (BigDecimal.valueOf would throw on them); the legacy cast then maps
+    * NaN → 0 and ±Infinity → Long.Min/MaxValue. We keep the LEGACY cast
+    * here deliberately: under the ANSI default the HOF form throws
+    * CAST_OVERFLOW on a single NaN element (which also poisons mx via
+    * the sticky max) — a per-element saturation is the right at-scale
+    * behavior, not a failed 100-TB job.
+    */
+  @inline private def code(v: Double, mx: Double): Long = {
+    val d = v * 127.0 / mx
+    if (d.isNaN || d.isInfinite) d.toLong
+    else java.math.BigDecimal.valueOf(d)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  }
 
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -92,6 +103,7 @@ case class FloatSq8(child: Expression) extends UnaryExpression {
       val n = ctx.freshName("n")
       val mx = ctx.freshName("mx")
       val v = ctx.freshName("v")
+      val d = ctx.freshName("d")
       val out = ctx.freshName("out")
       s"""
          |int $n = $a.numElements();
@@ -105,9 +117,11 @@ case class FloatSq8(child: Expression) extends UnaryExpression {
          |Object[] $out = new Object[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i)) {
-         |    $out[$i] = (Object) (long) java.math.BigDecimal
-         |      .valueOf(${getter(i)} * 127.0 / $mx)
-         |      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue();
+         |    double $d = ${getter(i)} * 127.0 / $mx;
+         |    $out[$i] = (Object) ((Double.isNaN($d) || Double.isInfinite($d))
+         |      ? (long) $d
+         |      : (long) java.math.BigDecimal.valueOf($d)
+         |          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue());
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);

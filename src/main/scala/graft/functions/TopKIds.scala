@@ -55,9 +55,15 @@ case class TopKIds(
   override def createAggregationBuffer(): Buf =
     scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
 
-  /** true if a ranks before b in (value DESC, id ASC) order. */
-  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** true if a ranks before b in (value DESC, id ASC) order. Total even
+    * under NaN: java.lang.Double.compare is Spark's own sort-order
+    * semantics (NaN greatest, so NaN-first under DESC, -0.0 < 0.0) —
+    * primitive `>` would make NaN never beat and never be beaten,
+    * leaving the result insertion-order dependent. */
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def insert(buf: Buf, v: Double, id: Long): Buf = {
     val cand = (v, id)

@@ -55,9 +55,14 @@ case class TopKVals(
   override def createAggregationBuffer(): Buf =
     scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
 
-  /** true if a ranks before b in (value DESC, id ASC) order. */
-  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** true if a ranks before b in (value DESC, id ASC) order. Total even
+    * under NaN (java.lang.Double.compare = Spark's sort semantics:
+    * NaN greatest → NaN-first under DESC), so results stay
+    * partitioning-independent when values are non-finite. */
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def insert(buf: Buf, v: Double, id: Long): Buf = {
     val cand = (v, id)

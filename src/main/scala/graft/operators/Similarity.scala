@@ -34,9 +34,9 @@ object Similarity {
     * replaced: those are CodegenFallback and walked two interpreted
     * closures per row in the hottest scoring loops. Each consuming
     * query closure calls [[regDot]] before first use. */
-  private val dotExpr = "vec_dot(%s, %s)"
+  private[graft] val dotExpr = "vec_dot(%s, %s)"
 
-  private def regDot(s: SparkSession): Unit = {
+  private[graft] def regDot(s: SparkSession): Unit = {
     graft.functions.FloatDot.register(s)
     // the distance sibling for the IVF probe paths (r7 verdict item #3):
     // vec_l2sq replaces the CodegenFallback aggregate(zip_with(...))
@@ -84,10 +84,12 @@ object Similarity {
   /** Deterministic ±1 hyperplane weights: w(plane, dim) from md5 —
     * computed once at build time, embedded as literals on both engines.
     * Planes 0-3 bucket ss02/ss05 (16 buckets — a recall-friendly demo
-    * size); dd07 signs all 16 for its banded near-dup signature. */
+    * size); dd07 signs the first 16 for its banded near-dup signature;
+    * dd07b signs up to 60 (4 bands × up to 15 bits — the corpus-adaptive
+    * dial), all from the same seed family so every prefix is stable. */
   private val planes: Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(16, 64) { (p, dim) =>
+    Array.tabulate(60, 64) { (p, dim) =>
       val h = md.digest(s"$p:$dim".getBytes("UTF-8"))
       if ((h(0) & 1) == 0) 1.0 else -1.0
     }
@@ -383,6 +385,32 @@ object Similarity {
       .toDF("n_queries", "full_topk_returned", "precision_floor_ok")
   }
 
+  /** dd07b's corpus-adaptive bits-per-band dial: r = clamp(⌈log2 N⌉ − 4,
+    * 8, 15), so expected candidates per band stay ~N·16 regardless of
+    * corpus size (N²/2^r ≈ 16·N when 2^r ≈ N/16). Computed as a chain of
+    * INTEGER comparisons — not float log2 — so Spark and the DuckDB
+    * oracle can never disagree by an ulp at a power-of-two boundary. */
+  private[graft] def simhashBits(n: Long): Int =
+    8 + (0 until 7).count(i => n > (1L << (12 + i)))
+
+  /** The same dial as a DuckDB SQL scalar over COUNT(*). */
+  private def simhashBitsDuck: String =
+    "8 + " + (0 until 7).map(i =>
+      s"(CASE WHEN COUNT(*) > ${1L << (12 + i)} THEN 1 ELSE 0 END)").mkString(" + ")
+
+  /** P-plane sign signature as a BIGINT (bit p = sign of plane-p dot);
+    * P ≤ 60 keeps the signature well under the sign bit. */
+  private[graft] def sigSpark(nPlanes: Int, col0: String): String =
+    (0 until nPlanes).map { p =>
+      s"(CASE WHEN ${dotExpr.format(col0, planeArraySpark(p))} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  private def sigDuck(nPlanes: Int, col0: String): String =
+    (0 until nPlanes).map { p =>
+      val dot = s"list_sum(list_transform(range(1, len($col0)+1), i -> CAST($col0[i] AS DOUBLE) * (${planeArraySql(p)})[i]))"
+      s"(CASE WHEN $dot > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
   /** 16-plane sign signature for dd07 (bit p = sign of plane-p dot). */
   private def sig16Spark(col0: String): String =
     (0 until 16).map { p =>
@@ -450,7 +478,11 @@ object Similarity {
     // ~4·dim bytes — broadcast it while it fits; past the threshold the
     // shuffle join is the correct at-scale plan and is kept.
     val nVec = b.count()
-    val bSmall = nVec * (48L + 4L * 64) < (128L << 20)
+    // derive the vector width from the data — a hardcoded dim would
+    // under-estimate on wider corpora and broadcast an oversized side
+    val dim = if (nVec == 0L) 0L
+      else b.select(size(col("embedding"))).first().getInt(0).toLong
+    val bSmall = nVec * (48L + 4L * dim) < (128L << 20)
     def side(idAs: String, eAs: String, nAs: String) = {
       val s0 = b.select(col("vec_id").as(idAs), col("embedding").as(eAs),
         col("nrm").as(nAs))
@@ -462,6 +494,78 @@ object Similarity {
       .withColumn("cos_sim", expr(dotExpr.format("ea", "eb")) / (col("na") * col("nb")))
       .filter(col("cos_sim") >= 0.35)
       .select("va", "vb", "cos_sim")
+      .orderBy("va", "vb")
+  }
+
+  /** dd07b — dd07's candidate generator with the CORPUS-ADAPTIVE banding
+    * layout actually implemented (r8 verdict item #1): 4 bands of
+    * r = clamp(⌈log2 N⌉−4, 8, 15) bits each ([[simhashBits]]), i.e.
+    * 32–60 planes, Manku et al. WWW'07's 64-bit/4-band shape at the top
+    * of the dial. Fixed 8-bit bands make candidate volume
+    * bands·N²/2^8 — quadratic with a small constant, the one generator
+    * in the engine that broke at a true 100× — while this dial keeps
+    * 2^r ≈ N/16 so expected candidates stay ~64·N (measured at the 30×
+    * fixture: see NOTES.md round-9 A/B). Four bands instead of dd07's
+    * two buys back the per-band recall the wider bands lose. The layout
+    * is a deterministic function of COUNT(*) and the md5 plane family,
+    * so the ENTIRE pair list is oracle-exact: DuckDB computes the same
+    * dial (integer comparison chain), signs the same 60-plane prefix,
+    * and masks the same r·k bit windows. Spark computes only the 4·r
+    * planes the layout uses; the driver-side count() that picks r is the
+    * same action the broadcast chooser already needs (at 100 TB the
+    * count comes from table stats instead). */
+  val dd07b = QueryDef.sql("dd07b_embedding_neardup_adaptive",
+    s"""WITH p AS (SELECT $simhashBitsDuck AS r FROM embeddings),
+       |b AS (SELECT vec_id, embedding, ${sigDuck(60, "embedding")} AS sig,
+       |            sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |      FROM embeddings),
+       |banded AS (SELECT vec_id, k, (sig >> (r * CAST(k AS INT))) & ((CAST(1 AS BIGINT) << r) - 1) AS band
+       |           FROM b, p, generate_series(0, 3) g(k)),
+       |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+       |         FROM banded x JOIN banded y
+       |           ON x.k = y.k AND x.band = y.band AND x.vec_id < y.vec_id),
+       |scored AS (
+       |  SELECT cand.va, cand.vb,
+       |    ${duckDot("a.embedding", "c.embedding")} / (a.nrm * c.nrm) AS cos_sim
+       |  FROM cand JOIN b a ON a.vec_id = cand.va JOIN b c ON c.vec_id = cand.vb)
+       |SELECT va, vb, cos_sim, (SELECT CAST(r AS INT) FROM p) AS r_bits
+       |FROM scored
+       |WHERE cos_sim >= 0.35e0
+       |ORDER BY va, vb""".stripMargin) { (s, d) =>
+    regDot(s)
+    val e0 = T.embeddings(s, d)
+    val nVec = e0.count()
+    val r = simhashBits(nVec)
+    val b = e0
+      .select(col("vec_id"), col("embedding"),
+        expr(sigSpark(4 * r, "embedding")).as("sig"),
+        sqrt(expr(dotExpr.format("embedding", "embedding"))).as("nrm"))
+      .cache()
+    val banded = b
+      .select(col("vec_id"), explode(expr("sequence(0, 3)")).as("k"), col("sig"))
+      .withColumn("band", expr(s"shiftright(sig, $r * CAST(k AS INT)) & ${(1L << r) - 1}L"))
+      .select("vec_id", "k", "band")
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.k") === col("y.k") && col("x.band") === col("y.band") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+    // same stats-chosen broadcast verify as dd07 (dim derived from data)
+    val dim = if (nVec == 0L) 0L
+      else b.select(size(col("embedding"))).first().getInt(0).toLong
+    val bSmall = nVec * (48L + 4L * dim) < (128L << 20)
+    def side(idAs: String, eAs: String, nAs: String) = {
+      val s0 = b.select(col("vec_id").as(idAs), col("embedding").as(eAs),
+        col("nrm").as(nAs))
+      if (bSmall) broadcast(s0) else s0
+    }
+    cand
+      .join(side("va", "ea", "na"), "va")
+      .join(side("vb", "eb", "nb"), "vb")
+      .withColumn("cos_sim", expr(dotExpr.format("ea", "eb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= 0.35)
+      .select(col("va"), col("vb"), col("cos_sim"), lit(r).as("r_bits"))
       .orderBy("va", "vb")
   }
 
@@ -1288,5 +1392,5 @@ object Similarity {
 
   val defs: Seq[QueryDef] =
     Seq(ss01, ss02, ss03, ss04, ss05, ss06, ss07, ss08, ss09, ss10, ss10b,
-      ss11, ss12, dd07, dd14)
+      ss11, ss12, dd07, dd07b, dd14)
 }

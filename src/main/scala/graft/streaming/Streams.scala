@@ -1038,8 +1038,12 @@ object Streams {
     try q.processAllAvailable()
     finally q.stop()
     val cells = s.table(name)
+    // ε audit WITHOUT a batch action (r8 verdict item #5): every event
+    // lands in exactly one bucket per depth row, so a single row's cell
+    // sum IS the stream count N — derive it from the sketch inside the
+    // plan (1-row broadcast) instead of an ev.count() driver action
+    val nRow = cells.filter(col("d") === 0).agg(sum(col("c")).as("n_ev"))
     val ev = T.events(s, d)
-    val nEv = ev.count()
     val top10 = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
     top10
@@ -1049,8 +1053,9 @@ object Streams {
       .join(broadcast(cells), Seq("d", "bucket"))
       .groupBy("user_id", "exact_cnt").agg(min(col("c")).as("est_cnt"))
       .withColumn("overcount", col("est_cnt") - col("exact_cnt"))
+      .crossJoin(broadcast(nRow))
       .withColumn("within_eps",
-        col("est_cnt") - col("exact_cnt") <= lit(2L * nEv) / lit(256L))
+        col("est_cnt") - col("exact_cnt") <= lit(2L) * col("n_ev") / lit(256L))
       .select("user_id", "exact_cnt", "est_cnt", "overcount", "within_eps")
       .orderBy(col("exact_cnt").desc, col("user_id"))
   }

@@ -65,6 +65,72 @@ class ExtensionsStreamingSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("vec_sq8"))
   }
 
+  test("vec_sq8 double path: genuine HALF_UP corner + NaN/Inf elements match the HOF") {
+    // The float literal 0.49999999999999994f is not representable and
+    // rounds to exactly 0.5f, so the float-array test above never truly
+    // hits the BigDecimal-HALF_UP vs floor(x+0.5) divergence. Engineer a
+    // DOUBLE vector whose SCALED value d = v*127.0/mx lands exactly on
+    // the corner: with mx = 63.5 and v = 0.24999999999999997,
+    // (v*127.0)/63.5 == 0.49999999999999994 in IEEE double, where
+    // floor(d+0.5) = 1 (the tie in d+0.5 resolves to 1.0 by
+    // round-to-even) but HALF_UP of the exact value says 0.
+    val corner = 0.49999999999999994
+    val v = 0.24999999999999997
+    assert((v * 127.0) / 63.5 == corner, "premise: d hits the corner exactly")
+    assert(math.floor(corner + 0.5) == 1.0 &&
+      java.math.BigDecimal.valueOf(corner)
+        .setScale(0, java.math.RoundingMode.HALF_UP).intValue() == 0,
+      "premise: the two rounding semantics genuinely diverge at d")
+    val spark = TestSpark.spark
+    import spark.implicits._
+    functions.FloatSq8.register(spark)
+    val finite = Seq(
+      (0L, Array(63.5, v, -v)),                        // engineered corner
+      (1L, Array(corner, 0.1, -0.2)))                  // corner as max-magnitude
+      .toDF("id", "v")
+    // NaN poisons mx → all codes 0; Inf mx → 0s and Inf/Inf=NaN → 0;
+    // Double.MaxValue*127.0 overflows to Inf → Long.MaxValue. Under the
+    // ANSI default, CAST(NaN AS BIGINT) in the HOF THROWS — vec_sq8
+    // deliberately keeps the legacy-cast semantics (NaN→0,
+    // ±Inf→Long.Min/MaxValue) so one bad element can't fail the job.
+    val nonFinite = Seq(
+      (2L, Array(Double.NaN, 1.0, -2.0)),
+      (3L, Array(Double.PositiveInfinity, 3.0)),
+      (4L, Array(-1.0, Double.NegativeInfinity)),
+      (5L, Array(Double.MaxValue, 1.0)))
+      .toDF("id", "v")
+    val hof = "transform(v, x -> CAST(round(x * 127.0D / " +
+      "greatest(array_max(transform(v, y -> abs(y))), 1e-30D)) AS BIGINT))"
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("id", "vec_sq8(v) AS nat", s"$hof AS ref")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    def check(df: org.apache.spark.sql.DataFrame, tag: String) = {
+      val got = run(df)
+      got.foreach { case (id, nat, ref) =>
+        assert(nat == ref, s"$tag codes differ at id=$id: $nat vs $ref")
+      }
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      try run(df).foreach { case (id, nat, ref) =>
+        assert(nat == ref, s"interpreted $tag codes differ at id=$id")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      got
+    }
+    val gotF = check(finite, "finite")
+    // the corner element really took the HALF_UP branch (code 0, not 1)
+    assert(gotF.find(_._1 == 0L).get._2(1) == 0L)
+    // vec_sq8 survives non-finite elements even under ANSI (the HOF throws)
+    val ansiCodes = nonFinite.selectExpr("id", "vec_sq8(v) AS nat").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(ansiCodes(2L) == Seq(0L, 0L, 0L))
+    assert(ansiCodes(5L)(0) == Long.MaxValue)
+    intercept[Exception] { nonFinite.selectExpr(s"$hof AS ref").collect() }
+    // and is bit-identical to the HOF under the legacy cast
+    val ansi0 = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try check(nonFinite, "non-finite")
+    finally spark.conf.set("spark.sql.ansi.enabled", ansi0)
+  }
+
   test("top_k_vals: equals the window form's top-k value slice, partitioning-independent") {
     val spark = TestSpark.spark
     import spark.implicits._
@@ -101,6 +167,35 @@ class ExtensionsStreamingSpec extends AnyFunSuite {
         .agg(expr("top_k_ids(s, id, 1)")).collect()
     }
     assert(err.getMessage.toLowerCase.contains("top_k_ids"))
+  }
+
+  test("top_k_ids/top_k_vals: total order under NaN — NaN-first, partitioning-independent") {
+    // A primitive `>` comparator is not total under NaN (NaN never beats
+    // and is never beaten), which made the winner insertion-order
+    // dependent. java.lang.Double.compare = Spark's sort semantics: NaN
+    // is greatest, so under (value DESC, id ASC) a NaN row ranks FIRST —
+    // the same order the old row_number window produced.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    functions.TopKIds.register(spark)
+    functions.TopKVals.register(spark)
+    val rows = Seq(
+      (1, 5.0, 10L), (1, Double.NaN, 11L), (1, 7.0, 12L), (1, Double.NaN, 13L),
+      (2, Double.NaN, 20L), (2, Double.NaN, 21L),                // all-NaN group
+      (3, Double.NegativeInfinity, 30L), (3, 1.0, 31L))
+    def run(parts: Int) = rows.toDF("k", "v", "id").repartition(parts)
+      .groupBy("k")
+      .agg(expr("top_k_ids(v, id, 2)").as("ids"), expr("top_k_vals(v, id, 2)").as("vs"))
+      .collect().map(r => r.getInt(0) ->
+        // NaN != NaN under Scala ==, so compare values as raw bits
+        ((r.getSeq[Long](1).toList,
+          r.getSeq[Double](2).toList.map(java.lang.Double.doubleToLongBits)))).toMap
+    val got = run(1)
+    assert(got(1)._1 == List(11L, 13L))            // NaNs first, id ASC tie-break
+    assert(got(1)._2.forall(b => java.lang.Double.longBitsToDouble(b).isNaN))
+    assert(got(2)._1 == List(20L, 21L))            // all-NaN group: no null ids
+    assert(got(3)._1 == List(31L, 30L))            // -Inf ranks last
+    (2 to 5).foreach(p => assert(run(p) == got, s"parts=$p diverged"))
   }
 
   test("vec_dot: bit-identical to the HOF form, null semantics, both eval paths") {

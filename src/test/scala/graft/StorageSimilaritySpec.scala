@@ -400,6 +400,30 @@ class StorageSimilaritySpec extends AnyFunSuite {
     assert(sawPairs > 0, "no random corpus produced a J>=0.3 pair — property is vacuous")
   }
 
+  test("dd07b adaptive dial: integer-exact clamp(ceil(log2 n)-4, 8, 15), pairs superset of dd07") {
+    // the dial drives the oracle-pinned layout, so its boundaries must be
+    // exact: r jumps at n = 2^(12+i)+1, never at 2^(12+i) (a float log2
+    // could disagree by an ulp exactly there)
+    val bits = (n: Long) => operators.Similarity.simhashBits(n)
+    assert(bits(1) == 8 && bits(4096) == 8)
+    assert(bits(4097) == 9 && bits(8192) == 9)
+    assert(bits(8193) == 10)
+    assert(bits(60000) == 12)                        // the 30x fixture
+    assert(bits(262144) == 14 && bits(262145) == 15)
+    assert(bits(Long.MaxValue) == 15)                // clamp holds at any N
+    assert((1L to 20L).map(i => bits(1L << i)).forall(r => r >= 8 && r <= 15))
+    // at the graded sf (n=500 → r=8, 4 bands over 32 planes) bands 0-1
+    // equal dd07's 2×8 layout, so dd07b's candidate set — and therefore
+    // its verified pair set — must be a superset of dd07's
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val old = pairs(operators.Similarity.dd07.fn(spark, sf))
+    val nu = pairs(operators.Similarity.dd07b.fn(spark, sf))
+    assert(old.subsetOf(nu), s"dd07b lost ${old -- nu}")
+    val r = operators.Similarity.dd07b.fn(spark, sf).select("r_bits").head.getInt(0)
+    assert(r == 8)
+  }
+
   test("q65 lateral top-2 equals the window-rank formulation") {
     val lateral = SparkEntry.queries("q65_lateral_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the round tooling itself — the bench-pin generator must
+  * refuse to silently absorb a regression into BENCH_EXPECT.json
+  * (r8 verdict item #7). Shells out to python3 with stdlib-only deps. */
+class ToolsSpec extends AnyFunSuite {
+
+  private def write(dir: Path, name: String, content: String): Path = {
+    val p = dir.resolve(name)
+    Files.write(p, content.getBytes("UTF-8"))
+    p
+  }
+
+  private def run(dir: Path, extra: String*): (Int, String) = {
+    import scala.sys.process._
+    val cmd = Seq("python3", "tools/gen_bench_expect.py",
+      dir.resolve("bench.json").toString,
+      "--expect", dir.resolve("expect.json").toString,
+      "--notes", dir.resolve("NOTES.md").toString) ++ extra
+    val err = new StringBuilder
+    val code = Process(cmd, new java.io.File("."))
+      .!(ProcessLogger(_ => (), l => err.append(l).append('\n')))
+    (code, err.toString)
+  }
+
+  test("gen_bench_expect refuses a >1.5x pin raise without --allow-raise + NOTES entry") {
+    val dir = Files.createTempDirectory("graft_pins")
+    write(dir, "bench.json", """{"queries": {"q1": 2.0, "q2": 0.10}}""")
+    write(dir, "expect.json", """{"_comment": "x", "q1": 1.0, "q2": 0.09}""")
+    write(dir, "NOTES.md", "nothing relevant here")
+    // q1 raise 1.0 -> 2.0 (>1.5x) must be refused; q2 is within factor
+    val (code, err) = run(dir)
+    assert(code == 1, s"expected refusal, got exit=$code\n$err")
+    assert(err.contains("q1") && !err.contains("q2:"), err)
+    // --allow-raise alone is not enough: NOTES.md must mention the query
+    val (code2, err2) = run(dir, "--allow-raise", "q1")
+    assert(code2 == 1 && err2.contains("NOTES"), s"exit=$code2\n$err2")
+    // with both the flag and a NOTES entry the raise goes through
+    write(dir, "NOTES.md", "q1 regressed because the fixture doubled; accepted")
+    val (code3, err3) = run(dir, "--allow-raise", "q1")
+    assert(code3 == 0, s"expected success, got exit=$code3\n$err3")
+    val out = new String(Files.readAllBytes(dir.resolve("expect.json")), "UTF-8")
+    assert(out.contains("\"q1\": 2.0") && out.contains("\"q2\": 0.1"))
+  }
+
+  test("gen_bench_expect lowers pins and adds new queries freely") {
+    val dir = Files.createTempDirectory("graft_pins2")
+    write(dir, "bench.json", """{"queries": {"q1": 0.5, "q_new": 3.0}}""")
+    write(dir, "expect.json", """{"_comment": "x", "q1": 1.0}""")
+    val (code, err) = run(dir)
+    assert(code == 0, s"exit=$code\n$err")
+    val out = new String(Files.readAllBytes(dir.resolve("expect.json")), "UTF-8")
+    assert(out.contains("\"q1\": 0.5") && out.contains("\"q_new\": 3.0"))
+  }
+}

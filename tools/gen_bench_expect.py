@@ -8,18 +8,75 @@ spike protection — unpinned heavies recorded single spiked samples in
 r6 AND r7). graft.Bench retries (up to twice, budgeted) any query whose
 best exceeds max(1.5x pin, pin + 0.5s).
 
+Pin-raise guard (r8 verdict item #7): a pin may only be RAISED by more
+than 1.5x over its committed value when (a) the query is named in
+--allow-raise and (b) NOTES.md explains it (the query name appears
+there). Otherwise the script refuses — a regression can never silently
+become the new baseline.
+
 Usage: python3 tools/gen_bench_expect.py BENCH_A.json [BENCH_B.json ...]
+         [--allow-raise q1,q2] [--expect PATH] [--notes PATH]
 """
 import json
 import math
+import os
 import sys
 
-runs = [json.load(open(p)) for p in sys.argv[1:]]
+RAISE_FACTOR = 1.5
+
+args = sys.argv[1:]
+allow_raise = set()
+expect_path = "BENCH_EXPECT.json"
+notes_path = "NOTES.md"
+paths = []
+i = 0
+while i < len(args):
+    if args[i] == "--allow-raise":
+        allow_raise |= set(x for x in args[i + 1].split(",") if x)
+        i += 2
+    elif args[i] == "--expect":
+        expect_path = args[i + 1]
+        i += 2
+    elif args[i] == "--notes":
+        notes_path = args[i + 1]
+        i += 2
+    else:
+        paths.append(args[i])
+        i += 1
+
+runs = [json.load(open(p)) for p in paths]
 assert runs, "pass at least one bench artifact"
 queries = {}
 for r in runs:
     for k, v in r["queries"].items():
         queries[k] = min(queries.get(k, float("inf")), v)
+
+prev = {}
+if os.path.exists(expect_path):
+    prev = {k: v for k, v in json.load(open(expect_path)).items()
+            if not k.startswith("_")}
+notes = open(notes_path).read() if os.path.exists(notes_path) else ""
+
+new_pins = {k: math.ceil(v * 1000) / 1000 for k, v in queries.items()}
+offenders = []
+for k, v in sorted(new_pins.items()):
+    if k in prev and prev[k] > 0 and v > prev[k] * RAISE_FACTOR:
+        why = []
+        if k not in allow_raise:
+            why.append("not in --allow-raise")
+        if k not in notes:
+            why.append(f"no {notes_path} entry mentions it")
+        if why:
+            offenders.append(
+                f"  {k}: {prev[k]:.3f}s -> {v:.3f}s "
+                f"(>{RAISE_FACTOR}x raise; {'; '.join(why)})")
+if offenders:
+    sys.stderr.write(
+        "REFUSING to raise pins (a regression must not become the new "
+        "baseline):\n" + "\n".join(offenders) + "\n"
+        "Re-run with --allow-raise <names> after documenting the cause "
+        f"in {notes_path}.\n")
+    sys.exit(1)
 
 comment = (
     "Pinned clean timings (sec, sf0.1 local[32]) for UNIVERSAL bench "
@@ -30,12 +87,14 @@ comment = (
     "and r7 (dd05 33.7s vs 0.02s, st01b 10.3s vs 2.4s) both saw UNPINNED "
     "queries record single spiked samples under driver-box load. "
     "Hand-regenerated per round from committed clean runs via "
-    "tools/gen_bench_expect.py; BENCH_LOCAL.json cannot serve this role "
-    "because driver runs overwrite it with possibly-spiked values."
+    "tools/gen_bench_expect.py (which refuses >1.5x pin raises unless "
+    "--allow-raise + a NOTES.md entry); BENCH_LOCAL.json cannot serve "
+    "this role because driver runs overwrite it with possibly-spiked "
+    "values."
 )
 out = {"_comment": comment}
-for k in sorted(queries):
-    out[k] = math.ceil(queries[k] * 1000) / 1000
-with open("BENCH_EXPECT.json", "w") as f:
+for k in sorted(new_pins):
+    out[k] = new_pins[k]
+with open(expect_path, "w") as f:
     json.dump(out, f, indent=1)
-print(f"wrote {len(queries)} pins to BENCH_EXPECT.json")
+print(f"wrote {len(queries)} pins to {expect_path}")
