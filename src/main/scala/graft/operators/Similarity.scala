@@ -910,9 +910,11 @@ object Similarity {
         .select(col("vec_id").as("bid"), col("embedding").as("be")))
   }
 
-  /** [[marginMineExact]] over caller-chosen shards (ss10b's sampled
-    * recall audit hands in a deterministic hash-sample). */
-  private[graft] def marginMineExactOn(
+  /** The exact miner's FULL scored pair table (aid, bid, cos, margin) —
+    * the all-pairs ground truth ss10b's tie-aware recall audit reads
+    * margins from (not just the argmax, which is meaningless where
+    * margins tie). */
+  private[graft] def marginScoredExactOn(
       s: org.apache.spark.sql.SparkSession,
       a: org.apache.spark.sql.DataFrame,
       b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -932,16 +934,58 @@ object Similarity {
         .select(col(grp),
           ((col("k1") + col("k2") + col("k3") + col("k4")) / lit(4)).as(out))
     }
-    val scored = pairs
+    pairs
       .join(top4Mean("aid", "ra", "ka"), "aid")
       .join(top4Mean("bid", "rb", "kb"), "bid")
       .withColumn("margin", col("cos") * lit(2.0) / (col("ka") + col("kb")))
+  }
+
+  /** [[marginMineExact]] over caller-chosen shards (ss10b's sampled
+    * recall audit hands in a deterministic hash-sample). */
+  private[graft] def marginMineExactOn(
+      s: org.apache.spark.sql.SparkSession,
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val scored = marginScoredExactOn(s, a, b)
     val w1 = Window.partitionBy("aid").orderBy(col("margin").desc, col("bid"))
     scored.withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
       .select(col("aid").as("src_id"), col("bid").as("tgt_id"),
         col("cos").as("cos_sim"), col("margin"),
         (col("margin") >= lit(1.02)).as("mined"))
       .orderBy("src_id")
+  }
+
+  /** ss10b's tie-aware agreement (r8 verdict item #2): the fraction of
+    * audited sources whose ANN-chosen target scores within MarginTieTol
+    * (relative) of the source's exact-best margin, both margins read
+    * from the SAME all-pairs exact table. Top-1 IDENTITY agreement is
+    * the wrong metric where margins tie (this synthetic fixture's
+    * within-cluster cosines are near-ties, so argmaxes flip under any
+    * shortlist change — 0.10 identity agreement at 30× while the picks
+    * are score-equivalent); collapsing tie classes measures what the
+    * miner actually guarantees — a pick whose margin is
+    * indistinguishable from optimal. */
+  private[graft] val MarginTieTol = 1e-3
+
+  private[graft] def tieAwareAgreement(
+      annPicks: org.apache.spark.sql.DataFrame,
+      exactScored: org.apache.spark.sql.DataFrame): (Double, Double) = {
+    val best = exactScored.groupBy(col("aid").as("src_id"))
+      .agg(max(col("margin")).as("best_margin"),
+        expr("top_k_ids(margin, bid, 1)[0]").as("exact_tgt"))
+    val pick = exactScored
+      .select(col("aid").as("src_id"), col("bid").as("tgt_id"),
+        col("margin").as("pick_margin"))
+    val row = annPicks.select("src_id", "tgt_id")
+      .join(best, "src_id")
+      .join(pick, Seq("src_id", "tgt_id"))
+      .agg(
+        avg(when(col("tgt_id") === col("exact_tgt"), 1.0).otherwise(0.0)),
+        avg(when(col("best_margin") - col("pick_margin") <=
+          lit(MarginTieTol) * greatest(abs(col("best_margin")), lit(1.0)), 1.0)
+          .otherwise(0.0)))
+      .head()
+    (row.getDouble(0), row.getDouble(1))
   }
 
   /** ANN-shortlist margin mining parts: (candidate pairs, aligned rows).
@@ -1078,18 +1122,27 @@ object Similarity {
     * booleans (the ss04/ss08/ss09 pattern): every source vector aligned
     * (full coverage through the symmetric multiprobe), the pair table
     * strictly smaller than |A|·|B| (the scan actually pruned), all
-    * margins finite, and the ANN top-1 alignment agreeing with
-    * [[marginMineExact]]'s on at least 80% of sources — the recall
-    * cross-check that keeps the approximation honest (measured 0.92 at
-    * sf0.01 / 0.84 at sf0.1 with marginNprobe=4; the 0.80 bar leaves
-    * headroom for fixture regeneration at the sf0.01 oracle scale). */
+    * margins finite, and TWO recall cross-checks against the exact
+    * all-pairs miner: top-1 IDENTITY agreement ≥ 0.80 (measured 0.92 at
+    * sf0.01 / 0.84 at sf0.1 with marginNprobe=4; the bar leaves headroom
+    * for fixture regeneration at the sf0.01 oracle scale), and
+    * TIE-COLLAPSED agreement ≥ 0.80 ([[tieAwareAgreement]]: the ANN
+    * pick's exact margin within [[MarginTieTol]] relative of the
+    * source's exact optimum) — the metric that stays meaningful where
+    * margins tie and identity argmaxes flip. On THIS synthetic fixture
+    * tie-collapse ≈ identity (ties are near- not exact: sf0.01 both
+    * 0.92, sf0.1 0.844/0.849, 30× both 0.10) — the fixture has NO true
+    * pairs, so 30× recall is measured on the bitext-realistic fixture
+    * (tools/gen_sf3_bitext.py, planted true pairs with distinct
+    * margins; NOTES.md round 9) where both metrics are high. */
   val ss10b = QueryDef.sql("ss10b_margin_mining_ann",
     """SELECT
       |  (SELECT COUNT(*) FROM embeddings WHERE label = 0) AS n_src,
       |  TRUE AS full_coverage,
       |  TRUE AS scan_pruned,
       |  TRUE AS margins_finite,
-      |  TRUE AS top1_recall_ok""".stripMargin) { (s, d) =>
+      |  TRUE AS top1_recall_ok,
+      |  TRUE AS tie_agreement_ok""".stripMargin) { (s, d) =>
     import s.implicits._
     val (cand, aligned0) = marginAnnParts(s, d)
     val aligned = aligned0.cache()
@@ -1130,17 +1183,16 @@ object Similarity {
       val annAud =
         if (nA <= AuditSideCap && nB <= AuditSideCap) aligned
         else marginAnnPartsOn(s, d, aAud, bAud)._2
-      val exact = marginMineExactOn(s, aAud, bAud)
-        .select(col("src_id"), col("tgt_id").as("exact_tgt"))
-      val agree = annAud.select("src_id", "tgt_id")
-        .join(exact, "src_id")
-        .agg(avg(when(col("tgt_id") === col("exact_tgt"), 1.0).otherwise(0.0)))
-        .head().getDouble(0)
+      val exactScored = marginScoredExactOn(s, aAud, bAud).cache()
+      val (agree, tieAgree) =
+        try tieAwareAgreement(annAud, exactScored)
+        finally exactScored.unpersist()
       System.err.println(
-        f"[ss10b] top-1 agreement vs exact: $agree%.3f (pairs=$nPairs, full=${nA * nB}, audited=${if (nA <= AuditSideCap && nB <= AuditSideCap) "all" else "sampled"})")
-      Seq((nA, nOut == nA, nPairs < nA * nB, badMargin == 0L, agree >= 0.80))
+        f"[ss10b] vs exact: top-1 identity $agree%.3f, tie-collapsed (gap<=$MarginTieTol) $tieAgree%.3f (pairs=$nPairs, full=${nA * nB}, audited=${if (nA <= AuditSideCap && nB <= AuditSideCap) "all" else "sampled"})")
+      Seq((nA, nOut == nA, nPairs < nA * nB, badMargin == 0L, agree >= 0.80,
+        tieAgree >= 0.80))
         .toDF("n_src", "full_coverage", "scan_pruned", "margins_finite",
-          "top1_recall_ok")
+          "top1_recall_ok", "tie_agreement_ok")
     } finally aligned.unpersist()
   }
 

@@ -424,6 +424,30 @@ class StorageSimilaritySpec extends AnyFunSuite {
     assert(r == 8)
   }
 
+  test("ss10b tie-aware agreement: tied picks count, genuinely-worse picks don't") {
+    // pins the metric definition (r8 verdict item #2): agreement =
+    // fraction of sources whose ANN pick's EXACT margin is within
+    // MarginTieTol (relative, floored at 1.0) of the source's exact
+    // optimum — so a margin-equal co-winner counts as agreement even
+    // when top-1 identity says miss, and a pick with a real score gap
+    // stays a miss
+    import spark.implicits._
+    functions.TopKIds.register(spark)
+    val exactScored = Seq(
+      (1L, 10L, 2.0), (1L, 11L, 2.0), (1L, 12L, 1.0),   // exact tie at the top
+      (2L, 10L, 2.0), (2L, 11L, 1.0),
+      (3L, 10L, 2.0), (3L, 11L, 1.99))                   // gap 0.01 > tol*max(|2.0|,1) = 0.002
+      .toDF("aid", "bid", "margin")
+    val annPicks = Seq(
+      (1L, 11L),   // tied co-winner (exact_tgt is 10 by bid ASC): identity miss, tie hit
+      (2L, 10L),   // the optimum itself: both hit
+      (3L, 11L))   // genuinely worse by 0.01: both miss
+      .toDF("src_id", "tgt_id")
+    val (identity, tie) = operators.Similarity.tieAwareAgreement(annPicks, exactScored)
+    assert(math.abs(identity - 1.0 / 3) < 1e-12, s"identity=$identity")
+    assert(math.abs(tie - 2.0 / 3) < 1e-12, s"tie=$tie")
+  }
+
   test("q65 lateral top-2 equals the window-rank formulation") {
     val lateral = SparkEntry.queries("q65_lateral_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
