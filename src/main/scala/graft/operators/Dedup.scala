@@ -54,19 +54,27 @@ object Dedup {
 
   /** The shingle-index dataflow over an arbitrary (doc_id, text) frame —
     * factored so the PPJoin losslessness property test can drive random
-    * corpora through the exact production pipeline. */
+    * corpora through the exact production pipeline.
+    *
+    * r9 shape: [[graft.functions.ShingleHashes]] fuses tokenize →
+    * 3-gram → md5-60-bit → per-doc DISTINCT into one codegen'd pass, so
+    * the corpus-sized `(doc_id, h) DISTINCT` shuffle of the exploded
+    * form (nearly-unique keys — map-side aggregation removed nothing)
+    * is gone; the only remaining exchange is the df-count groupBy,
+    * whose map-side partial agg compresses to distinct-h per partition.
+    * The per-doc array is computed ONCE (cached) and feeds both the
+    * df-count branch and the final index — without the cache the plan's
+    * two branches would re-run the md5 pass (exchange reuse does not
+    * apply across this DAG fork). Bit-parity with the exploded SQL form
+    * is spec-pinned (ExtensionsStreamingSpec). */
   private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-    val sh0 = toks
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
-      .distinct()
-    val df = sh0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= 100)
-    sh0.join(df, "h").select("doc_id", "h")
+    graft.functions.ShingleHashes.register(docs.sparkSession)
+    val dh = docs
+      .select(col("doc_id"), expr("shingle_hashes(text)").as("hs"))
+      .cache()
+    val ex = dh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val df = ex.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= 100)
+    ex.join(df, "h").select("doc_id", "h")
   }
 
   /** Oracle-side equivalent of [[shingles]] (DuckDB CTEs) — including
@@ -195,10 +203,14 @@ object Dedup {
           col("n").as(nAs))
         if (estSetsBytes < SetsBroadcastBytes) broadcast(side) else side
       }
+      graft.functions.SortedIntersectCount.register(sh.sparkSession)
       cand
         .join(setsAs("da", "ha", "na"), "da")
         .join(setsAs("db", "hb", "nb"), "db")
-        .withColumn("c", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        // allocation-free merge walk over the sorted fingerprint arrays
+        // (array_intersect builds a hash set per candidate pair — tens
+        // of millions of pairs at sf1); equality spec-pinned
+        .withColumn("c", expr("sorted_intersect_count(ha, hb)"))
         .withColumn("jaccard", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
         // completeness floor pre-filter: rows below the floor are outside
         // the table's contract (jaccardAtLeast rejects any consumer that

@@ -131,6 +131,45 @@ class ExtensionsStreamingSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.ansi.enabled", ansi0)
   }
 
+  test("shingle_hashes: set-identical to the exploded md5 SQL form; sorted_intersect_count = array_intersect") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    functions.ShingleHashes.register(spark)
+    functions.SortedIntersectCount.register(spark)
+    val rnd = new scala.util.Random(5)
+    val vocab = "batch part spark line column order small sort αβγ 漢字 a".split(" ")
+    val edge = Seq("", "one", "one two", "a  b c", " lead", "trail ",
+      "a b c", "x y z x y z x y z")              // dup shingles → distinct
+    val texts = edge ++ Seq.tabulate(200)(_ =>
+      Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // oracle: the exploded form shinglesOf used before the fused kernel
+    val sqlForm = df
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+      .groupBy("doc_id").agg(sort_array(collect_list("h")).as("hs"))
+    val fused = df.selectExpr("doc_id", "sort_array(shingle_hashes(text)) AS hs")
+      .filter(size(col("hs")) > 0)
+    val joined = fused.as("f").join(sqlForm.as("o"), "doc_id")
+      .selectExpr("doc_id", "f.hs = o.hs AS same").collect()
+    assert(joined.length == sqlForm.count() && joined.length == fused.count())
+    joined.foreach(r => assert(r.getBoolean(1), s"doc ${r.getLong(0)} differs"))
+    // merge-walk intersection count vs array_intersect on sorted distinct arrays
+    val pairs = Seq.tabulate(300) { i =>
+      def arr() = rnd.shuffle((0L to 40L).toList).take(rnd.nextInt(12)).sorted.toArray
+      (i.toLong, arr(), arr())
+    }.toDF("id", "a", "b")
+    pairs.selectExpr("id", "sorted_intersect_count(a, b) AS mw",
+        "CAST(size(array_intersect(a, b)) AS BIGINT) AS ai")
+      .collect().foreach(r =>
+        assert(r.getLong(1) == r.getLong(2), s"pair ${r.getLong(0)}: ${r.getLong(1)} vs ${r.getLong(2)}"))
+  }
+
   test("top_k_vals: equals the window form's top-k value slice, partitioning-independent") {
     val spark = TestSpark.spark
     import spark.implicits._
