@@ -195,7 +195,14 @@ object Graph {
       .select((col("o_custkey") * 2).as("da"),
         (col("l_suppkey") * 2 + 1).as("db"))
       .distinct()
-    val lab = Dedup.connectedComponents(pairs)
+    // co-purchase chains are DEEPER than dedup components (bipartite
+    // customer-supplier paths), and the cost here is ~10 synchronous
+    // rounds of scheduler floor, not data volume — so jump pointers
+    // from round 0 (halves remaining depth per round → O(log diameter)
+    // rounds) and batch the convergence count every 2 rounds (halves
+    // driver round trips). Labels at fixpoint are min-id per component
+    // regardless of round count, so the oracle hash is unchanged.
+    val lab = Dedup.connectedComponents(pairs, jumpAfter = 0, checkEvery = 2)
       .select(col("id").as("node_id"), col("label").as("component_id"))
     lab.withColumn("component_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window

@@ -121,6 +121,27 @@ class GraphSpec extends AnyFunSuite {
       "component labels/sizes must match the union-find fixpoint")
   }
 
+  test("connectedComponents: distributed fixpoint equals the local union-find path") {
+    // the stats-chosen escape hatch (edge count <= LocalCcMaxEdges →
+    // driver union-find) must be label-identical to the distributed
+    // propagation it replaces, or the path choice would move oracle
+    // hashes with corpus size; force BOTH paths over the same edges
+    import org.apache.spark.sql.functions._
+    val pairs = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") >= 498000.0)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("da"), (col("l_suppkey") * 2 + 1).as("db"))
+      .distinct()
+    def labels(localMax: Long) =
+      operators.Dedup.connectedComponents(pairs, jumpAfter = 0, checkEvery = 2,
+          localMaxEdges = localMax)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+    val local = labels(Long.MaxValue)
+    val dist = labels(0L)
+    assert(local.nonEmpty && local == dist,
+      "local union-find and distributed propagation must agree exactly")
+  }
+
   test("gr03 triangle counts match brute force on a known graph") {
     val s = spark
     import s.implicits._
