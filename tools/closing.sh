@@ -1,0 +1,69 @@
+#!/usr/bin/env bash
+# Round-closing audit protocol (r8 verdict item #8: the sf1 full-surface
+# audit is part of the standing close, by construction). Run with the
+# box otherwise idle — bench numbers are meaningless under load.
+#
+#   bash tools/closing.sh           # full close (~25 min)
+#   bash tools/closing.sh --quick   # skip sf1/sf3 (the per-commit gate)
+#
+# Steps:
+#   1. sbt test                 — full spec suite must be green
+#   2. Verify + DuckDB parity   — sf0.01 (the driver's t2 gate) AND sf0.1
+#   3. clean full bench, sf0.1  — writes BENCH_LOCAL.json (claims record)
+#   4. sf1 full-surface audit   — 10x fixture (generated if missing),
+#                                 reps=1, captured to BENCH_SF1_LOCAL.json
+#   5. sf3 dd/ss family audit   — 30x fixture for the two families with
+#                                 scale cliffs (generated if missing)
+# After: regenerate pins from the clean run —
+#   python3 tools/gen_bench_expect.py BENCH_LOCAL.json
+# (the generator REFUSES >1.5x pin raises without --allow-raise + a
+# NOTES.md entry) — then commit artifacts + NOTES with the numbers.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+QUICK=${1:-}
+
+echo "== 1. spec suite =="
+sbt -batch test
+
+echo "== 2. verify + parity (sf0.01, sf0.1) =="
+for SF in sf0.01 sf0.1; do
+  SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/$SF /tmp/closing_verify_$SF" \
+    > "/tmp/closing_verify_$SF.log" 2>&1
+  python3 tools/parity.py "/root/testdata/$SF" "/tmp/closing_verify_$SF" | tail -1
+done
+
+echo "== 3. clean full bench (sf0.1) =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch 'runMain graft.Bench' 2>/dev/null | grep '"metric"' | tail -1
+
+if [ "$QUICK" != "--quick" ]; then
+  echo "== 4. sf1 full-surface audit (10x) =="
+  [ -d /tmp/sf1 ] || python3 tools/gen_sf1.py
+  SPARK_GRAFT_SF_DIR=/tmp/sf1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_REPS=1 \
+    sbt -batch 'runMain graft.Bench' 2>/dev/null | grep '^BENCH_JSON' | tail -1 \
+    | sed 's/^BENCH_JSON: //' > BENCH_SF1_LOCAL.json
+  python3 - <<'PY'
+import json
+d = json.load(open("BENCH_SF1_LOCAL.json"))
+print(f"sf1: {d['n_queries']} queries, {d['failures']} failures, "
+      f"total {d['value']:.1f}s (first {d['first_run_sum']:.1f}s)")
+assert d["failures"] == 0, "sf1 audit has failures"
+PY
+
+  echo "== 5. sf3 dd/ss family audit (30x) =="
+  [ -d /tmp/sf3 ] || python3 tools/gen_sf3_ddss.py
+  SPARK_GRAFT_ONLY=dd,ss SPARK_GRAFT_SF_DIR=/tmp/sf3 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_BENCH_REPS=1 \
+    sbt -batch 'runMain graft.Bench' 2>/dev/null | grep '^BENCH_JSON' | tail -1 \
+    | sed 's/^BENCH_JSON: //' > /tmp/closing_sf3.json
+  python3 - <<'PY'
+import json
+d = json.load(open("/tmp/closing_sf3.json"))
+print(f"sf3 dd/ss: {d['n_queries']} queries, {d['failures']} failures, "
+      f"first-run sum {d['first_run_sum']:.1f}s (/tmp/closing_sf3.json)")
+assert d["failures"] == 0, "sf3 audit has failures"
+PY
+fi
+
+echo "== closing protocol complete =="
