@@ -16,6 +16,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "dd07 must join on band keys")
   }
 
+  test("dd02 shingle index: fused kernel in the plan, no corpus-wide distinct") {
+    val plan = operators.Dedup.shinglesOf(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("shinglehashes"),
+      s"shingle build must use the fused native kernel:\n$plan")
+    // the old shape's (doc_id, h) DISTINCT was a corpus-sized shuffle on
+    // nearly-unique keys; the fused per-doc distinct must keep every
+    // aggregate keyed on h alone
+    assert(!plan.contains("keys=[doc_id"),
+      s"no corpus-wide (doc_id, h) distinct may reappear:\n$plan")
+  }
+
+  test("dd07b: banded candidates, never a cartesian corpus square") {
+    val p = plan("dd07b_embedding_neardup_adaptive")
+    assert(!p.contains("CartesianProduct"), "dd07b must not plan all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "dd07b must join on band keys")
+  }
+
   test("sp01: running sum plans no window operator") {
     val p = plan("sp01_token_budget")
     assert(!p.contains("Window"),
