@@ -985,7 +985,9 @@ object Similarity {
           lit(MarginTieTol) * greatest(abs(col("best_margin")), lit(1.0)), 1.0)
           .otherwise(0.0)))
       .head()
-    (row.getDouble(0), row.getDouble(1))
+    // an empty audit universe (no sources) is vacuous agreement, not an
+    // NPE from avg-over-nothing
+    if (row.isNullAt(0)) (1.0, 1.0) else (row.getDouble(0), row.getDouble(1))
   }
 
   /** ANN-shortlist margin mining parts: (candidate pairs, aligned rows).

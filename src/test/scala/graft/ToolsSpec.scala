@@ -29,13 +29,16 @@ class ToolsSpec extends AnyFunSuite {
 
   test("gen_bench_expect refuses a >1.5x pin raise without --allow-raise + NOTES entry") {
     val dir = Files.createTempDirectory("graft_pins")
-    write(dir, "bench.json", """{"queries": {"q1": 2.0, "q2": 0.10}}""")
-    write(dir, "expect.json", """{"_comment": "x", "q1": 1.0, "q2": 0.09}""")
+    write(dir, "bench.json", """{"queries": {"q1": 2.0, "q2": 0.10, "q3": 0.2}}""")
+    write(dir, "expect.json", """{"_comment": "x", "q1": 1.0, "q2": 0.09, "q3": 0.1}""")
     write(dir, "NOTES.md", "nothing relevant here")
-    // q1 raise 1.0 -> 2.0 (>1.5x) must be refused; q2 is within factor
+    // q1 raise 1.0 -> 2.0 (>1.5x AND >+0.5s) must be refused; q2 is
+    // within factor; q3 doubles but by only +0.1s absolute — sub-second
+    // noise on a tiny pin, allowed (the bench spike rule's two-sided
+    // test)
     val (code, err) = run(dir)
     assert(code == 1, s"expected refusal, got exit=$code\n$err")
-    assert(err.contains("q1") && !err.contains("q2:"), err)
+    assert(err.contains("q1") && !err.contains("q2:") && !err.contains("q3:"), err)
     // --allow-raise alone is not enough: NOTES.md must mention the query
     val (code2, err2) = run(dir, "--allow-raise", "q1")
     assert(code2 == 1 && err2.contains("NOTES"), s"exit=$code2\n$err2")

@@ -9,7 +9,9 @@ r6 AND r7). graft.Bench retries (up to twice, budgeted) any query whose
 best exceeds max(1.5x pin, pin + 0.5s).
 
 Pin-raise guard (r8 verdict item #7): a pin may only be RAISED by more
-than 1.5x over its committed value when (a) the query is named in
+than 1.5x AND more than +0.5s absolute over its committed value (the
+same two-sided rule the bench's spike retry uses, so sub-second noise
+on tiny pins can't trip it) when (a) the query is named in
 --allow-raise and (b) NOTES.md explains it (the query name appears
 there). Otherwise the script refuses — a regression can never silently
 become the new baseline.
@@ -23,6 +25,7 @@ import os
 import sys
 
 RAISE_FACTOR = 1.5
+RAISE_SLACK_S = 0.5
 
 args = sys.argv[1:]
 allow_raise = set()
@@ -60,7 +63,8 @@ notes = open(notes_path).read() if os.path.exists(notes_path) else ""
 new_pins = {k: math.ceil(v * 1000) / 1000 for k, v in queries.items()}
 offenders = []
 for k, v in sorted(new_pins.items()):
-    if k in prev and prev[k] > 0 and v > prev[k] * RAISE_FACTOR:
+    if k in prev and prev[k] > 0 and v > prev[k] * RAISE_FACTOR \
+            and v > prev[k] + RAISE_SLACK_S:
         why = []
         if k not in allow_raise:
             why.append("not in --allow-raise")
