@@ -38,7 +38,8 @@ object Streams {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY 1, 2
-      |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      |ORDER BY window_start, event_type""".stripMargin) { (s0, d) =>
+    val s = scopedSession(s0, StreamParts)
     val stream = T.eventsStream(s, d)
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -77,7 +78,8 @@ object Streams {
       |FROM events, mx
       |WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR <= mx.w
       |GROUP BY 1, 2
-      |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      |ORDER BY window_start, event_type""".stripMargin) { (s0, d) =>
+    val s = scopedSession(s0, StreamParts)
     val stream = T.eventsStream(s, d)
       .withWatermark("ts", "10 minutes")
     val agg = stream
@@ -139,7 +141,8 @@ object Streams {
     * stateful operator's contract IS st02's declarative semantics, so
     * it is held to st02's oracle SQL (StreamsSpec additionally asserts
     * the frame-level equivalence in-JVM). */
-  val st03 = QueryDef.sql("st03_stateful_sessions", st02.oracle.get) { (s, d) =>
+  val st03 = QueryDef.sql("st03_stateful_sessions", st02.oracle.get) { (s0, d) =>
+    val s = scopedSession(s0, StreamParts)
     stateful(s, d)
   }
 
@@ -171,6 +174,16 @@ object Streams {
     * and the memory-sink table all live on the clone, and the caller's
     * conf is never touched. Builder-time configs (timezone, AQE,
     * nanosAsLong) carry over via the shared initial session options. */
+  /** Shuffle/state partition dial shared by the replayed streaming
+    * queries: each shuffle partition instantiates per-operator state
+    * stores per micro-batch, so 32 stores over a 150-user single-file
+    * replay is pure fixed cost (st08 measured 11 s -> ~4 s at 8; the
+    * family-wide A/B in tools/ProbeStream measured -30% at 4). A real
+    * deployment sizes this dial UP with key cardinality / state bytes —
+    * same knob, opposite direction — and picks it ONCE per query, since
+    * changing it later needs a checkpoint reset. */
+  private val StreamParts = "spark.sql.shuffle.partitions" -> "4"
+
   private def scopedSession(s: SparkSession, confs: (String, String)*): SparkSession = {
     val ss = s.newSession()
     confs.foreach { case (k, v) => ss.conf.set(k, v) }
@@ -263,7 +276,8 @@ object Streams {
       |  MIN(us) AS start_us, MAX(us) AS end_us, COUNT(*) AS n_events
       |FROM sess
       |GROUP BY user_id, sidx
-      |ORDER BY user_id, session_idx""".stripMargin) { (s, d) =>
+      |ORDER BY user_id, session_idx""".stripMargin) { (s0, d) =>
+    val s = scopedSession(s0, StreamParts)
     sessionDetails(s, d)
   }
 
@@ -332,7 +346,8 @@ object Streams {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
       |FROM events
       |GROUP BY event_type
-      |ORDER BY event_type""".stripMargin) { (s, d) =>
+      |ORDER BY event_type""".stripMargin) { (s0, d) =>
+    val s = scopedSession(s0, StreamParts)
     val stream = T.eventsStream(s, d)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
@@ -366,7 +381,8 @@ object Streams {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
       |FROM events
       |GROUP BY event_type
-      |ORDER BY event_type""".stripMargin) { (s, d) =>
+      |ORDER BY event_type""".stripMargin) { (s0, d) =>
+    val s = scopedSession(s0, StreamParts)
     val stream = T.eventsStream(s, d)
       .withWatermark("ts", "10 minutes")
       .select(col("ts"), col("user_id"), col("event_type"))
@@ -416,7 +432,8 @@ object Streams {
       |FROM e, mx
       |WHERE window_start + INTERVAL 1 HOUR <= mx.w
       |GROUP BY 1, 2
-      |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      |ORDER BY window_start, event_type""".stripMargin) { (s0, d) =>
+    val s = scopedSession(s0, StreamParts)
     val stream = T.eventsStream(s, d)
       .withWatermark("ts", "10 minutes")
     val agg = stream
@@ -471,7 +488,8 @@ object Streams {
       |  FROM sess GROUP BY user_id, sid)
       |SELECT user_id, session_start, session_end, n_events
       |FROM g, mx WHERE session_end <= mx.w
-      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      |ORDER BY user_id, session_start""".stripMargin) { (s0, d) =>
+    val s = scopedSession(s0, StreamParts)
     val stream = T.eventsStream(s, d)
       .withWatermark("ts", "10 minutes")
     val agg = stream
@@ -594,7 +612,8 @@ object Streams {
       |FROM inc, wm2
       |WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR <= wm2.w
       |GROUP BY 1, 2
-      |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      |ORDER BY window_start, event_type""".stripMargin) { (s0, d) =>
+    val s = scopedSession(s0, StreamParts)
     val inDir = stageLateReplay(s, d)
     // staged files are written from the adaptive loader: ts is already
     // a normalized TimestampType column
@@ -638,7 +657,8 @@ object Streams {
       |  CAST(SUM(CAST(value * w AS DECIMAL(18,2))) AS DOUBLE) AS weighted_value
       |FROM j
       |GROUP BY category
-      |ORDER BY category""".stripMargin) { (s, d) =>
+      |ORDER BY category""".stripMargin) { (s0, d) =>
+    val s = scopedSession(s0, StreamParts)
     import s.implicits._
     val dim = Seq(
       ("click", "engagement", 1), ("view", "engagement", 1),
@@ -686,10 +706,11 @@ object Streams {
     // track key cardinality/throughput, not the batch default: each
     // shuffle partition instantiates per-operator state stores, and a
     // 150-user fixture across 32×3 stores is pure overhead (measured
-    // 11 s → ~4 s at 8). A 100 TB deployment sizes this UP instead —
-    // same knob, opposite direction. Scoped to a cloned session so the
-    // caller's conf is never mutated (racy under concurrent queries).
-    val ss = scopedSession(s, "spark.sql.shuffle.partitions" -> "8")
+    // 11 s → ~4 s at 8, r8; 2.8 → 2.5 s at the shared 4-part dial, r9).
+    // A 100 TB deployment sizes this UP instead — same knob, opposite
+    // direction. Scoped to a cloned session so the caller's conf is
+    // never mutated (racy under concurrent queries).
+    val ss = scopedSession(s, StreamParts)
     def src() = T.eventsStream(ss, d).withColumn("ets", col("ts"))
     val views = src().filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
@@ -766,7 +787,7 @@ object Streams {
       |ORDER BY view_id, purchase_id NULLS FIRST""".stripMargin) { (s, d) =>
     assertSingleReplayFile(d)
     // per-query state-store sizing via a cloned session (see st08)
-    val ss = scopedSession(s, "spark.sql.shuffle.partitions" -> "8")
+    val ss = scopedSession(s, StreamParts)
     def src() = T.eventsStream(ss, d).withColumn("ets", col("ts"))
     val views = src().filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
@@ -807,7 +828,8 @@ object Streams {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY event_type
-      |ORDER BY event_type""".stripMargin) { (s, d) =>
+      |ORDER BY event_type""".stripMargin) { (s0, d) =>
+    val s = scopedSession(s0, StreamParts)
     val inDir = stageLateReplay(s, d)
     val outDir = java.nio.file.Files.createTempDirectory("graft_st09").toString
     val schema = s.read.parquet(inDir).schema
@@ -869,7 +891,7 @@ object Streams {
     // RocksDB provider scoped to a cloned session (see scopedSession):
     // the pre-r8 set/finally-restore on the caller's conf was racy under
     // concurrent queries in one session
-    val ss = scopedSession(s,
+    val ss = scopedSession(s, StreamParts,
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import ss.implicits._
@@ -935,7 +957,8 @@ object Streams {
       |  COUNT(*) AS shared_bands, COUNT(*) * 1e0 / 8 AS est_sim
       |FROM inc JOIN corp ON inc.i = corp.i AND inc.m = corp.m
       |GROUP BY 1, 2
-      |ORDER BY incoming_id, corpus_id""".stripMargin) { (s, d) =>
+      |ORDER BY incoming_id, corpus_id""".stripMargin) { (s0, d) =>
+    val s = scopedSession(s0, StreamParts)
     val name = s"st14_sink_${System.nanoTime()}"
     val corpusIndex = scalarSignatures(T.documents(s, d))
       .filter(col("doc_id") % 5 =!= 0)
@@ -1021,7 +1044,8 @@ object Streams {
       |  CAST(est_cnt - exact_cnt AS BIGINT) AS overcount,
       |  est_cnt - exact_cnt <= 2 * (SELECT n FROM n) / 256 AS within_eps
       |FROM est
-      |ORDER BY exact_cnt DESC, user_id""".stripMargin) { (s, d) =>
+      |ORDER BY exact_cnt DESC, user_id""".stripMargin) { (s0, d) =>
+    val s = scopedSession(s0, StreamParts)
     def bucket(dCol: org.apache.spark.sql.Column, u: org.apache.spark.sql.Column) =
       conv(substring(md5(concat(dCol.cast("string"), lit("|"), u.cast("string"))), 1, 8),
         16, 10).cast("long") % 256
