@@ -789,19 +789,29 @@ object Dedup {
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     val toks = T.documents(s, d)
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
+    // cached: the span table feeds BOTH the repeated-hash count and the
+    // coverage join — without the cache the DAG fork re-scans documents
+    // and re-hashes every span
     val sp = toks.filter(size(col("t")) >= 8)
       .select(col("doc_id"), col("t"),
         explode(expr("sequence(0, size(t)-8)")).as("pos"))
       .select(col("doc_id"), col("pos"),
         conv(substring(md5(expr("concat_ws(' ', slice(t, pos+1, 8))")), 1, 15), 16, 10)
           .cast("long").as("h"))
+      .cache()
     val rep = sp.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2).select("h")
+    // covered token positions per doc: expand each repeated span to its
+    // 8 positions INSIDE a per-doc array instead of exploding to
+    // (doc_id, i) rows — the row form needed a corpus×8 DISTINCT shuffle
+    // plus a second groupBy/collect_set (the dominant dd13 cost at 30×);
+    // this shape shuffles only the matched (doc_id, pos) rows once
     val covered = sp.join(rep, "h")
-      .select(col("doc_id"), explode(expr("sequence(pos, pos+7)")).as("i"))
-      .distinct()
-      .groupBy("doc_id").agg(collect_set(col("i")).as("cov"))
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("poss"))
+      .select(col("doc_id"),
+        expr("array_distinct(flatten(transform(poss, p -> sequence(p, p + 7))))")
+          .as("cov"))
     toks.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),
         expr("concat_ws(' ', filter(t, (x, i) -> cov IS NULL OR NOT array_contains(cov, i)))")
