@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared kernel for [[ShingleHashes]] — a static-call target so the
@@ -17,30 +17,37 @@ object ShingleHashUtil {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** All DISTINCT 3-token-shingle fingerprints of `text` in one pass.
+  /** All DISTINCT n-token-shingle fingerprints of `text` in one pass
+    * (n = 3 for the dd02 index, 8 for the dd09/dd11 span grams).
     *
-    * Bit-identical to the exploded SQL form it fuses (the dd02 shingle
-    * index):
-    *   conv(substring(md5(concat(t[i],' ',t[i+1],' ',t[i+2])),1,15),16,10)
+    * Bit-identical to the exploded SQL form it fuses:
+    *   conv(substring(md5(concat_ws(' ', t[i..i+n-1])),1,15),16,10)
     *     ::long  over  t = split(text, ' '),  then DISTINCT
     * The first 15 hex chars of an md5 are its first 60 bits, i.e. the
     * big-endian first-8-bytes value >>> 4 — no hex-string round trip.
     * split(" ", -1) keeps trailing empty tokens exactly like Spark's
-    * regex split; fewer than 3 tokens → empty array (the size(t) >= 3
+    * regex split; fewer than n tokens → empty array (the size(t) >= n
     * pre-filter becomes vacuous: nothing to explode). */
-  def compute(text: UTF8String): ArrayData = {
+  def compute(text: UTF8String, gram: Int): ArrayData = {
     val toks = text.toString.split(" ", -1)
-    val n = toks.length - 2
+    val n = toks.length - gram + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Long])
     val md = mdPool.get()
     val seen = new java.util.HashSet[java.lang.Long](math.max(8, n * 2))
     val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder(gram * 12)
     var m = 0
     var i = 0
     while (i < n) {
       md.reset()
-      val d = md.digest(
-        (toks(i) + " " + toks(i + 1) + " " + toks(i + 2)).getBytes("UTF-8"))
+      sb.setLength(0)
+      var k = 0
+      while (k < gram) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
       var v = 0L
       var j = 0
       while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
@@ -49,6 +56,54 @@ object ShingleHashUtil {
       i += 1
     }
     new GenericArrayData(if (m == n) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  /** Per-doc n-gram postings for [[ShingleStats]]: one struct
+    * (h, within-doc count, first position) per DISTINCT n-gram, in
+    * first-occurrence order. */
+  def computeStats(text: UTF8String, gram: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length - gram + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = mdPool.get()
+    // h -> index into the packed (cnt, pos) arrays, first-occurrence order
+    val idx = new java.util.HashMap[java.lang.Long, Integer](math.max(8, n * 2))
+    val hs = new Array[Long](n)
+    val cnts = new Array[Long](n)
+    val poss = new Array[Int](n)
+    val sb = new java.lang.StringBuilder(gram * 12)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      md.reset()
+      sb.setLength(0)
+      var k = 0
+      while (k < gram) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      v = v >>> 4
+      val at = idx.get(v)
+      if (at == null) {
+        idx.put(v, m)
+        hs(m) = v; cnts(m) = 1L; poss(m) = i
+        m += 1
+      } else cnts(at) += 1L
+      i += 1
+    }
+    val out = new Array[Any](m)
+    var r = 0
+    while (r < m) {
+      out(r) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](hs(r), cnts(r), poss(r)))
+      r += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Count of common elements of two SORTED arrays (one merge walk).
@@ -90,29 +145,50 @@ object ShingleHashUtil {
   * md5-60-bit → DISTINCT into one per-doc loop keeps the dataflow at
   * one row per document and deletes that shuffle outright; the df-count
   * pass then explodes the (much smaller) per-doc distinct arrays. */
-case class ShingleHashes(child: Expression) extends UnaryExpression {
+case class ShingleHashes(child: Expression, gram: Int = 3) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
       s"shingle_hashes requires a STRING arg, got ${child.dataType.catalogString}")
+    else if (gram < 1) TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes gram size must be >= 1, got $gram")
+    else TypeCheckResult.TypeCheckSuccess
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleHashUtil.compute(input.asInstanceOf[UTF8String])
+    ShingleHashUtil.compute(input.asInstanceOf[UTF8String], gram)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashUtil.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashUtil.compute($c, $gram)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
 
 object ShingleHashes {
+  /** `shingle_hashes(text[, n])` — n must be a foldable integer literal
+    * (it shapes the generated code), defaulting to the dd02 trigram. */
+  def build(exprs: Seq[Expression]): ShingleHashes = {
+    if (exprs.isEmpty || exprs.length > 2)
+      throw new IllegalArgumentException(
+        s"shingle_hashes(text[, n]) takes 1 or 2 arguments, got ${exprs.length}")
+    val gram = if (exprs.length == 1) 3 else exprs(1) match {
+      case e if e.foldable =>
+        e.eval() match {
+          case n: java.lang.Integer => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes gram size must be an INT literal, got $other")
+        }
+      case _ => throw new IllegalArgumentException(
+        "shingle_hashes gram size must be a foldable literal")
+    }
+    ShingleHashes(exprs(0), gram)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => ShingleHashes(exprs(0)), "scala_udf")
+      "shingle_hashes", build, "scala_udf")
 }
 
 /** Native codegen'd `sorted_intersect_count(a, b)` — see
@@ -152,4 +228,64 @@ object SortedIntersectCount {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+}
+
+/** Native codegen'd `shingle_stats(text, n)` — per-doc inverted-index
+  * postings in one pass: for every DISTINCT n-gram of the doc, a
+  * struct (h: the 60-bit md5 fingerprint, cnt: occurrences within the
+  * doc, pos: first token position). Semantically identical to
+  * exploding every span and aggregating GROUP BY (h, doc) — but that
+  * level-1 aggregate is near-unique-keyed (grams rarely repeat within
+  * a doc), so it shuffles the whole span table to remove almost
+  * nothing; this kernel builds the postings in-map and leaves ONE
+  * exchange (the per-h merge) in the plan. dd11's repeated-passage
+  * detector is the consumer. */
+case class ShingleStats(child: Expression, gram: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = false),
+      StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
+      s"shingle_stats requires a STRING arg, got ${child.dataType.catalogString}")
+    else if (gram < 1) TypeCheckResult.TypeCheckFailure(
+      s"shingle_stats gram size must be >= 1, got $gram")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashUtil.computeStats(input.asInstanceOf[UTF8String], gram)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashUtil.computeStats($c, $gram)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStats =
+    copy(child = newChild)
+}
+
+object ShingleStats {
+  def build(exprs: Seq[Expression]): ShingleStats = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"shingle_stats(text, n) takes exactly 2 arguments, got ${exprs.length}")
+    val gram = exprs(1) match {
+      case e if e.foldable =>
+        e.eval() match {
+          case n: java.lang.Integer => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"shingle_stats gram size must be an INT literal, got $other")
+        }
+      case _ => throw new IllegalArgumentException(
+        "shingle_stats gram size must be a foldable literal")
+    }
+    ShingleStats(exprs(0), gram)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_stats", build, "scala_udf")
 }

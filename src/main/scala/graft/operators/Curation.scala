@@ -294,14 +294,15 @@ object Curation {
       |FROM tr JOIN ev ON tr.h = ev.h
       |GROUP BY tr.doc_id
       |ORDER BY n_shared_grams DESC, train_doc""".stripMargin) { (s, d) =>
+    // fused kernel (r9): per-doc DISTINCT 8-gram fingerprints in one
+    // codegen pass — no interpreted transform(...) lambda per gram, no
+    // gram STRINGS exploded into rows, and the per-side (doc_id, h)
+    // dedup happens in-map, which also minimizes the decontamination
+    // join's fanout (duplicate grams within a doc would multiply
+    // matches; both countDistinct outputs are unchanged by the dedup)
+    graft.functions.ShingleHashes.register(s)
     def grams(docs: DataFrame): DataFrame = docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t)-8), i -> " +
-          "concat(t[i],' ',t[i+1],' ',t[i+2],' ',t[i+3],' ',t[i+4],' ',t[i+5],' ',t[i+6],' ',t[i+7]))")).as("s"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"), explode(expr("shingle_hashes(text, 8)")).as("h"))
     val withB = T.documents(s, d).withColumn("b",
       conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
         .cast("int") % 100)

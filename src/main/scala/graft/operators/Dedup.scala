@@ -667,15 +667,12 @@ object Dedup {
        |  (SELECT COUNT(*) FROM dfr WHERE df > 100) AS n_pruned_shingles
        |FROM sh""".stripMargin) { (s, d) =>
     val idx = shingles(s, d)
-    val toks = T.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-    val allDf = toks
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
-      .distinct()
+    // unpruned df table via the fused kernel (r9): the old exploded
+    // transform(...) + corpus-wide DISTINCT was the dominant dd10 cost
+    // once the index itself is memo-warm
+    graft.functions.ShingleHashes.register(s)
+    val allDf = T.documents(s, d)
+      .select(col("doc_id"), explode(expr("shingle_hashes(text)")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
     idx.agg(
       count(lit(1)).as("n_pairs"),
@@ -707,37 +704,62 @@ object Dedup {
       |  WHERE len(string_split(text,' ')) >= 8),
       |sp AS (
       |  SELECT doc_id, i - 1 AS pos,
-      |    array_to_string(t[i:i+7], ' ') AS s,
       |    CAST(('0x'||substr(md5(array_to_string(t[i:i+7], ' ')),1,15)) AS BIGINT) AS h
       |  FROM (SELECT doc_id, t, UNNEST(range(1, len(t)-6)) AS i FROM toks) z),
+      |pd AS (
+      |  SELECT h, doc_id, COUNT(*) AS cnt,
+      |    MIN(CAST(doc_id AS BIGINT) * 100000 + pos) AS loc
+      |  FROM sp GROUP BY h, doc_id),
       |agg AS (
-      |  SELECT h, MIN(s) AS gram, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS n_occ,
-      |    MIN(CAST(doc_id AS BIGINT) * 100000 + pos) AS loc0
-      |  FROM sp GROUP BY h)
-      |SELECT gram, df, n_occ,
-      |  loc0 // 100000 AS example_doc, loc0 % 100000 AS example_pos
-      |FROM agg WHERE df >= 2
-      |ORDER BY df DESC, n_occ DESC, gram
-      |LIMIT 50""".stripMargin) { (s, d) =>
+      |  SELECT h, COUNT(*) AS df, CAST(SUM(cnt) AS BIGINT) AS n_occ,
+      |    MIN(loc) AS loc0
+      |  FROM pd GROUP BY h),
+      |top AS (
+      |  SELECT df, n_occ, loc0,
+      |    loc0 // 100000 AS example_doc, loc0 % 100000 AS example_pos
+      |  FROM agg WHERE df >= 2
+      |  ORDER BY df DESC, n_occ DESC, loc0
+      |  LIMIT 50)
+      |SELECT
+      |  array_to_string((string_split(d.text,' '))[example_pos+1:example_pos+8], ' ') AS gram,
+      |  df, n_occ, example_doc, example_pos
+      |FROM top JOIN documents d ON d.doc_id = top.example_doc
+      |ORDER BY df DESC, n_occ DESC, loc0""".stripMargin) { (s, d) =>
+    // the gram STRING never enters a shuffle (r9): spans travel as
+    // (doc_id, pos, h) 24-byte rows; a two-level aggregation — (h,
+    // doc_id) partials combine map-side, then per-h counts rows for df —
+    // replaces the countDistinct+regular mix whose Expand doubled the
+    // span shuffle AND whose hash map carried ~50-byte gram strings for
+    // 8M near-unique groups (the dominant dd11 cost at 30×). The 50
+    // exemplar grams are reconstructed at the END by slicing the
+    // exemplar document at loc0 — identical text by construction (same
+    // h ↔ same 8-gram; the oracle reconstructs the same way), with the
+    // tie-break moved from gram to loc0 (unique per h, so the order is
+    // total) on BOTH engines.
+    graft.functions.ShingleStats.register(s)
     val sp = T.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 8)
-      .select(col("doc_id"), col("t"),
-        explode(expr("sequence(0, size(t)-8)")).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        expr("concat_ws(' ', slice(t, pos+1, 8))").as("s"))
-      .withColumn("h", conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
-    sp.groupBy("h")
-      .agg(min("s").as("gram"),
-        countDistinct(col("doc_id")).as("df"),
-        count(lit(1)).as("n_occ"),
-        min(col("doc_id").cast("long") * 100000 + col("pos")).as("loc0"))
+      .select(col("doc_id"), explode(expr("shingle_stats(text, 8)")).as("g"))
+      .select(col("g.h").as("h"), col("g.cnt").as("cnt"),
+        (col("doc_id").cast("long") * 100000 + col("g.pos")).as("loc"))
+    val top = sp.groupBy("h")
+      .agg(count(lit(1)).as("df"),
+        sum("cnt").as("n_occ"),
+        min("loc").as("loc0"))
       .filter(col("df") >= 2)
-      .select(col("gram"), col("df"), col("n_occ"),
+      .select(col("df"), col("n_occ"),
         expr("loc0 div 100000").as("example_doc"),
-        (col("loc0") % 100000).as("example_pos"))
-      .orderBy(col("df").desc, col("n_occ").desc, col("gram"))
+        (col("loc0") % 100000).as("example_pos"), col("loc0"))
+      .orderBy(col("df").desc, col("n_occ").desc, col("loc0"))
       .limit(50)
+    // broadcast the 50-row top-k against the documents scan (NEVER the
+    // corpus side) — the exemplar fetch is a map-side semi-join
+    T.documents(s, d).select(col("doc_id").as("example_doc"), col("text"))
+      .join(broadcast(top), Seq("example_doc"))
+      .select(
+        expr("concat_ws(' ', slice(split(text, ' '), example_pos + 1, 8))").as("gram"),
+        col("df"), col("n_occ"), col("example_doc"), col("example_pos"), col("loc0"))
+      .orderBy(col("df").desc, col("n_occ").desc, col("loc0"))
+      .select("gram", "df", "n_occ", "example_doc", "example_pos")
   }
 
   /** dd13 — repeated-passage REMOVAL: dd11 reports cross-document

@@ -159,6 +159,43 @@ class ExtensionsStreamingSpec extends AnyFunSuite {
       .selectExpr("doc_id", "f.hs = o.hs AS same").collect()
     assert(joined.length == sqlForm.count() && joined.length == fused.count())
     joined.foreach(r => assert(r.getBoolean(1), s"doc ${r.getLong(0)} differs"))
+    // the gram-size arg (dd09's 8-gram decontamination path): same
+    // set-parity against the exploded form at n = 8
+    val sqlForm8 = df
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t)-8), i -> concat_ws(' ', slice(t, i+1, 8)))")).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+      .groupBy("doc_id").agg(sort_array(collect_list("h")).as("hs"))
+    val fused8 = df.selectExpr("doc_id", "sort_array(shingle_hashes(text, 8)) AS hs")
+      .filter(size(col("hs")) > 0)
+    val joined8 = fused8.as("f").join(sqlForm8.as("o"), "doc_id")
+      .selectExpr("doc_id", "f.hs = o.hs AS same").collect()
+    assert(joined8.length == sqlForm8.count() && joined8.length == fused8.count())
+    joined8.foreach(r => assert(r.getBoolean(1), s"8-gram doc ${r.getLong(0)} differs"))
+    // shingle_stats (dd11's per-doc postings kernel): struct-for-struct
+    // equal to exploding every span and aggregating GROUP BY (doc, h)
+    functions.ShingleStats.register(spark)
+    val statsSql = df
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), col("t"), explode(expr("sequence(0, size(t)-8)")).as("pos"))
+      .withColumn("h", conv(substring(md5(
+        expr("concat_ws(' ', slice(t, pos+1, 8))")), 1, 15), 16, 10).cast("long"))
+      .groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("cnt"), min("pos").cast("int").as("pos"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct("h", "cnt", "pos"))).as("gs"))
+    val statsFused = df.selectExpr("doc_id",
+        "sort_array(shingle_stats(text, 8)) AS gs")
+      .filter(size(col("gs")) > 0)
+    val js = statsFused.as("f").join(statsSql.as("o"), "doc_id")
+      .selectExpr("doc_id", "f.gs = o.gs AS same").collect()
+    assert(js.length == statsSql.count() && js.length == statsFused.count())
+    js.foreach(r => assert(r.getBoolean(1), s"stats doc ${r.getLong(0)} differs"))
     // merge-walk intersection count vs array_intersect on sorted distinct arrays
     val pairs = Seq.tabulate(300) { i =>
       def arr() = rnd.shuffle((0L to 40L).toList).take(rnd.nextInt(12)).sorted.toArray
