@@ -919,24 +919,26 @@ object Similarity {
       a: org.apache.spark.sql.DataFrame,
       b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     regDot(s)
+    graft.functions.TopKVals.register(s)
     val pairs = a.crossJoin(broadcast(b))
       .withColumn("cos", expr(cosine("ae", "be")))
       .select("aid", "bid", "cos")
-    val wa = Window.partitionBy("aid").orderBy(col("cos").desc, col("bid"))
-    val wb = Window.partitionBy("bid").orderBy(col("cos").desc, col("aid"))
-    val ranked = pairs
-      .withColumn("ra", row_number().over(wa))
-      .withColumn("rb", row_number().over(wb))
-    def top4Mean(grp: String, rnk: String, out: String) = {
-      val ks = (1 to 4).map(i => max(when(col(rnk) === i, col("cos"))).as(s"k$i"))
-      ranked.filter(col(rnk) <= 4).groupBy(grp)
-        .agg(ks.head, ks.tail: _*)
-        .select(col(grp),
-          ((col("k1") + col("k2") + col("k3") + col("k4")) / lit(4)).as(out))
-    }
+    // map-side top-4 aggregates instead of two full row_number sorts of
+    // the cross product (the r8 ANN-side playbook applied to the exact
+    // miner — at 30× those windows sorted 36M rows twice): top_k_vals
+    // arrives ordered (cos DESC, id ASC), the same 4 values the
+    // rank ≤ 4 window slice kept, and try_element_at(ks, 1..4) summed in
+    // rank order reproduces (k1+k2+k3+k4)/4 bit-for-bit — including the
+    // NULL margin when a side has fewer than 4 pairs.
+    def top4Mean(grp: String, id: String, out: String) =
+      pairs.groupBy(grp)
+        .agg(expr(s"top_k_vals(cos, $id, 4)").as("ks"))
+        .select(col(grp), expr(
+          "(try_element_at(ks, 1) + try_element_at(ks, 2) + " +
+            "try_element_at(ks, 3) + try_element_at(ks, 4)) / 4").as(out))
     pairs
-      .join(top4Mean("aid", "ra", "ka"), "aid")
-      .join(top4Mean("bid", "rb", "kb"), "bid")
+      .join(top4Mean("aid", "bid", "ka"), "aid")
+      .join(top4Mean("bid", "aid", "kb"), "bid")
       .withColumn("margin", col("cos") * lit(2.0) / (col("ka") + col("kb")))
   }
 
@@ -946,9 +948,16 @@ object Similarity {
       s: org.apache.spark.sql.SparkSession,
       a: org.apache.spark.sql.DataFrame,
       b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val scored = marginScoredExactOn(s, a, b)
-    val w1 = Window.partitionBy("aid").orderBy(col("margin").desc, col("bid"))
-    scored.withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
+    graft.functions.TopKIds.register(s)
+    // top-1 via the map-side aggregate + a 2-key join-back for the
+    // winner's cos/margin (the third full sort of the old window form);
+    // scored is cached because both sides of the join consume it —
+    // ≤ |A|·|B| rows of 4 scalars, bounded by the AuditSideCap² audit
+    // universe wherever this runs at scale
+    val scored = marginScoredExactOn(s, a, b).cache()
+    val top1 = scored.groupBy("aid")
+      .agg(expr("try_element_at(top_k_ids(margin, bid, 1), 1)").as("bid"))
+    top1.join(scored, Seq("aid", "bid"))
       .select(col("aid").as("src_id"), col("bid").as("tgt_id"),
         col("cos").as("cos_sim"), col("margin"),
         (col("margin") >= lit(1.02)).as("mined"))
@@ -972,7 +981,7 @@ object Similarity {
       exactScored: org.apache.spark.sql.DataFrame): (Double, Double) = {
     val best = exactScored.groupBy(col("aid").as("src_id"))
       .agg(max(col("margin")).as("best_margin"),
-        expr("top_k_ids(margin, bid, 1)[0]").as("exact_tgt"))
+        expr("try_element_at(top_k_ids(margin, bid, 1), 1)").as("exact_tgt"))
     val pick = exactScored
       .select(col("aid").as("src_id"), col("bid").as("tgt_id"),
         col("margin").as("pick_margin"))
