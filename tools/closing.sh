@@ -3,8 +3,9 @@
 # audit is part of the standing close, by construction). Run with the
 # box otherwise idle — bench numbers are meaningless under load.
 #
-#   bash tools/closing.sh           # full close (~25 min)
-#   bash tools/closing.sh --quick   # skip sf1/sf3 (the per-commit gate)
+#   bash tools/closing.sh                # full close (~25 min)
+#   bash tools/closing.sh --quick        # skip sf1/sf3 (the per-commit gate)
+#   bash tools/closing.sh --audits-only  # only the sf1/sf3 steps
 #
 # Steps:
 #   1. sbt test                 — full spec suite must be green
@@ -23,6 +24,7 @@ cd "$(dirname "$0")/.."
 
 QUICK=${1:-}
 
+if [ "$QUICK" != "--audits-only" ]; then
 echo "== 1. spec suite =="
 sbt -batch test
 
@@ -37,32 +39,39 @@ echo "== 3. clean full bench (sf0.1) =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   sbt -batch 'runMain graft.Bench' 2>/dev/null | grep '"metric"' | tail -1
 
+fi
+
 if [ "$QUICK" != "--quick" ]; then
   echo "== 4. sf1 full-surface audit (10x) =="
   [ -d /tmp/sf1 ] || python3 tools/gen_sf1.py
+  # full stdout to a log first: piping sbt output straight through
+  # grep/sed is how r9 lost the per-query map (and '^BENCH_JSON' also
+  # matches the COMPACT line — anchor the exact prefix)
   SPARK_GRAFT_SF_DIR=/tmp/sf1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_REPS=1 \
-    sbt -batch 'runMain graft.Bench' 2>/dev/null | grep '^BENCH_JSON' | tail -1 \
+    sbt -batch 'runMain graft.Bench' > /tmp/closing_sf1.log 2>/dev/null
+  grep '^BENCH_JSON: ' /tmp/closing_sf1.log | tail -1 \
     | sed 's/^BENCH_JSON: //' > BENCH_SF1_LOCAL.json
   python3 - <<'PY'
 import json
 d = json.load(open("BENCH_SF1_LOCAL.json"))
-print(f"sf1: {d['n_queries']} queries, {d['failures']} failures, "
+print(f"sf1: {d['n_queries']} queries, {len(d['failures'])} failures, "
       f"total {d['value']:.1f}s (first {d['first_run_sum']:.1f}s)")
-assert d["failures"] == 0, "sf1 audit has failures"
+assert not d["failures"], f"sf1 audit failures: {d['failures']}"
 PY
 
   echo "== 5. sf3 dd/ss family audit (30x) =="
   [ -d /tmp/sf3 ] || python3 tools/gen_sf3_ddss.py
   SPARK_GRAFT_ONLY=dd,ss SPARK_GRAFT_SF_DIR=/tmp/sf3 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_BENCH_REPS=1 \
-    sbt -batch 'runMain graft.Bench' 2>/dev/null | grep '^BENCH_JSON' | tail -1 \
+    sbt -batch 'runMain graft.Bench' > /tmp/closing_sf3.log 2>/dev/null
+  grep '^BENCH_JSON: ' /tmp/closing_sf3.log | tail -1 \
     | sed 's/^BENCH_JSON: //' > /tmp/closing_sf3.json
   python3 - <<'PY'
 import json
 d = json.load(open("/tmp/closing_sf3.json"))
-print(f"sf3 dd/ss: {d['n_queries']} queries, {d['failures']} failures, "
+print(f"sf3 dd/ss: {d['n_queries']} queries, {len(d['failures'])} failures, "
       f"first-run sum {d['first_run_sum']:.1f}s (/tmp/closing_sf3.json)")
-assert d["failures"] == 0, "sf3 audit has failures"
+assert not d["failures"], f"sf3 audit failures: {d['failures']}"
 PY
 fi
 
