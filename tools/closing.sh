@@ -54,7 +54,7 @@ if [ "$QUICK" != "--quick" ]; then
   python3 - <<'PY'
 import json
 d = json.load(open("BENCH_SF1_LOCAL.json"))
-print(f"sf1: {d['n_queries']} queries, {len(d['failures'])} failures, "
+print(f"sf1: {len(d['queries'])} queries, {len(d['failures'])} failures, "
       f"total {d['value']:.1f}s (first {d['first_run_sum']:.1f}s)")
 assert not d["failures"], f"sf1 audit failures: {d['failures']}"
 PY
@@ -69,7 +69,7 @@ PY
   python3 - <<'PY'
 import json
 d = json.load(open("/tmp/closing_sf3.json"))
-print(f"sf3 dd/ss: {d['n_queries']} queries, {len(d['failures'])} failures, "
+print(f"sf3 dd/ss: {len(d['queries'])} queries, {len(d['failures'])} failures, "
       f"first-run sum {d['first_run_sum']:.1f}s (/tmp/closing_sf3.json)")
 assert not d["failures"], f"sf3 audit failures: {d['failures']}"
 PY
