@@ -73,6 +73,21 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Widen a NARROW scan before a CPU-dense per-row kernel (md5 n-gram
+    * hashing, MinHash signatures): file-split sizing targets IO — a
+    * 50 MB single-file corpus is one 128 MB split, i.e. ONE task — so a
+    * compute-bound map over it runs single-threaded no matter how many
+    * cores the executor has (measured: the whole sf1 st14 signature
+    * pass on one core). Repartitions ONLY when the scan's task count is
+    * under half the cores: at real scale a 100 TB table already scans
+    * with thousands of splits, and this helper inserts NO shuffle
+    * there — the guard is what keeps the local fix from becoming an
+    * at-scale full-corpus round trip. */
+  def widened(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
   /** Register every table as a temp view so `spark.sql` queries
     * (GROUPING SETS etc.) can reference them by name. */
   def registerViews(spark: SparkSession, dir: String): Unit =

@@ -106,6 +106,53 @@ object ShingleHashUtil {
     new GenericArrayData(out)
   }
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** k MinHash signature components for [[MinHashSigs]]. */
+  def minhashSigs(text: UTF8String, k: Int): ArrayData = {
+    val hs = compute(text, 3)
+    val n = hs.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val md = mdPool.get()
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      val prefix = (i.toString + ":").getBytes("UTF-8")
+      var best: Array[Byte] = null
+      var j = 0
+      while (j < n) {
+        md.reset()
+        md.update(prefix)
+        md.update(java.lang.Long.toString(hs.getLong(j)).getBytes("UTF-8"))
+        val d = md.digest()
+        if (best == null || {
+          // unsigned byte compare == lexicographic hex compare
+          var c = 0
+          var lt = false
+          var done = false
+          while (c < 16 && !done) {
+            val a = d(c) & 0xff
+            val b = best(c) & 0xff
+            if (a != b) { lt = a < b; done = true }
+            c += 1
+          }
+          done && lt
+        }) best = d
+        j += 1
+      }
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HexChars((best(b) >> 4) & 0xf)
+        hex(2 * b + 1) = HexChars(best(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of common elements of two SORTED arrays (one merge walk).
     * Equals size(array_intersect(a, b)) when both inputs are sorted and
     * duplicate-free — the dd02 verify shape (sort_array over per-doc
@@ -288,4 +335,60 @@ object ShingleStats {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_stats", build, "scala_udf")
+}
+
+/** Native codegen'd `minhash_sigs(text, k)` — the st14 signature kernel:
+  * per-doc distinct 3-gram fingerprints (the [[ShingleHashUtil.compute]]
+  * derivation) reduced to k MinHash components, component i being
+  * MIN(md5(i ||':'|| h)) as a lowercase-hex STRING. Bit-identical to the
+  * scalar HOF chain it fuses (array_distinct(transform(...md5...)) +
+  * k × array_min(transform(shs, h -> md5(...)))) — which ran ~(k+1)·|shs|
+  * INTERPRETED md5-on-string lambdas per document, the dominant st14
+  * cost at sf1. Min over the 16 digest bytes compared unsigned is
+  * exactly min over the hex strings (hex preserves unsigned byte
+  * order). Empty shingle sets (under 3 tokens) return an empty array —
+  * callers filter those docs out, as the HOF form did. */
+case class MinHashSigs(child: Expression, k: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs requires a STRING arg, got ${child.dataType.catalogString}")
+    else if (k < 1) TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs k must be >= 1, got $k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashUtil.minhashSigs(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashUtil.minhashSigs($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+object MinHashSigs {
+  def build(exprs: Seq[Expression]): MinHashSigs = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"minhash_sigs(text, k) takes exactly 2 arguments, got ${exprs.length}")
+    val k = exprs(1) match {
+      case e if e.foldable =>
+        e.eval() match {
+          case n: java.lang.Integer => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"minhash_sigs k must be an INT literal, got $other")
+        }
+      case _ => throw new IllegalArgumentException(
+        "minhash_sigs k must be a foldable literal")
+    }
+    MinHashSigs(exprs(0), k)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs", build, "scala_udf")
 }

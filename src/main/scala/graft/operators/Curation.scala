@@ -301,7 +301,7 @@ object Curation {
     // join's fanout (duplicate grams within a doc would multiply
     // matches; both countDistinct outputs are unchanged by the dedup)
     graft.functions.ShingleHashes.register(s)
-    def grams(docs: DataFrame): DataFrame = docs
+    def grams(docs: DataFrame): DataFrame = T.widened(docs)
       .select(col("doc_id"), explode(expr("shingle_hashes(text, 8)")).as("h"))
     val withB = T.documents(s, d).withColumn("b",
       conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)

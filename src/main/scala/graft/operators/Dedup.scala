@@ -69,7 +69,9 @@ object Dedup {
     * is spec-pinned (ExtensionsStreamingSpec). */
   private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
     graft.functions.ShingleHashes.register(docs.sparkSession)
-    val dh = docs
+    // widened: the md5 kernel is compute-bound and a single-file corpus
+    // scans as ONE task (see Tables.widened — guarded, no-op at scale)
+    val dh = T.widened(docs)
       .select(col("doc_id"), expr("shingle_hashes(text)").as("hs"))
       .cache()
     val ex = dh.select(col("doc_id"), explode(col("hs")).as("h"))
@@ -671,7 +673,7 @@ object Dedup {
     // transform(...) + corpus-wide DISTINCT was the dominant dd10 cost
     // once the index itself is memo-warm
     graft.functions.ShingleHashes.register(s)
-    val allDf = T.documents(s, d)
+    val allDf = T.widened(T.documents(s, d))
       .select(col("doc_id"), explode(expr("shingle_hashes(text)")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
     idx.agg(
@@ -737,7 +739,7 @@ object Dedup {
     // tie-break moved from gram to loc0 (unique per h, so the order is
     // total) on BOTH engines.
     graft.functions.ShingleStats.register(s)
-    val sp = T.documents(s, d)
+    val sp = T.widened(T.documents(s, d))
       .select(col("doc_id"), explode(expr("shingle_stats(text, 8)")).as("g"))
       .select(col("g.h").as("h"), col("g.cnt").as("cnt"),
         (col("doc_id").cast("long") * 100000 + col("g.pos")).as("loc"))
@@ -809,7 +811,7 @@ object Dedup {
       |LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id) cv
       |  USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
-    val toks = T.documents(s, d)
+    val toks = T.widened(T.documents(s, d))
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
     // cached: the span table feeds BOTH the repeated-hash count and the
     // coverage join — without the cache the DAG fork re-scans documents

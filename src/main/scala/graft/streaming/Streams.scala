@@ -958,16 +958,28 @@ object Streams {
       |FROM inc JOIN corp ON inc.i = corp.i AND inc.m = corp.m
       |GROUP BY 1, 2
       |ORDER BY incoming_id, corpus_id""".stripMargin) { (s0, d) =>
-    val s = scopedSession(s0, StreamParts)
+    // small file splits: the stream side is MAP-ONLY by design (no
+    // pre-join shuffle — that property is the operator's scale story),
+    // so its parallelism IS the source's split count; a single-file
+    // replay at default 128 MB splits runs the compute-dense signature
+    // kernel on ONE task (~20 s of st14's sf1 cost measured). 4 MB
+    // splits parallelize the micro-batch with zero plan change — the
+    // same dial a real ingest tunes for CPU-dense extraction stages.
+    val s = scopedSession(s0, StreamParts,
+      "spark.sql.files.maxPartitionBytes" -> "4m")
     val name = s"st14_sink_${System.nanoTime()}"
-    val corpusIndex = scalarSignatures(T.documents(s, d))
-      .filter(col("doc_id") % 5 =!= 0)
+    // filter BEFORE the signature kernel (80%/20% split — no point
+    // signing docs a side immediately drops) and widen the narrow
+    // single-file batch scan for the compute-bound kernel; the STREAM
+    // side stays map-only by design (no pre-join shuffle), so it is
+    // filtered but never repartitioned
+    val corpusIndex = scalarSignatures(
+        T.widened(T.documents(s, d).filter(col("doc_id") % 5 =!= 0)))
       .withColumnRenamed("doc_id", "corpus_id")
     val batchSchema = s.read.parquet(s"$d/documents.parquet").schema
     val stream = s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
-    val admitted = scalarSignatures(stream)
-      .filter(col("doc_id") % 5 === 0)
+    val admitted = scalarSignatures(stream.filter(col("doc_id") % 5 === 0))
       .withColumnRenamed("doc_id", "incoming_id")
       .join(corpusIndex, Seq("i", "m"))
       .groupBy("incoming_id", "corpus_id")
@@ -994,17 +1006,24 @@ object Streams {
     * the 8 wide columns; it is a stateless generator, so the streaming
     * plan stays aggregation-free until the post-join count. */
   private def scalarSignatures(docs: DataFrame): DataFrame = {
-    val wide = docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-      .withColumn("shs", expr(
-        """array_distinct(transform(sequence(0, size(t)-3),
-          |  i -> CAST(conv(substring(md5(concat(t[i], ' ', t[i+1], ' ', t[i+2])), 1, 15), 16, 10) AS BIGINT)))""".stripMargin))
-      .select(col("doc_id") +: (0 to 7).map { i =>
-        expr(s"array_min(transform(shs, h -> md5(concat('$i:', CAST(h AS STRING)))))").as(s"m$i")
-      }: _*)
-    wide.select(col("doc_id"), expr(
-      "stack(8, " + (0 to 7).map(i => s"$i, m$i").mkString(", ") + ") AS (i, m)"))
+    // fused native kernel (r9): the HOF chain here ran ~(k+1)·|shingles|
+    // INTERPRETED md5 lambdas per document — the dominant st14 cost at
+    // sf1 (~20 s of its 23 s) — and is spec-pinned bit-identical to
+    // minhash_sigs; still pure scalar per-row work, so the same code
+    // runs on batch and streaming frames with zero pre-join shuffles
+    graft.functions.MinHashSigs.register(docs.sparkSession)
+    // unpivot by exploding a CONSTANT index array and subscripting: with
+    // the kernel as the generator child (posexplode(minhash_sigs(...)))
+    // the Generate path re-evaluated it per emitted row — 8× the
+    // signature cost, measured 7.4 s vs 0.8 s at sf1 (ProbeSt14). This
+    // shape keeps the kernel a plain projected column outside the
+    // Generate, stays narrow (no barrier), and runs identically on
+    // batch and streaming frames.
+    docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), expr("minhash_sigs(text, 8)").as("ms"))
+      .selectExpr("doc_id", "ms", "explode(sequence(0, 7)) AS i")
+      .selectExpr("doc_id", "i", "ms[CAST(i AS INT)] AS m")
   }
 
   /** st16 — streaming Count-Min-Sketch heavy-hitter users: the event

@@ -196,6 +196,27 @@ class ExtensionsStreamingSpec extends AnyFunSuite {
       .selectExpr("doc_id", "f.gs = o.gs AS same").collect()
     assert(js.length == statsSql.count() && js.length == statsFused.count())
     js.foreach(r => assert(r.getBoolean(1), s"stats doc ${r.getLong(0)} differs"))
+    // minhash_sigs (st14's signature kernel): bit-identical to the
+    // scalar HOF chain — per-doc distinct shingle hashes, then per
+    // component i the MIN md5('i:' || h) hex string
+    functions.MinHashSigs.register(spark)
+    val sigSql = df
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .withColumn("shs", expr(
+        """array_distinct(transform(sequence(0, size(t)-3),
+          |  i -> CAST(conv(substring(md5(concat(t[i], ' ', t[i+1], ' ', t[i+2])), 1, 15), 16, 10) AS BIGINT)))""".stripMargin))
+      .select(col("doc_id") +: (0 to 7).map { i =>
+        expr(s"array_min(transform(shs, h -> md5(concat('$i:', CAST(h AS STRING)))))").as(s"m$i")
+      }: _*)
+    val sigFused = df.selectExpr("doc_id", "minhash_sigs(text, 8) AS ms")
+      .filter(size(col("ms")) > 0)
+    val jm = sigFused.as("f").join(sigSql.as("o"), "doc_id")
+      .selectExpr("doc_id",
+        (0 to 7).map(i => s"f.ms[$i] = o.m$i").mkString(" AND ") + " AS same")
+      .collect()
+    assert(jm.length == sigSql.count() && jm.length == sigFused.count())
+    jm.foreach(r => assert(r.getBoolean(1), s"minhash doc ${r.getLong(0)} differs"))
     // merge-walk intersection count vs array_intersect on sorted distinct arrays
     val pairs = Seq.tabulate(300) { i =>
       def arr() = rnd.shuffle((0L to 40L).toList).take(rnd.nextInt(12)).sorted.toArray
