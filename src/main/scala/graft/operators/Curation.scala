@@ -77,7 +77,7 @@ object Curation {
       |  (max_rep * 1e0) / n_grams > 0.05e0 AS is_repetitive
       |FROM p
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val grams = T.documents(s, d)
+    val grams = T.widened(T.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(

@@ -165,7 +165,7 @@ object TextAnalysis {
       |  GROUP BY s) c
       |ORDER BY df DESC, shingle
       |LIMIT 20""".stripMargin) { (s, d) =>
-    T.documents(s, d)
+    T.widened(T.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(
@@ -325,7 +325,7 @@ object TextAnalysis {
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val fp = (c: org.apache.spark.sql.Column) =>
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    val bg = T.documents(s, d)
+    val bg = T.widened(T.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("t"),
@@ -335,7 +335,7 @@ object TextAnalysis {
         fp(expr("concat(t[i], ' ', t[i+1])")).as("h12"))
     val cnt12 = bg.groupBy("h12").agg(count(lit(1)).as("c12"))
     val cnt1 = bg.groupBy("h1").agg(count(lit(1)).as("c1"))
-    val v = T.documents(s, d)
+    val v = T.widened(T.documents(s, d))
       .select(explode(split(col("text"), " ")).as("tok"))
       .agg(countDistinct(col("tok")).as("vsz"))
     bg.join(cnt12, "h12").join(cnt1, "h1").crossJoin(broadcast(v))
@@ -502,15 +502,18 @@ object TextAnalysis {
     def bucket(dCol: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
       conv(substring(md5(concat(dCol.cast("string"), lit("|"), tok)), 1, 8),
         16, 10).cast("long") % 256
-    val tok = T.documents(s, d)
+    val tok = T.widened(T.documents(s, d))
       .select(explode(split(col("text"), " ")).as("tok"))
-    val nTok = tok.count()
     // sketch build: raw stream → (d, bucket) → sum; partial aggregation
     // bounds every map task's output at depth·width rows
     val cells = tok
       .select(col("tok"), explode(expr("array(0, 1, 2, 3)")).as("d"))
       .withColumn("bucket", bucket(col("d"), col("tok")))
       .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+    // ε audit without a second corpus scan (the st16 r9 trick): depth
+    // row 0's cell sum IS the token count — every token lands in
+    // exactly one bucket per row
+    val nRow = cells.filter(col("d") === 0).agg(sum(col("c")).as("n_tok"))
     // audit side: exact top-20 (the vocabulary-sized shuffle the sketch
     // exists to avoid at scale)
     val top20 = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
@@ -523,8 +526,9 @@ object TextAnalysis {
       .groupBy("tok", "exact_cnt").agg(min(col("c")).as("est_cnt"))
     est
       .withColumn("overcount", col("est_cnt") - col("exact_cnt"))
+      .crossJoin(broadcast(nRow))
       .withColumn("within_eps",
-        col("est_cnt") - col("exact_cnt") <= lit(2L * nTok) / lit(256L))
+        col("est_cnt") - col("exact_cnt") <= lit(2L) * col("n_tok") / lit(256L))
       .select("tok", "exact_cnt", "est_cnt", "overcount", "within_eps")
       .orderBy(col("exact_cnt").desc, col("tok"))
   }
