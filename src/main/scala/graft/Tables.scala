@@ -85,7 +85,15 @@ object Tables {
     * at-scale full-corpus round trip. */
   def widened(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+    // size floor: below ~2 MB of scan input the repartition itself costs
+    // more than the single-task kernel it parallelizes (the r9 pin guard
+    // caught exactly this: dd04/dd10/dd13 +0.5 s at sf0.1 for kernels
+    // that finish in 0.3 s) — widen only when there is real work to
+    // spread AND the scan is narrower than half the cores
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= (2L << 20) && df.rdd.getNumPartitions * 2 <= target)
+      df.repartition(target)
+    else df
   }
 
   /** Register every table as a temp view so `spark.sql` queries
