@@ -302,7 +302,10 @@ object Curation {
     // matches; both countDistinct outputs are unchanged by the dedup)
     graft.functions.ShingleHashes.register(s)
     def grams(docs: DataFrame): DataFrame = T.widened(docs)
-      .select(col("doc_id"), explode(expr("shingle_hashes(text, 8)")).as("h"))
+      .select(col("doc_id"), expr("shingle_hashes(text, 8)").as("hs"))
+      .filter(size(col("hs")) > 0)
+      .selectExpr("doc_id", "hs", "explode(sequence(0, size(hs) - 1)) AS i")
+      .selectExpr("doc_id", "hs[CAST(i AS INT)] AS h")
     val withB = T.documents(s, d).withColumn("b",
       conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
         .cast("int") % 100)

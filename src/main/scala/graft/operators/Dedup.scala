@@ -674,7 +674,10 @@ object Dedup {
     // once the index itself is memo-warm
     graft.functions.ShingleHashes.register(s)
     val allDf = T.widened(T.documents(s, d))
-      .select(col("doc_id"), explode(expr("shingle_hashes(text)")).as("h"))
+      .select(col("doc_id"), expr("shingle_hashes(text)").as("hs"))
+      .filter(size(col("hs")) > 0)
+      .selectExpr("doc_id", "hs", "explode(sequence(0, size(hs) - 1)) AS i")
+      .selectExpr("hs[CAST(i AS INT)] AS h")
       .groupBy("h").agg(count(lit(1)).as("df"))
     idx.agg(
       count(lit(1)).as("n_pairs"),
@@ -739,8 +742,13 @@ object Dedup {
     // tie-break moved from gram to loc0 (unique per h, so the order is
     // total) on BOTH engines.
     graft.functions.ShingleStats.register(s)
+    // index-explode + subscript (ProbeGen: 2.7× vs the kernel as the
+    // generator child, which the Generate path partially re-evaluates)
     val sp = T.widened(T.documents(s, d))
-      .select(col("doc_id"), explode(expr("shingle_stats(text, 8)")).as("g"))
+      .select(col("doc_id"), expr("shingle_stats(text, 8)").as("gs"))
+      .filter(size(col("gs")) > 0)
+      .selectExpr("doc_id", "gs", "explode(sequence(0, size(gs) - 1)) AS i")
+      .selectExpr("doc_id", "gs[CAST(i AS INT)] AS g")
       .select(col("g.h").as("h"), col("g.cnt").as("cnt"),
         (col("doc_id").cast("long") * 100000 + col("g.pos")).as("loc"))
     val top = sp.groupBy("h")

@@ -1072,9 +1072,13 @@ object Similarity {
     // reproduces the window's (dist, cell) tie-break exactly
     def probed(df: org.apache.spark.sql.DataFrame, id: String, vec: String) =
       df.withColumn("cents", centLit)
-        .select(col(id), col(vec), explode(expr(
-          s"slice(array_sort(transform(cents, (c, i) -> struct(vec_l2sq($vec, c) AS d, i AS cell))), 1, $nprobe)")).as("pc"))
-        .select(col(id), col(vec), col("pc.cell").as("cell"))
+        // index-explode + subscript: the sorted-probe slice stays a
+        // projected column outside the Generate (ProbeGen: the
+        // generator-child form re-evaluates the k-distance transform)
+        .select(col(id), col(vec), expr(
+          s"slice(array_sort(transform(cents, (c, i) -> struct(vec_l2sq($vec, c) AS d, i AS cell))), 1, $nprobe)").as("ps"))
+        .selectExpr(id, vec, "ps", s"explode(sequence(0, size(ps) - 1)) AS pi")
+        .selectExpr(id, vec, "ps[CAST(pi AS INT)].cell AS cell")
     // home cell = nearest centroid = the FIRST probe slot, taken via a
     // width-1 slice of the same sorted struct array — one map pass, and
     // the same vec_l2sq/(d, cell) convention as the probe side (the old
