@@ -49,8 +49,9 @@ object Dedup {
   private def shingles(s: SparkSession, d: String): DataFrame =
     // key includes the application id: a dir-only key would hand a
     // DataFrame bound to a stopped SparkContext to a fresh session
+    // (shinglesOf returns its result already cached + materialized)
     shingleCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d",
-      shinglesOf(T.documents(s, d)).cache())
+      shinglesOf(T.documents(s, d)))
 
   /** The shingle-index dataflow over an arbitrary (doc_id, text) frame —
     * factored so the PPJoin losslessness property test can drive random
@@ -74,9 +75,17 @@ object Dedup {
     val dh = T.widened(docs)
       .select(col("doc_id"), expr("shingle_hashes(text)").as("hs"))
       .cache()
-    val ex = dh.select(col("doc_id"), explode(col("hs")).as("h"))
-    val df = ex.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= 100)
-    ex.join(df, "h").select("doc_id", "h")
+    // the per-doc hash-array cache only needs to live across the DAG
+    // fork (df-count branch + index branch) — materialize the pruned
+    // index eagerly and drop it, so the corpus-sized fingerprint arrays
+    // don't stay pinned for the rest of the session (r9 advice)
+    try {
+      val ex = dh.select(col("doc_id"), explode(col("hs")).as("h"))
+      val df = ex.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= 100)
+      val out = ex.join(df, "h").select("doc_id", "h").cache()
+      out.count()
+      out
+    } finally dh.unpersist()
   }
 
   /** Oracle-side equivalent of [[shingles]] (DuckDB CTEs) — including
@@ -505,8 +514,20 @@ object Dedup {
       pairs: DataFrame, jumpAfter: Int = 8, checkEvery: Int = 1,
       localMaxEdges: Long = LocalCcMaxEdges): DataFrame = {
     require(checkEvery >= 1)
+    // both paths return BIGINT (id, label) regardless of which one the
+    // edge-count stats pick, so the output schema can never depend on
+    // graph size (r9 advice); the cast is total only for integral ids —
+    // reject anything else at plan-build time, where localUnionFind's
+    // getLong would otherwise corrupt or NPE silently at run time
+    Seq("da", "db").map(n => pairs.schema(n)).foreach { f =>
+      require(Seq("byte", "short", "integer", "long")
+        .contains(f.dataType.typeName),
+        s"connectedComponents needs integral vertex ids, got ${f.dataType} for ${f.name}")
+    }
     val edges = pairs
-      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .select(col("da").cast("long").as("da"), col("db").cast("long").as("db"))
+      .union(pairs.select(col("db").cast("long").as("da"),
+        col("da").cast("long").as("db")))
       .distinct().cache()
     val nEdges = edges.count()
     if (nEdges <= localMaxEdges) return localUnionFind(edges)
@@ -576,7 +597,11 @@ object Dedup {
     * paths can never move an oracle hash (spec-pinned equal). */
   private def localUnionFind(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
-    val es = edges.select(col("da").cast("long"), col("db").cast("long")).collect()
+    val es = edges.select(col("da"), col("db")).collect()
+    es.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "connectedComponents: null vertex id in edge list")
+    }
     val parent = new java.util.HashMap[Long, Long](es.length * 2)
     def find(x0: Long): Long = {
       var x = x0
@@ -831,28 +856,35 @@ object Dedup {
         conv(substring(md5(expr("concat_ws(' ', slice(t, pos+1, 8))")), 1, 15), 16, 10)
           .cast("long").as("h"))
       .cache()
-    val rep = sp.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2).select("h")
-    // covered token positions per doc: expand each repeated span to its
-    // 8 positions INSIDE a per-doc array instead of exploding to
-    // (doc_id, i) rows — the row form needed a corpus×8 DISTINCT shuffle
-    // plus a second groupBy/collect_set (the dominant dd13 cost at 30×);
-    // this shape shuffles only the matched (doc_id, pos) rows once
-    val covered = sp.join(rep, "h")
-      .groupBy("doc_id").agg(collect_list(col("pos")).as("poss"))
-      .select(col("doc_id"),
-        expr("array_distinct(flatten(transform(poss, p -> sequence(p, p + 7))))")
-          .as("cov"))
-    toks.join(covered, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("text"),
-        expr("concat_ws(' ', filter(t, (x, i) -> cov IS NULL OR NOT array_contains(cov, i)))")
-          .as("clean_text"),
-        coalesce(size(col("cov")), lit(0)).cast("long").as("n_tokens_removed"))
-      .select(col("doc_id"), col("clean_text"), col("n_tokens_removed"),
-        (length(col("text")) - length(col("clean_text"))).cast("long")
-          .as("chars_removed"))
-      .orderBy("doc_id")
+    try {
+      val rep = sp.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select("h")
+      // covered token positions per doc: expand each repeated span to its
+      // 8 positions INSIDE a per-doc array instead of exploding to
+      // (doc_id, i) rows — the row form needed a corpus×8 DISTINCT shuffle
+      // plus a second groupBy/collect_set (the dominant dd13 cost at 30×);
+      // this shape shuffles only the matched (doc_id, pos) rows once
+      val covered = sp.join(rep, "h")
+        .groupBy("doc_id").agg(collect_list(col("pos")).as("poss"))
+        .select(col("doc_id"),
+          expr("array_distinct(flatten(transform(poss, p -> sequence(p, p + 7))))")
+            .as("cov"))
+      // materialize the (smaller) cleaned output so the corpus×spans
+      // hash table can be dropped instead of staying pinned (r9 advice)
+      val out = toks.join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"),
+          expr("concat_ws(' ', filter(t, (x, i) -> cov IS NULL OR NOT array_contains(cov, i)))")
+            .as("clean_text"),
+          coalesce(size(col("cov")), lit(0)).cast("long").as("n_tokens_removed"))
+        .select(col("doc_id"), col("clean_text"), col("n_tokens_removed"),
+          (length(col("text")) - length(col("clean_text"))).cast("long")
+            .as("chars_removed"))
+        .orderBy("doc_id")
+        .cache()
+      out.count()
+      out
+    } finally sp.unpersist()
   }
 
   val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd10, dd11, dd12, dd13)
