@@ -88,6 +88,7 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val first = once(name, fn)
       var best = first
+      var runs = 1
       if (!failures.contains(name)) {
         var r = 1
         while (r < reps && first < repeatThreshold && repeatSpent < repeatBudget) {
@@ -95,6 +96,7 @@ object Bench {
           repeatSpent += t
           if (t < best) best = t
           r += 1
+          runs += 1
         }
         // universal spike retry (see BENCH_EXPECT.json note above): EVERY
         // query now carries a pinned clean minimum, so any best-so-far
@@ -117,20 +119,31 @@ object Bench {
           val t = once(name, fn)
           heavySpent += t
           spikeRetries += 1
+          runs += 1
           if (t < best) best = t
         }
       }
-      (name, first, best)
+      (name, first, best, runs)
     }
-    val qs = results.map { case (k, _, b) => s"\"" + k + "\":" + b }
+    val qs = results.map { case (k, _, b, _) => s"\"" + k + "\":" + b }
       .mkString("{", ",", "}")
     // per-query FIRST runs (r7 verdict item #1): a memoized query's cold
     // cost (dd05's fixpoint, ml01's fit, q39's bucketed-table build) is
     // visible only in its first run; publishing the full map makes cold
     // cost vs memo-hit auditable instead of only the aggregate
     // first_run_sum.
-    val firstRuns = results.map { case (k, f, _) => s"\"" + k + "\":" + f }
+    val firstRuns = results.map { case (k, f, _, _) => s"\"" + k + "\":" + f }
       .mkString("{", ",", "}")
+    // per-query RUN COUNTS + budget flag (r10 verdict item #4): when the
+    // repeat budget drains mid-suite, the remaining queries' "de-noised"
+    // values are single cold runs — the r10 driver artifact's entire
+    // ta/tf/st tail was exactly that, and the 132 s headline silently
+    // mixed warm minima with cold singles. runs==1 entries (below the
+    // repeat threshold) and budget_exhausted=true make that state
+    // explicit in the artifact instead of needing first_runs forensics.
+    val runCounts = results.map { case (k, _, _, r) => s"\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
+    val budgetExhausted = repeatSpent >= repeatBudget || heavySpent >= heavyBudget
     // headline = the DE-NOISED sum (per-query minima): with per-query
     // spike protection in place, a sum of first runs would still let one
     // load spike distort the round's single headline number (r4: 353.8 s
@@ -138,6 +151,11 @@ object Bench {
     // the same tree). first-run sum stays in the line for transparency.
     val total = if (results.nonEmpty) results.map(_._3).sum else 0.0
     val totalFirst = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    if (budgetExhausted)
+      System.err.println(
+        f"[bench] WARNING: retry budget exhausted (repeat $repeatSpent%.1f/" +
+        f"$repeatBudget%.0f s, heavy $heavySpent%.1f/$heavyBudget%.0f s) — " +
+        "late queries may be single cold runs; see \"runs\" in the artifact")
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     // ml04 telemetry: per-iteration EM training times from the most recent
     // fit (MlQueries.ml04IterTimes), so a slow ml04 in a driver artifact
@@ -149,7 +167,7 @@ object Bench {
         "\"iter_times\":{\"ml04_lda_em_train\":[", ",", "]},"))
       .getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","first_run_sum":$totalFirst,"queries":$qs,"first_runs":$firstRuns,$iterTimes"sf":"$sfDir","failures":$fails,"protocol":"queries=min of up to $reps runs (repeats only when first<${repeatThreshold}s, global extra budget ${repeatBudget}s; ANY query retries up to twice when best>1.5x its BENCH_EXPECT.json pin, budget ${heavyBudget}s); value=de-noised sum of per-query minima, first_run_sum=sum of first runs, first_runs=per-query first (cold) runs"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","first_run_sum":$totalFirst,"budget_exhausted":$budgetExhausted,"queries":$qs,"first_runs":$firstRuns,"runs":$runCounts,$iterTimes"sf":"$sfDir","failures":$fails,"protocol":"queries=min of up to $reps runs (repeats only when first<${repeatThreshold}s, global extra budget ${repeatBudget}s; ANY query retries up to twice when best>1.5x its BENCH_EXPECT.json pin, budget ${heavyBudget}s); value=de-noised sum of per-query minima, first_run_sum=sum of first runs, first_runs=per-query first (cold) runs, runs=per-query run counts (1 = single cold sample), budget_exhausted=true when a retry budget drained mid-suite"}"""
     // Stop Spark BEFORE printing so no executor/shutdown logging can
     // interleave with (or follow) the metric line; also persist a copy —
     // the round-1 driver failed to tail-parse stdout (sbt appends
@@ -176,7 +194,7 @@ object Bench {
     // always ends with parseable JSON; the per-query map lives in the
     // full line and the committed BENCH_LOCAL.json.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","first_run_sum":$totalFirst,"sf":"$sfDir","failures":$fails,"n_queries":${results.size},"detail":"per-query map in BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","first_run_sum":$totalFirst,"budget_exhausted":$budgetExhausted,"sf":"$sfDir","failures":$fails,"n_queries":${results.size},"detail":"per-query map in BENCH_LOCAL.json"}"""
     println(s"BENCH_JSON_COMPACT: $compact")
   }
 }

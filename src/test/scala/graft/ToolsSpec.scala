@@ -39,11 +39,21 @@ class ToolsSpec extends AnyFunSuite {
     val (code, err) = run(dir)
     assert(code == 1, s"expected refusal, got exit=$code\n$err")
     assert(err.contains("q1") && !err.contains("q2:") && !err.contains("q3:"), err)
-    // --allow-raise alone is not enough: NOTES.md must mention the query
+    // --allow-raise alone is not enough: NOTES.md must justify the query
     val (code2, err2) = run(dir, "--allow-raise", "q1")
     assert(code2 == 1 && err2.contains("NOTES"), s"exit=$code2\n$err2")
-    // with both the flag and a NOTES entry the raise goes through
+    // a STALE mention of the name anywhere in NOTES.md is NOT a
+    // justification (r10 verdict item #4): only a structured
+    // `pin-raise:` line counts
     write(dir, "NOTES.md", "q1 regressed because the fixture doubled; accepted")
+    val (code2b, err2b) = run(dir, "--allow-raise", "q1")
+    assert(code2b == 1 && err2b.contains("pin-raise"), s"exit=$code2b\n$err2b")
+    // ...and a pin-raise line naming a DIFFERENT query doesn't cover q1
+    write(dir, "NOTES.md", "- pin-raise: q9 — unrelated\nq1 mentioned in prose")
+    val (code2c, err2c) = run(dir, "--allow-raise", "q1")
+    assert(code2c == 1 && err2c.contains("q1"), s"exit=$code2c\n$err2c")
+    // with both the flag and a structured pin-raise line it goes through
+    write(dir, "NOTES.md", "- pin-raise: q1 — fixture doubled; accepted")
     val (code3, err3) = run(dir, "--allow-raise", "q1")
     assert(code3 == 0, s"expected success, got exit=$code3\n$err3")
     val out = new String(Files.readAllBytes(dir.resolve("expect.json")), "UTF-8")

@@ -8,13 +8,19 @@ spike protection — unpinned heavies recorded single spiked samples in
 r6 AND r7). graft.Bench retries (up to twice, budgeted) any query whose
 best exceeds max(1.5x pin, pin + 0.5s).
 
-Pin-raise guard (r8 verdict item #7): a pin may only be RAISED by more
-than 1.5x AND more than +0.5s absolute over its committed value (the
-same two-sided rule the bench's spike retry uses, so sub-second noise
-on tiny pins can't trip it) when (a) the query is named in
---allow-raise and (b) NOTES.md explains it (the query name appears
-there). Otherwise the script refuses — a regression can never silently
-become the new baseline.
+Pin-raise guard (r8 verdict item #7; hardened r11 per r10 verdict
+item #4): a pin may only be RAISED by more than 1.5x AND more than
++0.5s absolute over its committed value (the same two-sided rule the
+bench's spike retry uses, so sub-second noise on tiny pins can't trip
+it) when (a) the query is named in --allow-raise and (b) NOTES.md
+names it on a structured justification line of the form
+
+    pin-raise: <query> [<query> ...] — <reason>
+
+(the query name must appear as a word on a line starting `pin-raise:`;
+a stale mention of the name elsewhere in NOTES.md no longer counts).
+Otherwise the script refuses — a regression can never silently become
+the new baseline.
 
 Usage: python3 tools/gen_bench_expect.py BENCH_A.json [BENCH_B.json ...]
          [--allow-raise q1,q2] [--expect PATH] [--notes PATH]
@@ -22,6 +28,7 @@ Usage: python3 tools/gen_bench_expect.py BENCH_A.json [BENCH_B.json ...]
 import json
 import math
 import os
+import re
 import sys
 
 RAISE_FACTOR = 1.5
@@ -59,6 +66,14 @@ if os.path.exists(expect_path):
     prev = {k: v for k, v in json.load(open(expect_path)).items()
             if not k.startswith("_")}
 notes = open(notes_path).read() if os.path.exists(notes_path) else ""
+# structured pin-raise justifications: only names appearing on a line
+# that STARTS `pin-raise:` (after optional list bullet) count — a stale
+# mention of a query name elsewhere in NOTES.md is not a justification
+pin_raise_names = set()
+for line in notes.splitlines():
+    m = re.match(r"^\s*(?:[-*]\s*)?pin-raise:\s*(.*)$", line)
+    if m:
+        pin_raise_names |= set(re.findall(r"[A-Za-z0-9_]+", m.group(1)))
 
 new_pins = {k: math.ceil(v * 1000) / 1000 for k, v in queries.items()}
 offenders = []
@@ -68,8 +83,8 @@ for k, v in sorted(new_pins.items()):
         why = []
         if k not in allow_raise:
             why.append("not in --allow-raise")
-        if k not in notes:
-            why.append(f"no {notes_path} entry mentions it")
+        if k not in pin_raise_names:
+            why.append(f"no 'pin-raise: {k} ...' line in {notes_path}")
         if why:
             offenders.append(
                 f"  {k}: {prev[k]:.3f}s -> {v:.3f}s "
@@ -79,7 +94,7 @@ if offenders:
         "REFUSING to raise pins (a regression must not become the new "
         "baseline):\n" + "\n".join(offenders) + "\n"
         "Re-run with --allow-raise <names> after documenting the cause "
-        f"in {notes_path}.\n")
+        f"on a 'pin-raise: <name> — reason' line in {notes_path}.\n")
     sys.exit(1)
 
 comment = (
