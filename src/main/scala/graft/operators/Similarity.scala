@@ -820,6 +820,93 @@ object Similarity {
         "self_excluded", "cos_in_range", "scan_pruned", "rerank_dominates")
   }
 
+  /** ss13's cascade stages over an IVFPQ shortlist (shared with its
+    * spec, which recomputes both selections driver-side): stage 2 keeps
+    * the top-8 by truncated (first-16-dim) cosine, stage 3 the top-3 of
+    * those by full cosine. Both cosines run through the same native
+    * vec_dot double accumulation, so a driver-side left-to-right fold is
+    * bit-identical and membership comparisons are exact. */
+  private[graft] def cascadeParts(short: DataFrame): (DataFrame, DataFrame) = {
+    val wT = Window.partitionBy("qid").orderBy(col("t_cos").desc, col("nid"))
+    val stage2 = short
+      .withColumn("t_cos", expr(cosine("slice(qe, 1, 16)", "slice(ne, 1, 16)")))
+      .withColumn("t_rank", row_number().over(wT))
+      .filter(col("t_rank") <= 8)
+    val wF = Window.partitionBy("qid").orderBy(col("true_cos").desc, col("nid"))
+    val fin = stage2.withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= 3)
+    (stage2, fin)
+  }
+
+  /** ss13 — retrieve→rerank cascade over the IVFPQ shortlist (r10
+    * verdict item #7): the three-stage cost ladder production vector
+    * search runs — (1) ss09's cell-pruned ADC shortlist (cheapest per
+    * candidate, most candidates), (2) a TRUNCATED-dimension exact
+    * cosine over the first 16 of 64 dims (4× cheaper per dot — the
+    * Matryoshka/PCA-prefix trick: score on a prefix of the
+    * representation, keep the top 8), (3) the full 64-dim float rerank
+    * only for the survivors (top-3). The whole cascade is ONE lazy DAG
+    * over [[ivfpqParts]]'s shortlist — no action between stages, so
+    * the narrow maps fuse and the two per-query windows rank tiny
+    * (≤ [[shortlistK]]-row) groups. At 100 TB the dial is
+    * candidates × cost-per-stage: N ADC lookups → shortlistK prefix
+    * dots → 8 full dots per query, with the full vectors paged in only
+    * for stage 3.
+    *
+    * Cells/codebooks are engine-defined (seeded k-means), so the
+    * oracle pins the query count plus invariant booleans (the ss09
+    * pattern): full top-3 with complete ranks, self excluded, cosines
+    * in range, the cascade strictly SHRINKING (stage-1 ≤ shortlistK,
+    * stage-2 ≤ 8, monotone), and rerank-dominates-truncated — the
+    * final top-3's mean TRUE cosine must be ≥ that of the top-3 by
+    * truncated score (both are 3-subsets of stage 2's survivors and
+    * the final is the argmax-3 of true cosine over them, so a wiring
+    * bug in either ranking flips the boolean). */
+  val ss13 = QueryDef.sql("ss13_ivfpq_cascade_rerank",
+    """SELECT
+      |  (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS n_queries,
+      |  TRUE AS full_topk_returned,
+      |  TRUE AS ranks_complete,
+      |  TRUE AS self_excluded,
+      |  TRUE AS cos_in_range,
+      |  TRUE AS cascade_shrinks,
+      |  TRUE AS rerank_dominates_trunc""".stripMargin) { (s, d) =>
+    regDot(s)
+    import s.implicits._
+    val (_, short) = ivfpqParts(s, d)
+    val (stage2, fin) = cascadeParts(short)
+    val per = fin.groupBy("qid").agg(
+      count(lit(1)).as("returned"),
+      (sort_array(collect_list(col("rank"))) === array(lit(1), lit(2), lit(3)))
+        .as("ranks_ok"),
+      sum(when(col("qid") === col("nid"), 1).otherwise(0)).as("selfs"),
+      max(greatest(abs(col("t_cos")), abs(col("true_cos")))).as("maxcos"),
+      avg("true_cos").as("fin_cos"))
+    val truncTop3 = stage2.filter(col("t_rank") <= 3)
+      .groupBy("qid").agg(avg("true_cos").as("trunc_cos3"))
+    val sizes = short.groupBy("qid").agg(count(lit(1)).as("n1"))
+      .join(stage2.groupBy("qid").agg(count(lit(1)).as("n2")), "qid")
+    val row = per.join(truncTop3, "qid").join(sizes, "qid").agg(
+      count(lit(1)).as("nq"),
+      min("returned").as("minr"), max("returned").as("maxr"),
+      min(col("ranks_ok")).as("ranks_ok"),
+      max("selfs").as("selfs"),
+      max("maxcos").as("maxcos"),
+      min(col("n1") <= lit(shortlistK) && col("n2") <= lit(8) &&
+        col("n2") <= col("n1")).as("shrinks"),
+      min(col("fin_cos") >= col("trunc_cos3") - lit(1e-9)).as("dominates")).head()
+    Seq((row.getLong(0),
+      row.getLong(1) == 3L && row.getLong(2) == 3L,
+      row.getBoolean(3),
+      row.getLong(4) == 0L,
+      row.getDouble(5) <= 1.0 + 1e-9,
+      row.getBoolean(6),
+      row.getBoolean(7)))
+      .toDF("n_queries", "full_topk_returned", "ranks_complete",
+        "self_excluded", "cos_in_range", "cascade_shrinks",
+        "rerank_dominates_trunc")
+  }
+
   /** ss10 — margin-based bitext mining (Artetxe & Schwenk, "Margin-based
     * Parallel Corpus Mining with Multilingual Sentence Embeddings",
     * ACL 2019 — the CCMatrix-style parallel-pair miner). Label 0 plays
@@ -1488,5 +1575,5 @@ object Similarity {
 
   val defs: Seq[QueryDef] =
     Seq(ss01, ss02, ss03, ss04, ss05, ss06, ss07, ss08, ss09, ss10, ss10b,
-      ss11, ss12, dd07, dd07b, dd14)
+      ss11, ss12, ss13, dd07, dd07b, dd14)
 }

@@ -123,6 +123,49 @@ class StorageSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ss13 cascade: gates hold and stage membership matches a driver-side recompute") {
+    val row = SparkEntry.queries("ss13_ivfpq_cascade_rerank")(spark, sf).head()
+    assert(row.getAs[Long]("n_queries") == 10)
+    Seq("full_topk_returned", "ranks_complete", "self_excluded",
+      "cos_in_range", "cascade_shrinks", "rerank_dominates_trunc").foreach(c =>
+      assert(row.getAs[Boolean](c), s"gate $c failed"))
+    // independent cascade: recompute stage-2 (top-8 by first-16-dim
+    // cosine) and stage-3 (top-3 by full cosine) from the COLLECTED
+    // shortlist with a plain Scala left-to-right double fold — the
+    // identical accumulation order to vec_dot, so membership is exact
+    val (_, short) = operators.Similarity.ivfpqParts(spark, sf)
+    val (stage2, fin) = operators.Similarity.cascadeParts(short)
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val sl = short.select("qid", "nid", "qe", "ne", "true_cos").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getSeq[Float](2), r.getSeq[Float](3), r.getAs[Double]("true_cos")))
+    val wantS2 = sl.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.map { case (_, nid, qe, ne, tc) =>
+        (nid, cos(qe.take(16), ne.take(16)), tc)
+      }.sortBy { case (nid, t, _) => (-t, nid) }.take(8).toSeq
+    }
+    val gotS2 = stage2.select("qid", "nid", "t_cos").collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nid")).toSet }
+    assert(gotS2 == wantS2.map { case (q, rs) => q -> rs.map(_._1).toSet },
+      "stage-2 membership must match the driver-side truncated top-8")
+    val wantFin = wantS2.map { case (q, rs) =>
+      q -> rs.sortBy { case (nid, _, tc) => (-tc, nid) }.take(3).map(_._1).toSet
+    }
+    val gotFin = fin.select("qid", "nid").collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nid")).toSet }
+    assert(gotFin == wantFin,
+      "stage-3 membership must match the driver-side full-cosine top-3")
+  }
+
   test("dd11 repeated passages really repeat at their reported location") {
     val rows = SparkEntry.queries("dd11_repeated_passages")(spark, sf).collect()
     assert(rows.nonEmpty, "fixture dup clusters must surface repeated 8-grams")
