@@ -1103,7 +1103,77 @@ object Streams {
       .orderBy(col("exact_cnt").desc, col("user_id"))
   }
 
+  /** st17 — session-window JOIN (r10 verdict item #7): st13's native
+    * session aggregation (gap 30 min, watermark 10 min, append mode)
+    * chained with a stream-static BROADCAST join to the customer
+    * dimension — the standard "sessionize, then enrich" layout of a
+    * clickstream pipeline. The join runs INSIDE the streaming query
+    * (each emitted session row is enriched in the same micro-batch that
+    * closes it), and the static side carries an explicit broadcast
+    * hint: stream-static joins re-plan the static side every
+    * micro-batch, so at 100 TB/day the dimension must ship as a
+    * broadcast, never a per-batch shuffle. Stream-static joins are
+    * STATELESS on top of the session store, so state stays bounded by
+    * open sessions exactly as in st13.
+    *
+    * Oracle: st13's gap-merge CTE chain extended with the per-session
+    * exact-decimal value sum and the same c_custkey = user_id + 1
+    * enrichment; emitted set pinned by the watermark eviction boundary
+    * (session_end <= max(ts) − 10 min), full value oracle. */
+  val st17 = QueryDef.sql("st17_stream_session_join",
+    """WITH mx AS (
+      |  SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, value,
+      |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+      |           - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER win > 1800000000
+      |         OR LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER win IS NULL
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, t, value,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked),
+      |g AS (
+      |  SELECT user_id, sid, MIN(t) AS session_start,
+      |    MAX(t) + INTERVAL 30 MINUTE AS session_end,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT g.user_id, session_start, session_end, n_events, total_value,
+      |  c.c_mktsegment AS segment
+      |FROM g, mx, customer c
+      |WHERE c.c_custkey = g.user_id + 1 AND session_end <= mx.w
+      |ORDER BY user_id, session_start""".stripMargin) { (s0, d) =>
+    val s = scopedSession(s0, StreamParts)
+    val stream = T.eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+    val sessions = stream
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+    val cust = broadcast(T.customer(s, d)
+      .select((col("c_custkey") - 1).as("user_id"),
+        col("c_mktsegment").as("segment")))
+    val name = s"st17_sink_${System.nanoTime()}"
+    val q = sessions.join(cust, "user_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"), col("segment"))
+      .orderBy("user_id", "session_start")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(st01, st01b, st02, st03, st04, st05, st06, st07, st08, st09, st10,
-      st11, st12, st13, st14, st15, st16)
+      st11, st12, st13, st14, st15, st16, st17)
 }

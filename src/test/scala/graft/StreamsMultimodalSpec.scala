@@ -127,6 +127,31 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(native.sorted == stateful)
   }
 
+  test("st17: session join = st13 sessions enriched with the batch dimension") {
+    // the chained stream-static join must not change the session set:
+    // st17 projected to st13's columns equals st13, and every row's
+    // segment is exactly the batch customer lookup for its user
+    val st17 = streaming.Streams.st17.fn(spark, sf).collect()
+    val sessions = st17.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[java.sql.Timestamp]("session_start").getTime,
+      r.getAs[Long]("n_events"))).toSeq.sorted
+    val base = streaming.Streams.st13.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getAs[Long]("n_events"))).toSeq.sorted
+    assert(sessions == base, "join must preserve the session set")
+    val segOf = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getAs[Long]("c_custkey") - 1) -> r.getAs[String]("c_mktsegment"))
+      .toMap
+    st17.foreach { r =>
+      assert(r.getAs[String]("segment") == segOf(r.getAs[Long]("user_id")),
+        s"segment mismatch for user ${r.getAs[Long]("user_id")}")
+    }
+    // value sums are positive and finite (exact values are oracle-pinned)
+    st17.foreach(r => assert(!r.getAs[Double]("total_value").isNaN))
+  }
+
   test("st03: stateful sessionization agrees with the window-island form") {
     val stateful = streaming.Streams.stateful(spark, sf)
       .select("user_id", "n_sessions", "n_events").collect()
