@@ -83,14 +83,36 @@ object Advanced {
       |FROM orders
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
-    T.orders(s, d)
-      .groupBy("o_orderstatus")
-      .agg(
-        expr("percentile(o_totalprice, 0.25)").as("p25"),
-        expr("percentile(o_totalprice, 0.5)").as("p50"),
-        expr("percentile(o_totalprice, 0.75)").as("p75"),
-        count(lit(1)).as("n"))
-      .orderBy("o_orderstatus")
+    // stats-chosen shape (ExactPercentile.smallInput, free plan-stats
+    // probe): small inputs keep the one-pass builtin aggregate; past
+    // the ceiling the histogram + distributed prefix-sum selection
+    // takes over — the builtin's aggregation buffer holds every
+    // (value, count) of a group, so a hot group at 100 TB is an
+    // executor OOM, and even sf1's three near-unique-valued groups
+    // cost ~10 s of buffer build+merge (vs ~2.6 s for the histogram
+    // shape). Interpolation is spec-pinned bit-identical between the
+    // paths, so the dial can never move the oracle hash. n = non-null
+    // count on the scale path, == COUNT(*) here (o_totalprice is
+    // non-null by schema).
+    val o = T.orders(s, d)
+    if (ExactPercentile.smallInput(o))
+      o.groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(o_totalprice, 0.25)").as("p25"),
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.75)").as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    else
+      ExactPercentile.byGroup(o, "o_orderstatus", "o_totalprice",
+          Seq(0.25, 0.5, 0.75))
+        .groupBy("o_orderstatus")
+        .agg(
+          max(when(col("p") === 0.25, col("value"))).as("p25"),
+          max(when(col("p") === 0.5, col("value"))).as("p50"),
+          max(when(col("p") === 0.75, col("value"))).as("p75"),
+          first("n").as("n"))
+        .orderBy("o_orderstatus")
   }
 
   /** q51 — theta (range) join: orders banded into value tiers via a
@@ -162,14 +184,37 @@ object Advanced {
       |FROM orders
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
-    T.orders(s, d)
-      .groupBy("o_orderstatus")
-      .agg(
-        expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
-        expr("percentile(o_totalprice, 0.9)").as("p90_exact"),
-        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50_approx"),
-        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90_approx"),
-        count(lit(1)).as("n"))
+    // stats-chosen like q33: small inputs keep the original one-pass
+    // aggregate; past the ceiling the EXACT side goes through the
+    // histogram + prefix-sum selection (the builtin's per-group buffer
+    // is the very scale hazard the sketch exists to avoid — the exact
+    // reference computation should not itself carry it) while the
+    // sketch side stays a one-pass constant-memory aggregate, joined
+    // on the 3-row group key
+    val o = T.orders(s, d)
+    val wide = if (ExactPercentile.smallInput(o))
+      o.groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_exact"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50_approx"),
+          expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90_approx"),
+          count(lit(1)).as("n"))
+    else {
+      val ex = ExactPercentile.byGroup(o, "o_orderstatus", "o_totalprice",
+          Seq(0.5, 0.9))
+        .groupBy("o_orderstatus")
+        .agg(
+          max(when(col("p") === 0.5, col("value"))).as("p50_exact"),
+          max(when(col("p") === 0.9, col("value"))).as("p90_exact"),
+          first("n").as("n"))
+      val ap = o.groupBy("o_orderstatus")
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50_approx"),
+          expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90_approx"))
+      ex.join(ap, "o_orderstatus")
+    }
+    wide
       .select(col("o_orderstatus"), col("p50_exact"), col("p90_exact"),
         (abs(col("p50_approx") - col("p50_exact")) <= col("p50_exact") * 0.02)
           .as("p50_approx_ok"),

@@ -46,4 +46,42 @@ class GlobalCumsumSpec extends AnyFunSuite {
     val i = GlobalIndex.withGlobalIndex(one, Seq(col("v")), "idx").head()
     assert(i.getLong(3) == 0L)
   }
+
+  test("ExactPercentile.byGroup is bit-identical to the builtin percentile") {
+    import spark.implicits._
+    // heavy duplication AND near-unique values, plus a fractional-
+    // position group size — the interpolation corners; values chosen so
+    // p*(n-1) is non-integral for most (group, p)
+    val df = ((1 to 997).map(i => ("a", (i % 211) * 0.37 + 100.0)) ++
+      (1 to 500).map(i => ("b", i * 1.01)) ++
+      Seq(("c", 42.0)) ++
+      (1 to 4).map(i => ("d", i * 2.5))).toDF("g", "x")
+    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.013)
+    val pCols = ps.map(p => expr(s"percentile(x, $p)").as(s"p$p"))
+    val builtin = df.groupBy("g")
+      .agg(pCols.head, pCols.tail: _*)
+      .collect()
+      .flatMap(r => ps.zipWithIndex.map { case (p, i) =>
+        (r.getString(0), p) -> r.getDouble(i + 1) })
+      .toMap
+    // BOTH paths of the stats-chosen split must be bit-identical to the
+    // builtin — the dial can then never move an oracle hash
+    for (path <- Seq(
+        operators.ExactPercentile.byGroupHistogram(df, "g", "x", ps),
+        operators.ExactPercentile.byGroupBuiltin(df, "g", "x", ps))) {
+      val got = path.collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      assert(got.keySet == builtin.keySet)
+      got.foreach { case (k, v) =>
+        // BIT equality, not tolerance — the shapes must be
+        // interchangeable under the driver's hash compare
+        assert(java.lang.Double.doubleToLongBits(v) ==
+          java.lang.Double.doubleToLongBits(builtin(k)),
+          s"$k: got $v builtin ${builtin(k)}")
+      }
+      // n column: non-null count per group
+      val ns = path.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(ns == Map("a" -> 997L, "b" -> 500L, "c" -> 1L, "d" -> 4L))
+    }
+  }
 }
