@@ -903,5 +903,75 @@ object Dedup {
     } finally sp.unpersist()
   }
 
-  val defs: Seq[QueryDef] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd10, dd11, dd12, dd13)
+  /** dd15 — EDIT-DISTANCE-bounded near-dup admission (PassJoin-style
+    * segment filter; Li, Deng & Feng, "PASS-JOIN: a partition-based
+    * method for similarity joins", VLDB 2012): character-level fuzzy
+    * matching of an incoming probe slice (doc_id % 17 = 0, ~6%) against
+    * the corpus on the padded 48-char document prefix — the metric that
+    * catches typo-level title/URL duplicates that token-level Jaccard
+    * and MinHash miss.
+    *
+    * Candidate generation is LOSSLESS by pigeonhole: keys are padded to
+    * EXACTLY 48 chars (rpad with U+0001, a char absent from the text),
+    * each probe key splits into k+1 = 3 contiguous 16-char segments,
+    * and ed(a,b) ≤ k implies some segment of `a` survives untouched by
+    * all ≤ k edit operations — its image in `b` sits at the same offset
+    * shifted by the net indels before it, which is bounded by ±k. So
+    * the equi-join of probe segments against the corpus's (i, ±k-window
+    * substrings) covers every true pair; windows that would overrun the
+    * 48-char key are skipped because the matching alignment would need
+    * the image to extend past `b`'s end — impossible at equal padded
+    * length. Exact Levenshtein (the THRESHOLDED banded form — O(k·n)
+    * per pair, early-exit −1 past k) verifies candidates.
+    *
+    * Scale shape — the dd09 asymmetry: the probe slice is the admission
+    * batch (tiny at 100 TB), so its 3-rows-per-doc segment table
+    * BROADCASTS and the corpus's window extraction is a narrow map into
+    * a map-side join — no corpus-wide shuffle; the only exchange is the
+    * distinct over matched candidate pairs. Oracle: brute-force
+    * probe×corpus Levenshtein in DuckDB — the parity gate PROVES the
+    * filter lossless on the graded data, not just cited. */
+  val dd15 = QueryDef.sql("dd15_editdist_neardup",
+    """WITH ks AS (
+      |  SELECT doc_id, rpad(substr(text, 1, 48), 48, chr(1)) AS s FROM documents),
+      |pr AS (SELECT doc_id AS probe_id, s FROM ks WHERE doc_id % 17 = 0),
+      |co AS (SELECT doc_id AS corpus_id, s FROM ks WHERE doc_id % 17 <> 0),
+      |sc AS (SELECT probe_id, corpus_id, levenshtein(pr.s, co.s) AS dist
+      |       FROM pr, co)
+      |SELECT probe_id, corpus_id, CAST(dist AS BIGINT) AS dist
+      |FROM sc WHERE dist <= 2
+      |ORDER BY probe_id, corpus_id""".stripMargin) { (s, d) =>
+    editDistNeardup(T.documents(s, d))
+  }
+
+  /** dd15's dataflow over an arbitrary (doc_id, text) frame — factored
+    * so the losslessness property test can drive random corpora with
+    * planted ≤ k-edit variants through the exact production pipeline
+    * (the shinglesOf precedent). */
+  private[graft] def editDistNeardup(docs: DataFrame): DataFrame = {
+    val W = 48; val L = 16; val K = 2
+    val keyed = docs.select(col("doc_id"),
+      rpad(substring(col("text"), 1, W), W, "\u0001").as("s"))
+    val segs = keyed.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("probe_id"), col("s").as("sa"),
+        posexplode(array((0 until K + 1).map(i =>
+          substring(col("s"), i * L + 1, L)): _*)).as(Seq("i", "seg")))
+    val winCols = for { i <- 0 until K + 1; dl <- -K to K
+                        if i * L + dl >= 0 && i * L + dl + L <= W } yield
+      struct(lit(i).as("i"), substring(col("s"), i * L + dl + 1, L).as("seg"))
+    val wins = keyed.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id").as("corpus_id"), col("s").as("sb"),
+        explode(array(winCols: _*)).as("w"))
+      .select(col("corpus_id"), col("sb"),
+        col("w.i").as("i"), col("w.seg").as("seg"))
+    wins.join(broadcast(segs), Seq("i", "seg"))
+      .select("probe_id", "corpus_id", "sa", "sb").distinct()
+      .select(col("probe_id"), col("corpus_id"),
+        levenshtein(col("sa"), col("sb"), K).cast("long").as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= K)
+      .orderBy("probe_id", "corpus_id")
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd10, dd11, dd12, dd13, dd15)
 }

@@ -390,6 +390,73 @@ class StorageSimilaritySpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture produced no J>=0.3 pairs — test is vacuous")
   }
 
+  test("dd15 segment filter is lossless on randomized corpora with planted edits") {
+    // the PassJoin pigeonhole bound (some 16-char segment of a probe
+    // survives <=2 edits and lands within +-2 positions in the match)
+    // prunes candidates BEFORE the exact Levenshtein verify — a bug in
+    // the window enumeration drops true pairs silently. Drive seeded
+    // random corpora with planted 0/1/2-edit variants (substitutions,
+    // insertions, deletions — indels are what shift segment positions)
+    // through the exact production dataflow and require exact agreement
+    // with a driver-side brute force on the padded 48-char keys.
+    val s = spark
+    import s.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val cur = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = d(i); d(i) = cur
+        }
+      }
+      d(a.length)
+    }
+    def pad48(t: String): String = {
+      val p = t.take(48)
+      p + ("\u0001" * (48 - p.length))
+    }
+    val alpha = "abcdef gh"
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      def randDoc(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+      // corpus ids avoid %17==0; probe ids are multiples of 17
+      val corpus = Seq.tabulate(40) { i =>
+        ((i * 17 + 1 + rnd.nextInt(16)).toLong, randDoc(20 + rnd.nextInt(50)))
+      }
+      // probes: edited copies of corpus docs (the true pairs) + noise
+      val probes = (0 until 10).map { j =>
+        val (_, txt) = corpus(rnd.nextInt(corpus.length))
+        val sb = new StringBuilder(txt)
+        val edits = rnd.nextInt(3)
+        for (_ <- 0 until edits) rnd.nextInt(3) match {
+          case 0 if sb.nonEmpty => sb.setCharAt(rnd.nextInt(sb.length),
+            alpha(rnd.nextInt(alpha.length)))
+          case 1 => sb.insert(rnd.nextInt(sb.length + 1),
+            alpha(rnd.nextInt(alpha.length)))
+          case _ if sb.length > 1 => sb.deleteCharAt(rnd.nextInt(sb.length))
+          case _ => ()
+        }
+        ((17L * (j + 1)), sb.toString)
+      }
+      val docs = (corpus ++ probes).toDF("doc_id", "text")
+      val got = operators.Dedup.editDistNeardup(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val brute = (for {
+        (pid, pt) <- probes
+        (cid, ct) <- corpus
+        d = lev(pad48(pt), pad48(ct))
+        if d <= 2
+      } yield (pid, cid) -> d.toLong).toMap
+      assert(got == brute,
+        s"seed=$seed: got=${got.size} brute=${brute.size} " +
+          s"missing=${(brute.keySet -- got.keySet).take(5)} " +
+          s"extra=${(got.keySet -- brute.keySet).take(5)}")
+      assert(brute.nonEmpty, s"seed=$seed planted no true pairs — fixture broken")
+    }
+  }
+
   test("jaccardPairs losslessness holds on randomized corpora (PPJoin filters property)") {
     // The r8 length/positional filters prune candidates with pigeonhole
     // BOUNDS — a bug there drops true pairs SILENTLY (the fixture spec
