@@ -245,5 +245,80 @@ object Multimodal {
       .orderBy("pair_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05)
+  /** mm06 — interleaved multimodal sequence packing: the context-window
+    * assembly step of a multimodal pretrain. Each document contributes
+    * an interleaved stream [vision tokens][text tokens]: the sampled
+    * frames of mm02's pseudo-video (every 5th frame of
+    * `1 + n_chars % 120`) cost 16 vision tokens each, then the
+    * whitespace text tokens follow. The concatenated corpus stream
+    * (doc_id order) is sliced into 2048-token context windows, and the
+    * report is the per-window MODALITY BUDGET — vision vs text fill —
+    * which is the audit a modality-balance dial needs (vision-heavy
+    * windows starve the LM loss; all-text windows waste the vision
+    * tower). Same scale shape as sp06: the only wide op is the
+    * distributed prefix sum (graft.GlobalCumsum — no single-partition
+    * window), then a per-doc bin explode (fanout ≈ doc_tokens/2048)
+    * into a map-side-combinable hash agg on a dense int key. All
+    * overlap arithmetic is exact int64; the one double (vision_share)
+    * is a single IEEE division of exact ints on both engines. */
+  val mm06 = QueryDef.sql("mm06_interleaved_packing",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    16 * ((1 + n_chars % 120 + 4) // 5) AS vt,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tt
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, vt, tt, vt + tt AS ct,
+      |    CAST(SUM(vt + tt) OVER (ORDER BY doc_id
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS cum
+      |  FROM tok),
+      |e AS (
+      |  SELECT doc_id, vt, tt, cum, cum - ct AS st,
+      |    UNNEST(range((cum - ct) // 2048, (cum - 1) // 2048 + 1)) AS bin
+      |  FROM c)
+      |SELECT CAST(bin AS BIGINT) AS bin_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN st // 2048 = bin THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_starting,
+      |  CAST(SUM(greatest(0, least(st + vt, (bin+1)*2048) - greatest(st, bin*2048)))
+      |    AS BIGINT) AS vision_tokens,
+      |  CAST(SUM(greatest(0, least(cum, (bin+1)*2048) - greatest(st + vt, bin*2048)))
+      |    AS BIGINT) AS text_tokens,
+      |  CAST(SUM(least(cum, (bin+1)*2048) - greatest(st, bin*2048)) AS BIGINT)
+      |    AS fill_tokens,
+      |  CAST(SUM(greatest(0, least(st + vt, (bin+1)*2048) - greatest(st, bin*2048))) AS DOUBLE)
+      |    / SUM(least(cum, (bin+1)*2048) - greatest(st, bin*2048)) AS vision_share
+      |FROM e GROUP BY bin
+      |ORDER BY bin_id""".stripMargin) { (s, d) =>
+    val tok = T.documents(s, d)
+      .select(col("doc_id"),
+        expr("CAST(16 * ((1 + n_chars % 120 + 4) div 5) AS BIGINT)").as("vt"),
+        size(split(col("text"), " ")).cast("long").as("tt"))
+      .withColumn("ct", col("vt") + col("tt"))
+    graft.GlobalCumsum.withRunningSum(tok, Seq(col("doc_id")), "ct", "cum")
+      .withColumn("st", col("cum") - col("ct"))
+      .withColumn("bin",
+        explode(expr("sequence(st div 2048, (cum - 1) div 2048)")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr("st div 2048") === col("bin"), 1).otherwise(0))
+          .cast("long").as("docs_starting"),
+        sum(greatest(lit(0L), least(col("st") + col("vt"), (col("bin") + 1) * 2048) -
+          greatest(col("st"), col("bin") * 2048))).cast("long").as("vision_tokens"),
+        sum(greatest(lit(0L), least(col("cum"), (col("bin") + 1) * 2048) -
+          greatest(col("st") + col("vt"), col("bin") * 2048))).cast("long").as("text_tokens"),
+        sum(least(col("cum"), (col("bin") + 1) * 2048) -
+          greatest(col("st"), col("bin") * 2048)).cast("long").as("fill_tokens"),
+        (sum(greatest(lit(0L), least(col("st") + col("vt"), (col("bin") + 1) * 2048) -
+          greatest(col("st"), col("bin") * 2048))).cast("double") /
+          sum(least(col("cum"), (col("bin") + 1) * 2048) -
+            greatest(col("st"), col("bin") * 2048))).as("vision_share"))
+      .select(col("bin").cast("long").as("bin_id"), col("n_docs"),
+        col("docs_starting"), col("vision_tokens"), col("text_tokens"),
+        col("fill_tokens"), col("vision_share"))
+      .orderBy("bin_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06)
 }

@@ -248,6 +248,44 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(stats.map(_.getLong(1)).sum == a.length)
   }
 
+  test("mm06: interleaved packing equals a sequential driver-side packer") {
+    val out = multimodal.Multimodal.mm06.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // sequential re-derivation: walk docs in doc_id order, interleave
+    // [vision][text], slice at 2048 — completely independent of the
+    // distributed prefix-sum/explode dataflow under test
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        expr("CAST(16 * ((1 + n_chars % 120 + 4) div 5) AS BIGINT)").as("vt"),
+        size(split(col("text"), " ")).cast("long").as("tt"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val B = 2048L
+    case class Bin(var nDocs: Long = 0, var starting: Long = 0,
+      var vision: Long = 0, var text: Long = 0)
+    val bins = scala.collection.mutable.LinkedHashMap.empty[Long, Bin]
+    var pos = 0L
+    docs.foreach { case (_, vt, tt) =>
+      val st = pos; val cum = pos + vt + tt
+      (st / B to (cum - 1) / B).foreach { b =>
+        val bin = bins.getOrElseUpdate(b, Bin())
+        bin.nDocs += 1
+        if (st / B == b) bin.starting += 1
+        bin.vision += math.max(0L, math.min(st + vt, (b + 1) * B) - math.max(st, b * B))
+        bin.text += math.max(0L, math.min(cum, (b + 1) * B) - math.max(st + vt, b * B))
+      }
+      pos = cum
+    }
+    val expected = bins.toSeq.map { case (b, v) =>
+      (b, v.nDocs, v.starting, v.vision, v.text, v.vision + v.text) }
+    assert(out.toSeq == expected)
+    // conservation: total fill equals the total token stream
+    assert(out.map(_._6).sum == docs.map(d => d._2 + d._3).sum)
+    // every window except the last is exactly full
+    assert(out.dropRight(1).forall(_._6 == B))
+  }
+
   test("golden report renders the reference layout (K3 format shape)") {
     val report = GoldenReport.render(2,
       Seq(GoldenReport.BookResult(0, "A Book? The - X.txt",
