@@ -432,7 +432,88 @@ object MlQueries {
       .orderBy("topic")
   }
 
+  /** One KMeans fit per sf dir (train once, query many — mirrors
+    * [[fitCache]]; Bench's repeat runs must not re-train). */
+  private val kmCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.ml.clustering.KMeansModel]
+
+  /** ml08 — KMeans document clustering over the same TF·IDF matrix the
+    * LDA surface trains on: the second classic text-clustering backend
+    * (hard assignments, spherical-ish clusters) next to ml01-ml07's
+    * topic models, and the same kernel that ss04's IVF coarse quantizer
+    * uses on embeddings. Reuses [[ldaFit]]'s cached corpus, so the
+    * vectorization pipeline is shared — at 100 TB the fit subsamples
+    * (mllib KMeans is a handful of passes over cached vectors) and the
+    * transform is a narrow map against 8 broadcast centers.
+    *
+    * Centroids are engine-defined, so the oracle gates invariants in the
+    * ml03/ml07 tolerance-boolean shape — per cluster: every member's
+    * assigned center is the argmin over all centers (re-derived from
+    * raw distances, 1e-9 relative tolerance for float order), centers
+    * are non-negative (convex combinations of TF·IDF vectors — a
+    * negative component means a broken update), the model's
+    * trainingCost equals the recomputed Σ min-d² (1e-4 relative), and
+    * the per-cluster membership accounts for EXACTLY the corpus size
+    * in total (pure SQL). Empty clusters keep their row (range(8)
+    * left join) so a degenerate fit cannot change the row count. */
+  val ml08 = QueryDef.sql("ml08_kmeans_clusters",
+    """SELECT CAST(r AS INTEGER) AS cluster,
+      |  TRUE AS assigned_is_argmin, TRUE AS center_nonneg,
+      |  TRUE AS cost_consistent,
+      |  (SELECT COUNT(*) FROM documents) AS total_docs
+      |FROM range(8) t(r)
+      |ORDER BY cluster""".stripMargin) { (s, d) =>
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector => MlVector}
+    val fitted = ldaFit(s, d)
+    val model = kmCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d",
+      new KMeans().setK(8).setSeed(42L).setMaxIter(20)
+        .setFeaturesCol("features").setPredictionCol("cluster")
+        .fit(fitted.corpus))
+    val centers = model.clusterCenters.map(_.toArray)
+    val centerNormsSq = centers.map(c => c.map(x => x * x).sum)
+    val bc = s.sparkContext.broadcast((centers, centerNormsSq))
+    // d²(x, c) = ‖x‖² − 2·x·c + ‖c‖² — one sparse pass per center pair,
+    // never densifying the TF·IDF vector
+    val minDist = udf { (v: MlVector, assigned: Int) =>
+      val (cs, cn) = bc.value
+      var xx = 0.0
+      v.foreachActive((_, x) => xx += x * x)
+      val d2 = Array.tabulate(cs.length) { j =>
+        var dot = 0.0
+        val c = cs(j)
+        v.foreachActive((i, x) => dot += x * c(i))
+        math.max(0.0, xx - 2.0 * dot + cn(j))
+      }
+      val mn = d2.min
+      (d2(assigned) <= mn + 1e-9 * (1.0 + mn), mn)
+    }
+    val pred = model.transform(fitted.corpus)
+      .select(col("cluster"),
+        minDist(col("features"), col("cluster")).as("chk"))
+      .select(col("cluster"), col("chk._1").as("ok"), col("chk._2").as("mind2"))
+    val perCluster = pred.groupBy("cluster")
+      .agg(min(col("ok")).as("assigned_is_argmin"))
+    // global one-row summary: exact membership total + cost agreement
+    val cost = model.summary.trainingCost
+    val global = pred.agg(
+      sum(col("mind2")).as("recomputed"), count(lit(1)).as("n_total"))
+      .select(
+        (abs(col("recomputed") - lit(cost)) <=
+          lit(1e-4) * greatest(lit(1.0), lit(cost))).as("cost_consistent"),
+        col("n_total").as("total_docs"))
+    val centerNonneg = centers.forall(_.forall(_ >= -1e-12))
+    s.range(8).select(col("id").cast("int").as("cluster"))
+      .join(perCluster, Seq("cluster"), "left")
+      .crossJoin(broadcast(global))
+      .select(col("cluster"),
+        coalesce(col("assigned_is_argmin"), lit(true)).as("assigned_is_argmin"),
+        lit(centerNonneg).as("center_nonneg"),
+        col("cost_consistent"), col("total_docs"))
+      .orderBy("cluster")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(tf01, tf02, tf03, tf04, tf05, tf06, ml01, ml02, ml03, ml04, ml05,
-      ml06, ml07)
+      ml06, ml07, ml08)
 }

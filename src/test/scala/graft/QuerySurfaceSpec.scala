@@ -36,6 +36,26 @@ class QuerySurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("ml08: kmeans invariants hold and the kernel is seed-deterministic") {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val rows = SparkEntry.queries("ml08_kmeans_clusters")(spark, sf).collect()
+    assert(rows.length == 8)
+    assert(rows.forall(r => r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3)),
+      "an ml08 invariant boolean is false")
+    assert(rows.map(_.getLong(4)).distinct.toSeq ==
+      Seq(Tables.documents(spark, sf).count()))
+    // the seeded kernel itself: same seed → identical centers
+    import spark.implicits._
+    val vecs = (0 until 200)
+      .map(i => Tuple1(Vectors.dense(math.sin(i * 1.7), math.cos(i * 0.9), (i % 7).toDouble)))
+      .toDF("features")
+    def centersOf(seed: Long) =
+      new KMeans().setK(4).setSeed(seed).setFeaturesCol("features")
+        .fit(vecs).clusterCenters.map(_.toArray.toSeq).toSeq
+    assert(centersOf(7L) == centersOf(7L))
+  }
+
   test("every oracle key exists in queries") {
     val qs = SparkEntry.queries.keySet
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"orphan oracle $k"))
