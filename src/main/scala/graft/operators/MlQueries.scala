@@ -437,6 +437,17 @@ object MlQueries {
   private val kmCache = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.ml.clustering.KMeansModel]
 
+  /** Shared by ml08/ml09: the seeded k=8 KMeans fit over [[ldaFit]]'s
+    * cached TF·IDF corpus. */
+  private def kmFit(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import org.apache.spark.ml.clustering.KMeans
+    val fitted = ldaFit(s, d)
+    kmCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d",
+      new KMeans().setK(8).setSeed(42L).setMaxIter(20)
+        .setFeaturesCol("features").setPredictionCol("cluster")
+        .fit(fitted.corpus))
+  }
+
   /** ml08 — KMeans document clustering over the same TF·IDF matrix the
     * LDA surface trains on: the second classic text-clustering backend
     * (hard assignments, spherical-ish clusters) next to ml01-ml07's
@@ -463,13 +474,9 @@ object MlQueries {
       |  (SELECT COUNT(*) FROM documents) AS total_docs
       |FROM range(8) t(r)
       |ORDER BY cluster""".stripMargin) { (s, d) =>
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.{Vector => MlVector}
     val fitted = ldaFit(s, d)
-    val model = kmCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d",
-      new KMeans().setK(8).setSeed(42L).setMaxIter(20)
-        .setFeaturesCol("features").setPredictionCol("cluster")
-        .fit(fitted.corpus))
+    val model = kmFit(s, d)
     val centers = model.clusterCenters.map(_.toArray)
     val centerNormsSq = centers.map(c => c.map(x => x * x).sum)
     val bc = s.sparkContext.broadcast((centers, centerNormsSq))
@@ -513,7 +520,45 @@ object MlQueries {
       .orderBy("cluster")
   }
 
+  /** ml09 — per-cluster top terms: the KMeans analogue of the
+    * reference's topic descriptions (A8), completing the clustering
+    * report surface for the second backend. A centroid of TF·IDF
+    * vectors IS a term-weight profile, so its 10 heaviest components —
+    * resolved through the shared vocabulary, ties pinned by term — are
+    * the cluster's description. Model state is driver-side by nature
+    * (8 × |vocab| doubles, exactly like mllib's describeTopics), so the
+    * report is built from the centers and oracled in the
+    * [[topicsChecked]] invariant shape: exact cluster ids and term
+    * counts, distinct resolved terms, weights sorted descending and
+    * non-negative (a negative TF·IDF centroid component means a broken
+    * update). */
+  val ml09 = QueryDef.sql("ml09_kmeans_cluster_terms",
+    """SELECT CAST(r AS INTEGER) AS cluster, 10 AS n_terms,
+      |  TRUE AS terms_distinct, TRUE AS weights_descending,
+      |  TRUE AS weights_nonneg
+      |FROM range(8) t(r)
+      |ORDER BY cluster""".stripMargin) { (s, d) =>
+    val fitted = ldaFit(s, d)
+    val model = kmFit(s, d)
+    val vocab = fitted.vocab
+    val rows = model.clusterCenters.toSeq.zipWithIndex.map { case (c, j) =>
+      val top = c.toArray.zipWithIndex
+        .sortBy { case (w, i) => (-w, vocab(i)) }.take(10)
+      (j, top.map(t => vocab(t._2)).toSeq, top.map(_._1).toSeq)
+    }
+    import s.implicits._
+    rows.toDF("cluster", "terms", "weights")
+      .select(col("cluster"),
+        size(col("terms")).as("n_terms"),
+        (size(array_distinct(col("terms"))) === size(col("terms")))
+          .as("terms_distinct"),
+        (col("weights") === reverse(array_sort(col("weights"))))
+          .as("weights_descending"),
+        forall(col("weights"), w => w >= lit(0.0)).as("weights_nonneg"))
+      .orderBy("cluster")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(tf01, tf02, tf03, tf04, tf05, tf06, ml01, ml02, ml03, ml04, ml05,
-      ml06, ml07, ml08)
+      ml06, ml07, ml08, ml09)
 }
