@@ -1573,7 +1573,78 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** ss14 — maximum-inner-product search (MIPS) top-k via the
+    * norm-augmentation reduction to cosine (Bachrach et al., RecSys
+    * 2014; Shrivastava & Li, NIPS 2014): corpus vectors get one extra
+    * component √(M² − ‖x‖²) with M = max corpus norm, queries get 0 —
+    * every augmented corpus vector then has norm exactly M, so cosine
+    * against the augmented query RANKS identically to the raw inner
+    * product, and the entire cosine-ANN stack (ss02's LSH, ss04/ss09's
+    * IVF) serves dot-product retrieval (the recommender / two-tower
+    * scoring regime) with no new kernel. This query runs the reduction
+    * exactly: the scored value is vec_dot over the AUGMENTED pair —
+    * bit-identical to the raw dot, since the padded query component is
+    * 0 — ranked by the native map-side top-k aggregate, and every
+    * reported neighbor carries the reduction's defining invariant
+    * (‖augmented‖² ≈ M², boolean-gated; the only slack is float32
+    * storage of the pad).
+    *
+    * Scale: one max-norm aggregate (a scan-side partial max), then the
+    * ss01 shape — broadcast probes against a narrow corpus scan with
+    * top_k_ids/top_k_vals partial aggregation; no corpus shuffle, no
+    * window sort. */
+  val ss14 = QueryDef.sql("ss14_mips_topk",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS nid, embedding AS ne FROM embeddings),
+       |scored AS (
+       |  SELECT qid, nid, ${duckDot("qe", "ne")} AS dot
+       |  FROM q, c WHERE qid <> nid)
+       |SELECT qid, nid, rank, dot, TRUE AS aug_norm_ok FROM (
+       |  SELECT qid, nid, dot,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS INTEGER) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    regDot(s)
+    graft.functions.TopKIds.register(s)
+    graft.functions.TopKVals.register(s)
+    val e = T.embeddings(s, d)
+    val m2row = e
+      .select(expr(dotExpr.format("embedding", "embedding")).as("nn"))
+      .agg(max(col("nn")).as("m2"))
+    val corpusAug = e
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .crossJoin(broadcast(m2row))
+      .withColumn("nn", expr(dotExpr.format("ne", "ne")))
+      // the augmentation pad: non-negative by construction (m2 is the
+      // max of the same nn expression, computed in the same doubles)
+      .withColumn("aug_ne",
+        concat(col("ne"), array(sqrt(col("m2") - col("nn")).cast("float"))))
+    val probesAug = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        concat(col("embedding"), array(lit(0.0f))).as("aug_qe"))
+    val topk = corpusAug.crossJoin(broadcast(probesAug))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dot", expr(dotExpr.format("aug_ne", "aug_qe")))
+      .groupBy("qid")
+      .agg(expr("top_k_ids(dot, nid, 5)").as("ids"),
+        expr("top_k_vals(dot, nid, 5)").as("vals"))
+      .select(col("qid"),
+        posexplode(arrays_zip(col("ids"), col("vals"))).as(Seq("pos", "p")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("p.ids").as("nid"), col("p.vals").as("dot"))
+    // re-attach each winner's augmented vector to assert the reduction's
+    // invariant on every reported row (shortlist-sized broadcast join)
+    corpusAug.select(col("nid"), col("aug_ne"), col("m2"))
+      .join(broadcast(topk), "nid")
+      .withColumn("aug_norm_ok",
+        abs(expr(dotExpr.format("aug_ne", "aug_ne")) - col("m2")) <=
+          lit(1e-3) * col("m2"))
+      .select("qid", "nid", "rank", "dot", "aug_norm_ok")
+      .orderBy("qid", "rank")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(ss01, ss02, ss03, ss04, ss05, ss06, ss07, ss08, ss09, ss10, ss10b,
-      ss11, ss12, ss13, dd07, dd07b, dd14)
+      ss11, ss12, ss13, ss14, dd07, dd07b, dd14)
 }

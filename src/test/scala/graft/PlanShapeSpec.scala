@@ -34,6 +34,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "dd07b must join on band keys")
   }
 
+  test("ss14: MIPS ranks via the top-k aggregate, no per-probe window sort") {
+    val p = plan("ss14_mips_topk")
+    assert(p.contains("topkids") || p.contains("top_k_ids"),
+      "ss14 must rank through the native aggregate")
+    assert(!p.contains("SortMergeJoin"),
+      "ss14's joins are broadcast (probes and shortlist are tiny)")
+    assert(!p.contains("CartesianProduct"), "corpus side must stay a narrow scan")
+  }
+
   test("sp01: running sum plans no window operator") {
     val p = plan("sp01_token_budget")
     assert(!p.contains("Window"),
