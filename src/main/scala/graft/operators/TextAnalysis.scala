@@ -533,7 +533,68 @@ object TextAnalysis {
       .orderBy(col("exact_cnt").desc, col("tok"))
   }
 
+  /** ta16 — vocabulary-growth curve (Heaps' law diagnostics): cumulative
+    * distinct-term count and type/token ratio at each corpus decile. A
+    * saturating curve means the corpus stops contributing new language
+    * (diminishing returns for further ingestion; near-dup or
+    * boilerplate load); a linearly-growing one means high diversity (or
+    * OCR noise). Everything stays exact-integer: V(prefix) = number of
+    * terms whose FIRST occurrence falls before the prefix boundary, so
+    * one min-aggregate per term (map-side combinable — the classic
+    * first-occurrence trick; no per-prefix distinct-count passes),
+    * bucketed into deciles and prefix-summed over the TEN decile rows
+    * (a constant-size frame — the unpartitioned window is bounded by
+    * construction, unlike the GlobalCumsum cases). The only double is
+    * the final TTR division of two exact int64s. */
+  val ta16 = QueryDef.sql("ta16_vocab_growth",
+    """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      |tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+      |        FROM documents),
+      |ft AS (SELECT term, MIN(doc_id) AS first_doc FROM tok GROUP BY term),
+      |vb AS (SELECT least(9, CAST(first_doc * 10 // n AS INTEGER)) AS decile,
+      |               COUNT(*) AS new_terms
+      |        FROM ft, nn GROUP BY 1),
+      |tb AS (SELECT least(9, CAST(doc_id * 10 // n AS INTEGER)) AS decile,
+      |               COUNT(*) AS toks
+      |        FROM tok, nn GROUP BY 1),
+      |d AS (SELECT CAST(r AS INTEGER) AS decile FROM range(10) t(r)),
+      |c AS (
+      |  SELECT decile,
+      |    CAST((decile + 1) * n // 10 AS BIGINT) AS prefix_docs,
+      |    CAST(SUM(COALESCE(new_terms, 0)) OVER (ORDER BY decile) AS BIGINT)
+      |      AS vocab_cum,
+      |    CAST(SUM(COALESCE(toks, 0)) OVER (ORDER BY decile) AS BIGINT)
+      |      AS tokens_cum
+      |  FROM d LEFT JOIN vb USING (decile) LEFT JOIN tb USING (decile), nn)
+      |SELECT decile, prefix_docs, vocab_cum, tokens_cum,
+      |  CAST(vocab_cum AS DOUBLE) / tokens_cum AS ttr
+      |FROM c ORDER BY decile""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val vb = tok.groupBy("term").agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(nRow))
+      .select(expr("least(9, CAST((first_doc * 10) div n AS INT))").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("new_terms"))
+    val tb = tok.crossJoin(broadcast(nRow))
+      .select(expr("least(9, CAST((doc_id * 10) div n AS INT))").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("toks"))
+    // ten rows by construction — the unpartitioned window is bounded
+    val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    s.range(10).select(col("id").cast("int").as("decile"))
+      .join(vb, Seq("decile"), "left")
+      .join(tb, Seq("decile"), "left")
+      .crossJoin(broadcast(nRow))
+      .select(col("decile"),
+        expr("((decile + 1) * n) div 10").cast("long").as("prefix_docs"),
+        sum(coalesce(col("new_terms"), lit(0L))).over(w).cast("long").as("vocab_cum"),
+        sum(coalesce(col("toks"), lit(0L))).over(w).cast("long").as("tokens_cum"))
+      .withColumn("ttr", col("vocab_cum").cast("double") / col("tokens_cum"))
+      .orderBy("decile")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(ta01, ta02, ta03, ta04, ta05, ta06, ta07, ta11, ta12, ta13, ta14,
-      ta15)
+      ta15, ta16)
 }
