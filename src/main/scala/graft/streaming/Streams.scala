@@ -1173,7 +1173,97 @@ object Streams {
       .orderBy("user_id", "session_start")
   }
 
+  /** O(1) state per OPEN (user, day) key: admitted/rejected counters
+    * plus the max admitted event id. A production deployment pairs the
+    * keyed state with a watermark-driven timeout so a key evicts the
+    * moment its day closes (state ∝ open windows × active users, never
+    * history); over the deterministic single-file replay NoTimeout is
+    * exact and the oracle pins the full accounting. */
+  final case class QuotaState(nAdmitted: Long, nRejected: Long, maxAdmitted: Long)
+  final case class QuotaRow(
+      user_id: Long, win_us: Long, n_admitted: Long, n_rejected: Long,
+      max_admitted_event: Long)
+
+  /** st18 — streaming per-key QUOTA admission (rate limiter): each user
+    * may land at most K=2 events per UTC day; the first two in event-time
+    * order are admitted, the rest rejected-but-accounted. This is the
+    * ingestion-time fair-share/politeness gate of a crawl pipeline (per
+    * source/domain daily budget) — the streaming complement of sp01's
+    * batch token-budget selection.
+    *
+    * Scale shape: the state store keys directly on (user_id, day) — no
+    * per-user map of windows, so a skewed user cannot grow a single
+    * state row; admission per key is a counter compare. Batch-local
+    * events are sorted by (ts, event_id) before the quota check (bounded
+    * by micro-batch size); cross-batch order is event-time order because
+    * the file source replays in time order — the same in-order-replay
+    * contract st03/st10 document, made exact here by the single-file
+    * fixture. Update-mode sink, last write per key wins (pinned by the
+    * monotone total, as st10). */
+  val st18 = QueryDef.sql("st18_stream_quota_admission",
+    """WITH r AS (
+      |  SELECT user_id, event_id,
+      |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, window_start,
+      |  CAST(SUM(CASE WHEN rn <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+      |  CAST(SUM(CASE WHEN rn > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+      |  MAX(CASE WHEN rn <= 2 THEN event_id END) AS max_admitted_event
+      |FROM r GROUP BY 1, 2
+      |ORDER BY user_id, window_start""".stripMargin) { (s0, d) =>
+    assertSingleReplayFile(d)
+    val s = scopedSession(s0, StreamParts)
+    import s.implicits._
+    val quota = 2L
+    val dayUs = 86400L * 1000000L
+    val stream = T.eventsStream(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_id"))
+      .as[Ev2]
+    val admitted = stream
+      .groupByKey(e => (e.user_id, e.tsMicros - e.tsMicros % dayUs))
+      .mapGroupsWithState[QuotaState, QuotaRow](GroupStateTimeout.NoTimeout) {
+        (key, events, state) =>
+          val batch = events.toArray
+          java.util.Arrays.sort(batch, Ordering.by((e: Ev2) => (e.tsMicros, e.event_id)))
+          var st = state.getOption.getOrElse(QuotaState(0L, 0L, Long.MinValue))
+          var i = 0
+          while (i < batch.length) {
+            val e = batch(i)
+            st =
+              if (st.nAdmitted < quota)
+                QuotaState(st.nAdmitted + 1L, st.nRejected,
+                  math.max(st.maxAdmitted, e.event_id))
+              else QuotaState(st.nAdmitted, st.nRejected + 1L, st.maxAdmitted)
+            i += 1
+          }
+          state.update(st)
+          QuotaRow(key._1, key._2, st.nAdmitted, st.nRejected, st.maxAdmitted)
+      }
+    val name = s"st18_sink_${System.nanoTime()}"
+    val q = admitted.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .groupBy("user_id", "win_us")
+      .agg(max(struct(col("n_admitted") + col("n_rejected"),
+        col("n_admitted"), col("n_rejected"), col("max_admitted_event"))).as("st"))
+      .select(col("user_id"),
+        timestamp_micros(col("win_us")).as("window_start"),
+        col("st.n_admitted").as("n_admitted"),
+        col("st.n_rejected").as("n_rejected"),
+        col("st.max_admitted_event").as("max_admitted_event"))
+      .orderBy("user_id", "window_start")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(st01, st01b, st02, st03, st04, st05, st06, st07, st08, st09, st10,
-      st11, st12, st13, st14, st15, st16, st17)
+      st11, st12, st13, st14, st15, st16, st17, st18)
 }

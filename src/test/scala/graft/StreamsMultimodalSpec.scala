@@ -219,6 +219,29 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("st18: streamed quota admission equals the batch row_number form") {
+    val streamed = streaming.Streams.st18.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), date_trunc("day", col("ts")))
+      .orderBy("ts", "event_id")
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("window_start"),
+        col("event_id"), row_number().over(w).as("rn"))
+      .groupBy("user_id", "window_start")
+      .agg(sum(when(col("rn") <= 2, 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("rn") > 2, 1L).otherwise(0L)).as("n_rejected"),
+        max(when(col("rn") <= 2, col("event_id"))).as("max_admitted_event"))
+      .orderBy("user_id", "window_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(streamed.exists(_._4 > 0L),
+      "fixture should exercise the rejection path")
+    assert(streamed == batch)
+  }
+
   test("mm04: batch inference is partitioning-independent") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
