@@ -75,7 +75,15 @@ object Bench {
       "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
-    val heavyBudget = 300.0 // sec: cap on heavy-retry time
+    // Budgets scale with the SELECTED surface (r11 verdict item #2): the
+    // fixed 240/300 s were sized for ~130 queries; at 170 even an IDLE
+    // box drains the repeat pool mid-alphabet and the whole ta/tf tail
+    // degrades to single cold runs (the r12 opening close measured
+    // exactly that, as did three driver artifacts under load). The
+    // per-query allowances preserve the original ~130-query calibration
+    // (240/130 ≈ 1.85 s, 300/130 ≈ 2.3 s); the floors keep filtered
+    // family runs from starving their own heavies.
+    val heavyBudget = math.max(300.0, 2.3 * selected.size) // sec: cap on heavy-retry time
     var heavySpent = 0.0
     // 20 s sits between the worst load-spike inflation observed on a
     // sub-second query (q22 at 19.9 s in the r2 driver artifact, ta12 at
@@ -83,7 +91,7 @@ object Bench {
     // heavy fits (ml04 ≈ 27–37 s), so spiked queries get their retry and
     // the trainings still run once.
     val repeatThreshold = 20.0 // sec: heavier queries run once
-    val repeatBudget = 240.0   // sec: global cap on extra-run time
+    val repeatBudget = math.max(240.0, 1.85 * selected.size) // sec: global cap on extra-run time
     var repeatSpent = 0.0
     val results = selected.map { case (name, fn) =>
       val first = once(name, fn)

@@ -91,9 +91,10 @@ object Advanced {
     // executor OOM, and even sf1's three near-unique-valued groups
     // cost ~10 s of buffer build+merge (vs ~2.6 s for the histogram
     // shape). Interpolation is spec-pinned bit-identical between the
-    // paths, so the dial can never move the oracle hash. n = non-null
-    // count on the scale path, == COUNT(*) here (o_totalprice is
-    // non-null by schema).
+    // paths, so the dial can never move the oracle hash. n = COUNT(*)
+    // on BOTH paths (r11 ADVICE #3: the scale path used the non-null
+    // count and dropped all-NULL groups — divergent if o_totalprice
+    // ever admits NULLs at scale).
     val o = T.orders(s, d)
     if (ExactPercentile.smallInput(o))
       o.groupBy("o_orderstatus")

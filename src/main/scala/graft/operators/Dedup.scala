@@ -509,18 +509,22 @@ object Dedup {
     * near-dup/co-purchase graph is a few million edges (the common
     * case) still takes the local path; a billion-edge graph does not.
     *
-    * The ceiling is derived from ACTUAL driver headroom at call time
-    * (r10 verdict item #6) instead of a fixed constant: collect() of E
+    * The ceiling is derived from ACTUAL driver headroom (r10 verdict
+    * item #6) instead of a fixed constant: collect() of E
     * symmetrized edges costs ~200 B/edge transient (GenericRow + two
     * boxed longs) and the union-find keeps ~100 B/node in its HashMap,
-    * so budget 20% of currently-free heap at ~300 B/edge, clamped to
+    * so budget 20% of free heap at ~300 B/edge, clamped to
     * [1M, 16M] — the floor keeps trivially small graphs local even
     * under a loaded heap (where the distributed path's ~0.5 s/round
     * scheduler floor would dominate anyway), the cap keeps a huge-heap
     * driver from pulling a genuinely big graph out of the cluster.
-    * Path equality is spec-pinned (GraphSpec), so where the dial lands
-    * can never move an oracle hash. */
-  private[graft] def LocalCcMaxEdges: Long = {
+    * Sampled ONCE per JVM (lazy val — r11 ADVICE #4: a per-call
+    * re-sample made the path choice GC-timing-dependent, so bench reps
+    * of the same query could silently flip regimes; both paths log
+    * which one ran, so artifacts record the regime). Path equality is
+    * spec-pinned (GraphSpec), so where the dial lands can never move
+    * an oracle hash. */
+  private[graft] lazy val LocalCcMaxEdges: Long = {
     val rt = Runtime.getRuntime
     val free = rt.maxMemory() - (rt.totalMemory() - rt.freeMemory())
     math.max(1000000L, math.min(16000000L, free / 5 / 300))

@@ -51,8 +51,11 @@ object ExactPercentile {
     df.queryExecution.optimizedPlan.stats.sizeInBytes <= BuiltinMaxBytes
 
   /** One row per (group, percentile): `(groupCol, p, value, n)` via the
-    * scale shape. `ps` must be non-empty; NULL values are ignored like
-    * the builtin. */
+    * scale shape. `ps` must be non-empty. NULL values are ignored for
+    * the percentile like the builtin, but `n` is COUNT(*) and every
+    * group keeps its rows — an all-NULL group yields a NULL value with
+    * its true row count, matching the small-input one-pass form the
+    * q33/q57 dial would otherwise diverge from (r11 ADVICE #3). */
   def byGroup(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty)
@@ -65,7 +68,7 @@ object ExactPercentile {
       valueCol: String, ps: Seq[Double]): DataFrame = {
     val pCols = ps.zipWithIndex.map { case (p, i) =>
       expr(s"percentile(CAST($valueCol AS DOUBLE), ${p}D)").as(s"_v$i")
-    } :+ count(col(valueCol)).as("n")
+    } :+ count(lit(1)).as("n")
     val wide = df.groupBy(col(groupCol))
       .agg(pCols.head, pCols.tail: _*)
     val spark = df.sparkSession
@@ -107,7 +110,7 @@ object ExactPercentile {
     val lo = col("cum") - col("cnt")
     val coversLo = lo <= col("glo") && col("glo") <= col("cum") - 1
     val coversHi = lo <= col("ghi") && col("ghi") <= col("cum") - 1
-    cum.join(broadcast(targets),
+    val interp = cum.join(broadcast(targets),
         col("g") === col("tg") && (coversLo || coversHi))
       .groupBy(col("g"), col("p"))
       .agg(
@@ -115,14 +118,25 @@ object ExactPercentile {
         max(when(coversHi, col("v"))).as("vhi"),
         first(col("pos")).as("pos"),
         first(col("lower")).as("lower"),
-        first(col("higher")).as("higher"),
-        first(col("n")).as("n"))
-      .select(col("g").as(groupCol), col("p"),
+        first(col("higher")).as("higher"))
+      .select(col("g"), col("p"),
         when(col("lower") === col("higher"), col("vlo"))
           .otherwise(
             (col("higher").cast("double") - col("pos")) * col("vlo") +
             (col("pos") - col("lower").cast("double")) * col("vhi"))
-          .as("value"),
-        col("n"))
+          .as("value"))
+    // group list + n from the UNFILTERED input (COUNT(*), matching the
+    // small-input builtin path's count(lit(1)) — r11 ADVICE #3): an
+    // all-NULL group keeps its rows with a NULL percentile instead of
+    // vanishing, and n counts NULL values too. One extra map-side-
+    // combined groupBy over df; its shuffle carries one row per group
+    // per partition. Position math above still uses the NON-NULL count
+    // (the builtin's percentile rank semantics).
+    val groupsStar = df.groupBy(col(groupCol).as("gs"))
+      .agg(count(lit(1)).as("n_star"))
+    groupsStar.crossJoin(broadcast(ps.toDF("ps")))
+      .join(interp, col("gs") === col("g") && col("ps") === col("p"), "left")
+      .select(col("gs").as(groupCol), col("ps").as("p"), col("value"),
+        col("n_star").as("n"))
   }
 }

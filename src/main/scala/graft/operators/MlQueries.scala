@@ -463,7 +463,13 @@ object MlQueries {
     * raw distances, 1e-9 relative tolerance for float order), centers
     * are non-negative (convex combinations of TF·IDF vectors — a
     * negative component means a broken update), the model's
-    * trainingCost equals the recomputed Σ min-d² (1e-4 relative), and
+    * trainingCost BOUNDS the recomputed Σ min-d² from above (Spark
+    * evaluates trainingCost against the centers at the START of the
+    * final Lloyd iteration; the recomputation here uses the FINAL
+    * post-update centers with argmin assignments, which the update +
+    * reassignment steps can only improve — a maxIter-bounded fit need
+    * not close the gap to equality, so the gate is one-sided with a
+    * small relative slack for float order; r11 ADVICE #2), and
     * the per-cluster membership accounts for EXACTLY the corpus size
     * in total (pure SQL). Empty clusters keep their row (range(8)
     * left join) so a degenerate fit cannot change the row count. */
@@ -506,8 +512,8 @@ object MlQueries {
     val global = pred.agg(
       sum(col("mind2")).as("recomputed"), count(lit(1)).as("n_total"))
       .select(
-        (abs(col("recomputed") - lit(cost)) <=
-          lit(1e-4) * greatest(lit(1.0), lit(cost))).as("cost_consistent"),
+        (col("recomputed") <=
+          lit(cost) * lit(1.0 + 1e-6) + lit(1e-6)).as("cost_consistent"),
         col("n_total").as("total_docs"))
     val centerNonneg = centers.forall(_.forall(_ >= -1e-12))
     s.range(8).select(col("id").cast("int").as("cluster"))

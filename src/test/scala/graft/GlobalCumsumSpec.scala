@@ -79,9 +79,34 @@ class GlobalCumsumSpec extends AnyFunSuite {
           java.lang.Double.doubleToLongBits(builtin(k)),
           s"$k: got $v builtin ${builtin(k)}")
       }
-      // n column: non-null count per group
+      // n column: COUNT(*) per group (no NULLs in this fixture)
       val ns = path.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
       assert(ns == Map("a" -> 997L, "b" -> 500L, "c" -> 1L, "d" -> 4L))
+    }
+  }
+
+  test("byGroup NULL semantics: all-NULL groups survive, n is COUNT(*)") {
+    // r11 ADVICE #3: the histogram path filtered NULLs, so an all-NULL
+    // group vanished and n was the non-null count, while the builtin
+    // path kept the group with a NULL percentile and counted all rows —
+    // the stats dial could then move results if the column admits NULLs.
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", 3.0), ("a", null), // mixed: percentile over {1,3}
+      ("e", null), ("e", null)             // all-NULL group
+    ).toDF("g", "x")
+    val ps = Seq(0.5)
+    for (path <- Seq(
+        operators.ExactPercentile.byGroupHistogram(df, "g", "x", ps),
+        operators.ExactPercentile.byGroupBuiltin(df, "g", "x", ps))) {
+      val rows = path.collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3)))
+        .toMap
+      assert(rows == Map(
+        "a" -> (Some(2.0), 3L), // NULL ignored for the rank, counted in n
+        "e" -> (None, 2L)),     // group kept, NULL value, true row count
+        s"got $rows")
     }
   }
 }

@@ -69,4 +69,59 @@ class ToolsSpec extends AnyFunSuite {
     val out = new String(Files.readAllBytes(dir.resolve("expect.json")), "UTF-8")
     assert(out.contains("\"q1\": 0.5") && out.contains("\"q_new\": 3.0"))
   }
+
+  test("pin-raise: a name in the REASON text is not a justification") {
+    // r11 ADVICE #1: 'pin-raise: q1 — slower than q2' must justify q1
+    // only — names after the em-dash/-- separator are prose
+    val dir = Files.createTempDirectory("graft_pins3")
+    write(dir, "bench.json", """{"queries": {"q1": 2.0, "q2": 3.0}}""")
+    write(dir, "expect.json", """{"_comment": "x", "q1": 1.0, "q2": 1.0}""")
+    write(dir, "NOTES.md", "- pin-raise: q1 — slower than q2 after the fixture change")
+    val (code, err) = run(dir, "--allow-raise", "q1,q2")
+    assert(code == 1 && err.contains("q2"), s"exit=$code\n$err")
+    // the '--' separator form is parsed the same way
+    write(dir, "NOTES.md", "- pin-raise: q1 -- slower than q2")
+    val (codeB, errB) = run(dir, "--allow-raise", "q1,q2")
+    assert(codeB == 1 && errB.contains("q2"), s"exit=$codeB\n$errB")
+    // naming both BEFORE the separator covers both
+    write(dir, "NOTES.md", "- pin-raise: q1 q2 — fixture change doubled both")
+    val (code2, err2) = run(dir, "--allow-raise", "q1,q2")
+    assert(code2 == 0, s"exit=$code2\n$err2")
+  }
+
+  test("the real pin file must cover every declared query") {
+    // r11 verdict item #1: five post-close queries shipped without pins
+    // and were exempt from spike protection — the generator now refuses
+    // a BENCH_EXPECT.json that misses any QueryDef declared in source
+    val dir = Files.createTempDirectory("graft_pins4")
+    val src = dir.resolve("src")
+    Files.createDirectories(src)
+    write(src, "Qs.scala",
+      """val a = QueryDef.sql("q1_agg",
+        |  "SELECT 1") { (s, d) => null }
+        |val b = QueryDef.rowsOnly("q9_new") { (s, d) => null }""".stripMargin)
+    write(dir, "NOTES.md", "")
+    def runReal(bench: String): (Int, String) = {
+      import scala.sys.process._
+      write(dir, "bench.json", bench)
+      val cmd = Seq("python3", "tools/gen_bench_expect.py",
+        dir.resolve("bench.json").toString,
+        "--expect", dir.resolve("BENCH_EXPECT.json").toString,
+        "--notes", dir.resolve("NOTES.md").toString,
+        "--src", src.toString)
+      val err = new StringBuilder
+      val code = Process(cmd, new java.io.File("."))
+        .!(ProcessLogger(_ => (), l => err.append(l).append('\n')))
+      (code, err.toString)
+    }
+    val (code, err) = runReal("""{"queries": {"q1_agg": 2.0}}""")
+    assert(code == 1 && err.contains("q9_new"), s"exit=$code\n$err")
+    // full coverage writes; a scratch expect path (other tests above)
+    // stays exempt so tooling tests remain self-contained
+    val (code2, err2) = runReal("""{"queries": {"q1_agg": 2.0, "q9_new": 0.5}}""")
+    assert(code2 == 0, s"exit=$code2\n$err2")
+    val out = new String(
+      Files.readAllBytes(dir.resolve("BENCH_EXPECT.json")), "UTF-8")
+    assert(out.contains("\"q9_new\": 0.5"))
+  }
 }

@@ -8,6 +8,15 @@ spike protection — unpinned heavies recorded single spiked samples in
 r6 AND r7). graft.Bench retries (up to twice, budgeted) any query whose
 best exceeds max(1.5x pin, pin + 0.5s).
 
+Declared-coverage gate (r11 verdict item #1): every QueryDef declared in
+the Scala source must end up with a pin — an unpinned query is exempt
+from the spike-retry protocol, exactly the hole that let r6's dd02
+artifact stand and left the five r11 post-close queries unprotected.
+The script scans --src (default src/main/scala) for QueryDef
+declarations and REFUSES to write a pin file that misses any of them;
+active only when writing the real pin file (basename BENCH_EXPECT.json),
+so tooling tests against scratch expect paths stay self-contained.
+
 Pin-raise guard (r8 verdict item #7; hardened r11 per r10 verdict
 item #4): a pin may only be RAISED by more than 1.5x AND more than
 +0.5s absolute over its committed value (the same two-sided rule the
@@ -17,13 +26,15 @@ names it on a structured justification line of the form
 
     pin-raise: <query> [<query> ...] — <reason>
 
-(the query name must appear as a word on a line starting `pin-raise:`;
-a stale mention of the name elsewhere in NOTES.md no longer counts).
+(the query name must appear as a word on a line starting `pin-raise:`,
+BEFORE the em-dash/`--` reason separator — r11 ADVICE: a query name
+inside the reason text is prose, not a justification; a stale mention
+of the name elsewhere in NOTES.md never counted).
 Otherwise the script refuses — a regression can never silently become
 the new baseline.
 
 Usage: python3 tools/gen_bench_expect.py BENCH_A.json [BENCH_B.json ...]
-         [--allow-raise q1,q2] [--expect PATH] [--notes PATH]
+         [--allow-raise q1,q2] [--expect PATH] [--notes PATH] [--src DIR]
 """
 import json
 import math
@@ -38,6 +49,7 @@ args = sys.argv[1:]
 allow_raise = set()
 expect_path = "BENCH_EXPECT.json"
 notes_path = "NOTES.md"
+src_dir = "src/main/scala"
 paths = []
 i = 0
 while i < len(args):
@@ -49,6 +61,9 @@ while i < len(args):
         i += 2
     elif args[i] == "--notes":
         notes_path = args[i + 1]
+        i += 2
+    elif args[i] == "--src":
+        src_dir = args[i + 1]
         i += 2
     else:
         paths.append(args[i])
@@ -67,15 +82,39 @@ if os.path.exists(expect_path):
             if not k.startswith("_")}
 notes = open(notes_path).read() if os.path.exists(notes_path) else ""
 # structured pin-raise justifications: only names appearing on a line
-# that STARTS `pin-raise:` (after optional list bullet) count — a stale
-# mention of a query name elsewhere in NOTES.md is not a justification
+# that STARTS `pin-raise:` (after optional list bullet), and only in the
+# name list BEFORE the reason separator — 'pin-raise: q1 — slower than
+# q2' justifies q1, not q2 (r11 ADVICE #1)
 pin_raise_names = set()
 for line in notes.splitlines():
     m = re.match(r"^\s*(?:[-*]\s*)?pin-raise:\s*(.*)$", line)
     if m:
-        pin_raise_names |= set(re.findall(r"[A-Za-z0-9_]+", m.group(1)))
+        name_part = re.split(r"—|--", m.group(1), maxsplit=1)[0]
+        pin_raise_names |= set(re.findall(r"[A-Za-z0-9_]+", name_part))
 
 new_pins = {k: math.ceil(v * 1000) / 1000 for k, v in queries.items()}
+
+# declared-coverage gate: only for the real pin file
+if os.path.basename(expect_path) == "BENCH_EXPECT.json" and os.path.isdir(src_dir):
+    declared = set()
+    for root, _, files in os.walk(src_dir):
+        for fn in files:
+            if fn.endswith(".scala"):
+                with open(os.path.join(root, fn)) as f:
+                    declared |= set(re.findall(
+                        r'QueryDef\.(?:sql|rowsOnly)\(\s*"([A-Za-z0-9_]+)"',
+                        f.read()))
+    missing = sorted(declared - set(new_pins))
+    if missing:
+        sys.stderr.write(
+            "REFUSING: declared queries without a pin (regenerate from a "
+            "clean FULL-surface bench of the CURRENT tree):\n  "
+            + " ".join(missing) + "\n")
+        sys.exit(1)
+    if not declared:
+        sys.stderr.write(f"REFUSING: no QueryDef declarations under {src_dir}\n")
+        sys.exit(1)
+
 offenders = []
 for k, v in sorted(new_pins.items()):
     if k in prev and prev[k] > 0 and v > prev[k] * RAISE_FACTOR \
@@ -107,9 +146,9 @@ comment = (
     "queries record single spiked samples under driver-box load. "
     "Hand-regenerated per round from committed clean runs via "
     "tools/gen_bench_expect.py (which refuses >1.5x pin raises unless "
-    "--allow-raise + a NOTES.md entry); BENCH_LOCAL.json cannot serve "
-    "this role because driver runs overwrite it with possibly-spiked "
-    "values."
+    "--allow-raise + a NOTES.md entry, and refuses to omit any declared "
+    "query); BENCH_LOCAL.json cannot serve this role because driver "
+    "runs overwrite it with possibly-spiked values."
 )
 out = {"_comment": comment}
 for k in sorted(new_pins):
