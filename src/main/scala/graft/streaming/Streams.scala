@@ -1017,7 +1017,7 @@ object Streams {
     * admission) with zero pre-join shuffles on either. stack() unpivots
     * the 8 wide columns; it is a stateless generator, so the streaming
     * plan stays aggregation-free until the post-join count. */
-  private def scalarSignatures(docs: DataFrame): DataFrame = {
+  private[graft] def scalarSignatures(docs: DataFrame): DataFrame = {
     // fused native kernel (r9): the HOF chain here ran ~(k+1)·|shingles|
     // INTERPRETED md5 lambdas per document — the dominant st14 cost at
     // sf1 (~20 s of its 23 s) — and is spec-pinned bit-identical to

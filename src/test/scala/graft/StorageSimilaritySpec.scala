@@ -607,4 +607,35 @@ class StorageSimilaritySpec extends AnyFunSuite {
     assert(plan.contains("topkids") || plan.contains("top_k_ids"),
       s"expected native top_k_ids aggregate in plan:\n$plan")
   }
+
+  test("dd16 incremental band-index admission on a hand-planted delta") {
+    // every decision is md5-deterministic: disjoint shingle sets share
+    // ZERO signature components (distinct 60-bit fingerprints give
+    // distinct md5(i:h) strings, so equal component minima require a
+    // shared shingle), and an exact copy shares all 8 — the planted
+    // corpus pins both extremes plus the admission logic between them
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different corpus text with many unrelated tokens here"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again"),
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (15L, "a wholly novel delta document nothing like anything else at all"),
+      (20L, "too short")
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.incrementalBandIndex(spark, docs)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4))))
+      .toMap
+    // delta 5 = exact copy of corpus 1: all 8 bands collide -> rejected
+    assert(got(5L) == ((8L, 0L, false, 0L)), s"got ${got.get(5L)}")
+    // delta 10 = same text: collides with corpus 1 AND lower delta 5
+    assert(got(10L) == ((8L, 8L, false, 0L)), s"got ${got.get(10L)}")
+    // delta 15 = disjoint shingles: clean, admitted, 8 index rows appended
+    assert(got(15L) == ((0L, 0L, true, 8L)), s"got ${got.get(15L)}")
+    // delta 20 has < 3 tokens: outside the signature domain, no row
+    assert(got.keySet == Set(5L, 10L, 15L), s"got ${got.keySet}")
+  }
 }
