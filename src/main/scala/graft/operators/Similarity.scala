@@ -47,7 +47,7 @@ object Similarity {
   private def cosine(qe: String, ne: String): String =
     s"${dotExpr.format(qe, ne)} / (sqrt(${dotExpr.format(qe, qe)}) * sqrt(${dotExpr.format(ne, ne)}))"
 
-  private def duckDot(a: String, b: String): String =
+  private[graft] def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
   private def duckCosine(qe: String, ne: String): String =
@@ -405,7 +405,7 @@ object Similarity {
       s"(CASE WHEN ${dotExpr.format(col0, planeArraySpark(p))} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
 
-  private def sigDuck(nPlanes: Int, col0: String): String =
+  private[graft] def sigDuck(nPlanes: Int, col0: String): String =
     (0 until nPlanes).map { p =>
       val dot = s"list_sum(list_transform(range(1, len($col0)+1), i -> CAST($col0[i] AS DOUBLE) * (${planeArraySql(p)})[i]))"
       s"(CASE WHEN $dot > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"

@@ -1275,7 +1275,88 @@ object Streams {
       .orderBy("user_id", "window_start")
   }
 
+  /** st19 — streaming embedding near-dup admission: the embedding-side
+    * twin of st14 (text MinHash) and the ingestion-time shape of dd07's
+    * banded SimHash dedup, closing the admission family across both
+    * modalities. Incoming vectors (vec_id % 5 = 0 plays the crawl
+    * delta) are signed with the md5-derived 16-plane signature as PURE
+    * SCALAR expressions — map-only: the sig is a projected column, the
+    * 2×8-bit band unpivot is a stateless constant-sequence generator
+    * (the st14 shape), and there is no shuffle before the join. Each
+    * micro-batch probes the STATIC band index of the existing corpus
+    * (vec_id % 5 <> 0; at 100 TB a bucketed table keyed by (k, band) —
+    * the standing state dd16 maintains on the text side), verifies
+    * every ≥1-shared-band candidate with ONE exact dot product against
+    * the index row's cached norm, and emits the pair with its
+    * shared-band count and the ≥ 0.35 near-dup verdict (the dd07
+    * graded-corpus cut — the fixture has no true near-dups, max
+    * pairwise cos ≈ 0.49; production raises cut + planes). Planes,
+    * banding, and verification are all md5-deterministic, so the
+    * DuckDB oracle re-derives the candidate set AND the verdicts
+    * bit-exactly — the dd07 oracle property, now under a stream. */
+  val st19 = QueryDef.sql("st19_stream_simhash_admission",
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |    ${graft.operators.Similarity.sigDuck(16, "embedding")} AS sig,
+       |    sqrt(${graft.operators.Similarity.duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |inc AS (SELECT * FROM b WHERE vec_id % 5 = 0),
+       |corp AS (SELECT * FROM b WHERE vec_id % 5 <> 0),
+       |bi AS (SELECT vec_id, k, (sig >> (8 * CAST(k AS INT))) & 255 AS band
+       |       FROM inc, generate_series(0, 1) g(k)),
+       |bc AS (SELECT vec_id, k, (sig >> (8 * CAST(k AS INT))) & 255 AS band
+       |       FROM corp, generate_series(0, 1) g(k)),
+       |cand AS (SELECT bi.vec_id AS incoming_id, bc.vec_id AS corpus_id,
+       |           COUNT(*) AS shared_bands
+       |         FROM bi JOIN bc ON bi.k = bc.k AND bi.band = bc.band
+       |         GROUP BY 1, 2),
+       |scored AS (SELECT cand.incoming_id, cand.corpus_id, cand.shared_bands,
+       |    ${graft.operators.Similarity.duckDot("i.embedding", "c.embedding")}
+       |      / (i.nrm * c.nrm) AS cos_sim
+       |  FROM cand JOIN inc i ON i.vec_id = cand.incoming_id
+       |            JOIN corp c ON c.vec_id = cand.corpus_id)
+       |SELECT incoming_id, corpus_id, shared_bands, cos_sim,
+       |  cos_sim >= 0.35e0 AS is_neardup
+       |FROM scored
+       |ORDER BY incoming_id, corpus_id""".stripMargin) { (s0, d) =>
+    import graft.operators.{Similarity => Sim}
+    val s = scopedSession(s0, StreamParts)
+    Sim.regDot(s)
+    def withSig(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
+      expr(Sim.sigSpark(16, "embedding")).as("sig"),
+      sqrt(expr(Sim.dotExpr.format("embedding", "embedding"))).as("nrm"))
+    def banded(df: DataFrame, id: String, e: String, n: String) = withSig(df)
+      .selectExpr(s"vec_id AS $id", s"embedding AS $e", s"nrm AS $n", "sig",
+        "explode(sequence(0, 1)) AS k")
+      .selectExpr(id, e, n, "k",
+        "shiftright(sig, 8 * CAST(k AS INT)) & 255L AS band")
+    val eb = T.embeddings(s, d)
+    val corpIdx = banded(
+      T.widened(eb.filter(col("vec_id") % 5 =!= 0)), "corpus_id", "ce", "cnrm")
+    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+    val admitted = banded(stream.filter(col("vec_id") % 5 === 0),
+        "incoming_id", "ie", "inrm")
+      .join(corpIdx, Seq("k", "band"))
+      .withColumn("cos",
+        expr(Sim.dotExpr.format("ie", "ce")) / (col("inrm") * col("cnrm")))
+      .groupBy("incoming_id", "corpus_id")
+      .agg(count(lit(1)).as("shared_bands"), max(col("cos")).as("cos_sim"))
+    val name = s"st19_sink_${System.nanoTime()}"
+    val q = admitted.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("incoming_id"), col("corpus_id"), col("shared_bands"),
+        col("cos_sim"), (col("cos_sim") >= 0.35).as("is_neardup"))
+      .orderBy("incoming_id", "corpus_id")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(st01, st01b, st02, st03, st04, st05, st06, st07, st08, st09, st10,
-      st11, st12, st13, st14, st15, st16, st17, st18)
+      st11, st12, st13, st14, st15, st16, st17, st18, st19)
 }

@@ -219,6 +219,47 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("st19: streamed SimHash admission equals the batch banded form") {
+    // The streaming side signs each vector with the 16-plane scalar
+    // expression and probes the static band index per micro-batch; this
+    // comparator rebuilds the same 2x8-bit banding with plain batch
+    // frames over the same split. Agreement proves the stream-static
+    // band join + complete-mode pair aggregation + exact-cosine verify
+    // reproduce dd07's batch dataflow shape end to end.
+    val streamed = streaming.Streams.st19.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getBoolean(4))).toSeq
+    import graft.operators.{Similarity => Sim}
+    Sim.regDot(spark)
+    val b = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        expr(Sim.sigSpark(16, "embedding")).as("sig"),
+        sqrt(expr(Sim.dotExpr.format("embedding", "embedding"))).as("nrm"))
+    def banded(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("sig"),
+        explode(expr("sequence(0, 1)")).as("k"))
+      .withColumn("band", expr("shiftright(sig, 8 * CAST(k AS INT)) & 255L"))
+    val inc = banded(b.filter(col("vec_id") % 5 === 0))
+      .select(col("vec_id").as("incoming_id"), col("embedding").as("ie"),
+        col("nrm").as("inrm"), col("k"), col("band"))
+    val corp = banded(b.filter(col("vec_id") % 5 =!= 0))
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"),
+        col("nrm").as("cnrm"), col("k"), col("band"))
+    val batch = inc.join(corp, Seq("k", "band"))
+      .withColumn("cos",
+        expr(Sim.dotExpr.format("ie", "ce")) / (col("inrm") * col("cnrm")))
+      .groupBy("incoming_id", "corpus_id")
+      .agg(count(lit(1)).as("shared_bands"), max(col("cos")).as("cos_sim"))
+      .select(col("incoming_id"), col("corpus_id"), col("shared_bands"),
+        col("cos_sim"), (col("cos_sim") >= 0.35).as("is_neardup"))
+      .orderBy("incoming_id", "corpus_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getBoolean(4))).toSeq
+    assert(streamed.nonEmpty, "fixture should produce at least one candidate pair")
+    assert(streamed == batch)
+  }
+
   test("st18: streamed quota admission equals the batch row_number form") {
     val streamed = streaming.Streams.st18.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3),
