@@ -29,8 +29,16 @@ object Bench {
     // optional comma-separated name-prefix filter for local iteration
     // (unset → full surface; the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // exclusion filter (r12 verdict #2): closing.sh's >=10x audits run
+    // the streaming family in its OWN JVM (EXCLUDE=st for the main pass,
+    // ONLY=st for the st pass, merged by tools/merge_bench.py) — the
+    // latency-bound micro-batch queries otherwise absorb ~150 queries
+    // of accumulated suite-JVM state (+1.5-7.6 s/query at sf1, code
+    // unchanged; adjudicated solo in NOTES r12)
+    val excl = sys.env.get("SPARK_GRAFT_EXCLUDE").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      only.forall(_.exists(n.startsWith))
+      only.forall(_.exists(n.startsWith)) &&
+        excl.forall(!_.exists(n.startsWith))
     }
     // Load-robustness: the shared box can land a 100-row projection at
     // 20 s (r2/r3 driver artifacts ran ~1.5× the clean protocol). Each
@@ -118,12 +126,34 @@ object Bench {
         // absolute floor of 0.5 s alongside the 1.5x ratio: a 0.1 s query
         // reading 0.2 s is scheduler noise, and retrying it would drain
         // heavyBudget before the genuinely spiked heavies get their turn
+        // per-iteration median guard (r12 verdict #3): a query with an
+        // ":iter_median" pin (ml04 — EM-LDA wall time has a 28.9-35.5 s
+        // run-to-run spread at sf0.1) is judged on the MEDIAN of its
+        // most recent fit's iteration times instead of wall time: EM
+        // scheduling spread can't trigger spurious heavy retries, while
+        // a real 1.5x per-iteration regression still trips. The
+        // absolute floor is 0.02 s (per-iteration scale), not the 0.5 s
+        // wall floor that would swallow any per-iter regression.
+        def median(xs: Seq[Double]): Double = {
+          val s = xs.sorted
+          if (s.isEmpty) 0.0
+          else if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+        }
+        def spiked(bestSoFar: Double): Boolean =
+          expected.get(name + ":iter_median") match {
+            case Some(expMed) =>
+              operators.MlQueries.ml04IterTimes.map(median)
+                .exists(m => m > 1.5 * expMed && m - expMed > 0.02)
+            case None =>
+              expected.get(name)
+                .exists(exp => bestSoFar > 1.5 * exp && bestSoFar - exp > 0.5)
+          }
         var spikeRetries = 0
-        while (expected.get(name).exists(exp => best > 1.5 * exp && best - exp > 0.5) &&
-               heavySpent < heavyBudget && spikeRetries < 2) {
-          val exp = expected(name)
+        while (spiked(best) && heavySpent < heavyBudget && spikeRetries < 2) {
+          val exp = expected.getOrElse(name + ":iter_median", expected(name))
           System.err.println(
-            f"[bench] $name best run $best%.1f s > 1.5x expected $exp%.1f s - retrying (${spikeRetries + 1}/2)")
+            f"[bench] $name best run $best%.1f s over 1.5x its pin ($exp%.2f s reference) - retrying (${spikeRetries + 1}/2)")
           val t = once(name, fn)
           heavySpent += t
           spikeRetries += 1
@@ -189,7 +219,7 @@ object Bench {
     val sfDirNorm =
       try java.nio.file.Paths.get(sfDir).toRealPath().toString
       catch { case _: Throwable => java.nio.file.Paths.get(sfDir).normalize().toString }
-    if (only.isEmpty && sfDirNorm == "/root/testdata/sf0.1")
+    if (only.isEmpty && excl.isEmpty && sfDirNorm == "/root/testdata/sf0.1")
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -110,8 +110,11 @@ object ExactPercentile {
     val lo = col("cum") - col("cnt")
     val coversLo = lo <= col("glo") && col("glo") <= col("cum") - 1
     val coversHi = lo <= col("ghi") && col("ghi") <= col("cum") - 1
+    // null-safe group equality (r12 ADVICE #1): a NULL group key must
+    // reach its own targets row, or the histogram path returns NULL
+    // percentiles where the builtin path computes real values
     val interp = cum.join(broadcast(targets),
-        col("g") === col("tg") && (coversLo || coversHi))
+        col("g") <=> col("tg") && (coversLo || coversHi))
       .groupBy(col("g"), col("p"))
       .agg(
         max(when(coversLo, col("v"))).as("vlo"),
@@ -135,7 +138,7 @@ object ExactPercentile {
     val groupsStar = df.groupBy(col(groupCol).as("gs"))
       .agg(count(lit(1)).as("n_star"))
     groupsStar.crossJoin(broadcast(ps.toDF("ps")))
-      .join(interp, col("gs") === col("g") && col("ps") === col("p"), "left")
+      .join(interp, col("gs") <=> col("g") && col("ps") === col("p"), "left")
       .select(col("gs").as(groupCol), col("ps").as("p"), col("value"),
         col("n_star").as("n"))
   }

@@ -1310,10 +1310,10 @@ object Streams {
        |         FROM bi JOIN bc ON bi.k = bc.k AND bi.band = bc.band
        |         GROUP BY 1, 2),
        |scored AS (SELECT cand.incoming_id, cand.corpus_id, cand.shared_bands,
-       |    ${graft.operators.Similarity.duckDot("i.embedding", "c.embedding")}
-       |      / (i.nrm * c.nrm) AS cos_sim
-       |  FROM cand JOIN inc i ON i.vec_id = cand.incoming_id
-       |            JOIN corp c ON c.vec_id = cand.corpus_id)
+       |    ${graft.operators.Similarity.duckDot("inc_r.embedding", "corp_r.embedding")}
+       |      / (inc_r.nrm * corp_r.nrm) AS cos_sim
+       |  FROM cand JOIN inc inc_r ON inc_r.vec_id = cand.incoming_id
+       |            JOIN corp corp_r ON corp_r.vec_id = cand.corpus_id)
        |SELECT incoming_id, corpus_id, shared_bands, cos_sim,
        |  cos_sim >= 0.35e0 AS is_neardup
        |FROM scored

@@ -93,19 +93,24 @@ class GlobalCumsumSpec extends AnyFunSuite {
     import spark.implicits._
     val df = Seq[(String, java.lang.Double)](
       ("a", 1.0), ("a", 3.0), ("a", null), // mixed: percentile over {1,3}
-      ("e", null), ("e", null)             // all-NULL group
+      ("e", null), ("e", null),            // all-NULL group
+      (null, 10.0), (null, 20.0)           // NULL group KEY, real values
     ).toDF("g", "x")
     val ps = Seq(0.5)
     for (path <- Seq(
         operators.ExactPercentile.byGroupHistogram(df, "g", "x", ps),
         operators.ExactPercentile.byGroupBuiltin(df, "g", "x", ps))) {
       val rows = path.collect()
-        .map(r => r.getString(0) ->
+        .map(r => Option(r.getString(0)) ->
           (if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3)))
         .toMap
       assert(rows == Map(
-        "a" -> (Some(2.0), 3L), // NULL ignored for the rank, counted in n
-        "e" -> (None, 2L)),     // group kept, NULL value, true row count
+        Some("a") -> (Some(2.0), 3L), // NULL ignored for rank, counted in n
+        Some("e") -> (None, 2L),      // group kept, NULL value, true count
+        // NULL group key computes a real percentile (r12 ADVICE #1: the
+        // non-null-safe === joins dropped it to NULL on the histogram
+        // path only — a dial-dependent divergence)
+        None -> (Some(15.0), 2L)),
         s"got $rows")
     }
   }

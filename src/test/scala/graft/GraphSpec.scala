@@ -129,8 +129,10 @@ class GraphSpec extends AnyFunSuite {
     // path choice GC-timing-dependent between reps of the same query).
     val ceiling = operators.Dedup.LocalCcMaxEdges
     assert(ceiling >= 1000000L && ceiling <= 16000000L, s"ceiling=$ceiling")
-    assert(operators.Dedup.LocalCcMaxEdges == ceiling,
-      "the dial must not move between reads in one JVM")
+    // within-JVM stability is by construction: LocalCcMaxEdges is a
+    // lazy val, sampled once per JVM (r11 ADVICE #4). A second read here
+    // would compare the same memoized value to itself (r12 ADVICE #2:
+    // tautology), so only the clamp is asserted.
   }
 
   test("connectedComponents: distributed fixpoint equals the local union-find path") {

@@ -13,11 +13,17 @@ import streaming.Streams
   * state only — none showed the engine surviving a MID-STREAM kill. This
   * spec drives st03's production sessionization kernel
   * ([[Streams.sessionStates]] — the exact mapGroupsWithState dataflow the
-  * declared query runs) through a two-file source, kills the query
-  * between micro-batches, starts a NEW query from the SAME checkpoint,
-  * and proves the resumed output equals both the single-run streaming
-  * output and the batch-declarative expectation — the recovery property
-  * a production crawl-ingest (st14/st18's use case) actually needs.
+  * declared query runs) through a two-file source, stops the query
+  * between committed micro-batches (a "kill" at the batch boundary —
+  * the graceful-stop/resume contract), starts a NEW query from the
+  * SAME checkpoint, and proves the resumed output equals both the
+  * single-run streaming output and the batch-declarative expectation.
+  * The second test covers the IN-FLIGHT failure class (r12 ADVICE #5):
+  * the sink throws mid-batch on its first attempt, the query dies with
+  * an uncommitted batch, and a restart from the same checkpoint must
+  * REPLAY that batch (same batch id, same rows) and converge to the
+  * same final state — the replay-idempotence property a production
+  * crawl-ingest (st14/st18's use case) actually needs.
   *
   * The fixture is built so a session STRADDLES the kill point: losing
   * the state store's (lastTs, counters) on resume would either open a
@@ -128,5 +134,62 @@ class StreamRecoverySpec extends AnyFunSuite {
     assert(singleRun == expected, "single-run streaming != declarative sessions")
     assert(resumed == expected, "resumed-from-checkpoint != declarative sessions")
     assert(resumed == singleRun)
+  }
+
+  test("an in-flight batch failure is replayed with the same batch id on restart") {
+    // r12 ADVICE #5: the graceful-stop test above proves resume from a
+    // COMMITTED checkpoint; this one fails a batch MID-FLIGHT — the sink
+    // throws on its first attempt at the second file's batch, before
+    // writing anything — and proves the restarted query replays that
+    // exact batch (same id, same data) to the correct final state.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_recov_fail")
+    val (f1, f2) = evs.partition(_._2 < cutMicros)
+    val src = Files.createDirectory(root.resolve("src"))
+    val now = System.currentTimeMillis()
+    stageFile(f1, src, "e1.parquet", now - 120000)
+    stageFile(f2, src, "e2.parquet", now - 60000)
+    val chk = root.resolve("chk")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val attempts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    @volatile var armed = true
+    def run(): Unit = {
+      val schema = spark.read.parquet(src.toString).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+        .as[Streams.Ev]
+      val q = Streams.sessionStates(stream).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", chk.toString)
+        .foreachBatch { (ds: Dataset[Streams.UserSessions], batchId: Long) =>
+          attempts.synchronized { attempts += batchId }
+          // fail batch 1's FIRST attempt before any row reaches the
+          // sink (the transactional-sink contract: nothing partial)
+          if (batchId == 1 && armed) {
+            armed = false
+            throw new RuntimeException("injected mid-flight sink failure")
+          }
+          val rows = ds.collect().map(u => (u.user_id, u.n_sessions, u.n_events))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // first run dies inside batch 1 (processAllAvailable surfaces the
+    // foreachBatch exception); the checkpoint holds batch 0 committed,
+    // batch 1 uncommitted
+    intercept[Throwable] { run() }
+    assert(!armed, "the injected failure must have fired")
+    // restart from the SAME checkpoint: batch 1 replays (same id) and
+    // the stream drains to the declarative end state
+    run()
+    assert(attempts.count(_ == 1L) == 2,
+      s"batch 1 must be attempted twice (fail + replay), got $attempts")
+    val expected = (1L to 30L).map(u => u -> (3L, 12L)).toMap
+    assert(finalState(buf.toSeq) == expected,
+      "replayed-after-failure state != declarative sessions")
   }
 }

@@ -124,4 +124,43 @@ class ToolsSpec extends AnyFunSuite {
       Files.readAllBytes(dir.resolve("BENCH_EXPECT.json")), "UTF-8")
     assert(out.contains("\"q9_new\": 0.5"))
   }
+
+  test("the real pin file refuses when the source dir is missing (wrong cwd)") {
+    // r12 ADVICE #3: a wrong-cwd invocation used to SKIP the
+    // declared-coverage gate while still writing the real pin file
+    val dir = Files.createTempDirectory("graft_pins5")
+    write(dir, "bench.json", """{"queries": {"q1": 1.0}}""")
+    write(dir, "NOTES.md", "")
+    import scala.sys.process._
+    val cmd = Seq("python3", "tools/gen_bench_expect.py",
+      dir.resolve("bench.json").toString,
+      "--expect", dir.resolve("BENCH_EXPECT.json").toString,
+      "--notes", dir.resolve("NOTES.md").toString,
+      "--src", dir.resolve("no_such_dir").toString)
+    val err = new StringBuilder
+    val code = Process(cmd, new java.io.File("."))
+      .!(ProcessLogger(_ => (), l => err.append(l).append('\n')))
+    assert(code == 1 && err.toString.contains("REFUSING"),
+      s"exit=$code\n$err")
+    assert(!Files.exists(dir.resolve("BENCH_EXPECT.json")),
+      "the real pin file must not be written on a wrong-cwd invocation")
+  }
+
+  test("iter_times in a bench artifact emits a :iter_median pin") {
+    // r12 verdict #3: ml04's spike guard reads median(iter_times), so
+    // the generator pins that statistic alongside the wall-time pin
+    val dir = Files.createTempDirectory("graft_pins6")
+    write(dir, "bench.json",
+      """{"queries": {"ml04_lda_em_train": 30.0},
+        | "iter_times": {"ml04_lda_em_train": [0.5, 0.9, 0.7, 0.6]}}""".stripMargin)
+    write(dir, "expect.json", "{}")
+    write(dir, "NOTES.md", "")
+    val (code, err) = run(dir)
+    assert(code == 0, s"exit=$code\n$err")
+    val out = new String(Files.readAllBytes(dir.resolve("expect.json")), "UTF-8")
+    // median of [0.5, 0.6, 0.7, 0.9] = 0.65 (even length averages the
+    // two middles — the same statistic graft.Bench computes)
+    assert(out.contains("\"ml04_lda_em_train:iter_median\": 0.65"), out)
+    assert(out.contains("\"ml04_lda_em_train\": 30.0"), out)
+  }
 }

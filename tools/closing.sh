@@ -46,17 +46,34 @@ if [ "$QUICK" != "--quick" ]; then
   [ -d /tmp/sf1 ] || python3 tools/gen_sf1.py
   # full stdout to a log first: piping sbt output straight through
   # grep/sed is how r9 lost the per-query map (and '^BENCH_JSON' also
-  # matches the COMPACT line — anchor the exact prefix)
-  SPARK_GRAFT_SF_DIR=/tmp/sf1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_REPS=1 \
-    sbt -batch 'runMain graft.Bench' > /tmp/closing_sf1.log 2>/dev/null
-  grep '^BENCH_JSON: ' /tmp/closing_sf1.log | tail -1 \
-    | sed 's/^BENCH_JSON: //' > BENCH_SF1_LOCAL.json
+  # matches the COMPACT line — anchor the exact prefix).
+  # The streaming family runs in its OWN JVM (r12 verdict #2): its
+  # micro-batch queries are latency-bound and absorb the suite JVM's
+  # accumulated state when they follow ~150 other queries (+1.5-7.6 s
+  # per query at sf1 with unchanged code — NOTES r12 solo adjudication).
+  # Two sbt invocations = two JVMs by construction; merge_bench.py
+  # stamps the split into the committed artifact.
+  SPARK_GRAFT_EXCLUDE=st SPARK_GRAFT_SF_DIR=/tmp/sf1 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_BENCH_REPS=1 \
+    sbt -batch 'runMain graft.Bench' > /tmp/closing_sf1_main.log 2>/dev/null
+  grep '^BENCH_JSON: ' /tmp/closing_sf1_main.log | tail -1 \
+    | sed 's/^BENCH_JSON: //' > /tmp/closing_sf1_main.json
+  SPARK_GRAFT_ONLY=st SPARK_GRAFT_SF_DIR=/tmp/sf1 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_BENCH_REPS=1 \
+    sbt -batch 'runMain graft.Bench' > /tmp/closing_sf1_st.log 2>/dev/null
+  grep '^BENCH_JSON: ' /tmp/closing_sf1_st.log | tail -1 \
+    | sed 's/^BENCH_JSON: //' > /tmp/closing_sf1_st.json
+  python3 tools/merge_bench.py /tmp/closing_sf1_main.json \
+    /tmp/closing_sf1_st.json --fresh st > BENCH_SF1_LOCAL.json
   python3 - <<'PY'
 import json
 d = json.load(open("BENCH_SF1_LOCAL.json"))
+st = sum(v for k, v in d["queries"].items() if k.startswith("st"))
 print(f"sf1: {len(d['queries'])} queries, {len(d['failures'])} failures, "
-      f"total {d['value']:.1f}s (first {d['first_run_sum']:.1f}s)")
+      f"total {d['value']:.1f}s (first {d['first_run_sum']:.1f}s; "
+      f"st family {st:.1f}s in its own JVM)")
 assert not d["failures"], f"sf1 audit failures: {d['failures']}"
+assert d.get("fresh_jvm_families") == ["st"], "merge marker missing"
 PY
 
   echo "== 5. sf3 dd/ss family audit (30x) =="

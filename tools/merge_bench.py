@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Merge bench artifacts produced by SEPARATE JVM runs into one record.
+
+Purpose (r12 verdict #2): at the >=10x audit scales the streaming
+family's micro-batch queries are latency-bound and absorb the suite
+JVM's accumulated state when they run after ~150 other queries
+(+1.5-7.6 s/query at sf1 with unchanged code — adjudicated solo in
+NOTES r12). closing.sh therefore runs the >=10x full-surface audit as
+TWO sbt invocations — SPARK_GRAFT_EXCLUDE=st for the main surface and
+SPARK_GRAFT_ONLY=st for the streaming family, each a fresh JVM — and
+this script merges the two JSON lines into the committed artifact,
+stamping `fresh_jvm_families` so the split is visible in the record.
+
+Usage:
+  python3 tools/merge_bench.py MAIN.json FAMILY.json [FAMILY2.json ...]
+      --fresh st[,mm] > merged.json
+
+Per-query maps must be disjoint (the EXCLUDE/ONLY prefixes guarantee
+it; overlaps are an invocation error and refuse). Totals are sums,
+budget_exhausted is OR, failures concatenate, `sf` must agree.
+"""
+import json
+import sys
+
+args = sys.argv[1:]
+fresh = []
+paths = []
+i = 0
+while i < len(args):
+    if args[i] == "--fresh":
+        fresh = [x for x in args[i + 1].split(",") if x]
+        i += 2
+    else:
+        paths.append(args[i])
+        i += 1
+
+assert len(paths) >= 2, "pass at least two bench artifacts"
+runs = [json.load(open(p)) for p in paths]
+
+sfs = {r["sf"] for r in runs}
+assert len(sfs) == 1, f"artifacts span different sf dirs: {sfs}"
+
+merged = dict(runs[0])
+for r in runs[1:]:
+    overlap = set(merged["queries"]) & set(r["queries"])
+    assert not overlap, f"per-query maps overlap: {sorted(overlap)[:5]}"
+    for key in ("queries", "first_runs", "runs"):
+        merged[key] = {**merged.get(key, {}), **r.get(key, {})}
+    merged["value"] += r["value"]
+    merged["first_run_sum"] += r["first_run_sum"]
+    merged["budget_exhausted"] = (
+        merged.get("budget_exhausted", False) or r.get("budget_exhausted", False))
+    merged["failures"] = merged.get("failures", []) + r.get("failures", [])
+    if "iter_times" in r:
+        merged["iter_times"] = {**merged.get("iter_times", {}), **r["iter_times"]}
+merged["fresh_jvm_families"] = fresh
+merged["protocol"] = merged.get("protocol", "") + (
+    "; merged by tools/merge_bench.py from one JVM per family in "
+    "fresh_jvm_families plus one for the rest (r12 verdict #2: suite-JVM "
+    "state inflated latency-bound streaming queries at >=10x scales)")
+
+json.dump(merged, sys.stdout)
+sys.stdout.write("\n")
