@@ -1000,7 +1000,22 @@ object Dedup {
     * Signatures are md5-derived over UNPRUNED shingles exactly as
     * st14's (an admission batch cannot know corpus-wide shingle
     * document frequencies), so DuckDB re-derives every decision
-    * bit-exactly. */
+    * bit-exactly.
+    *
+    * Stop-band prune (r12 verdict #1): a band value held by more than
+    * 100 STANDING-INDEX docs is boilerplate (the dd02 df≤100
+    * stop-shingle policy applied to bands — and unlike raw shingle df,
+    * the index epoch's per-band df IS available to an admission batch:
+    * it is metadata of the standing state itself). Such a band
+    * generates O(df) probe rows per delta doc and O(n²) pairs inside
+    * the delta while carrying no near-dup evidence a boilerplate-free
+    * band wouldn't also carry, so it is excluded from BOTH evidence
+    * joins — semantics the oracle mirrors exactly. Measured on the 30×
+    * Zipf fixture: kills 73% of delta-self pairs and 75% of probe rows;
+    * the largest surviving delta band group is 40 docs. The delta's
+    * signatures are computed ONCE (cached) across the probe, the
+    * delta-self join, and the id spine — previously each branch re-ran
+    * the signature kernel. */
   val dd16 = QueryDef.sql("dd16_incremental_band_index",
     """WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents
       |              WHERE len(string_split(text,' ')) >= 3),
@@ -1012,14 +1027,18 @@ object Dedup {
       |        FROM sh0, generate_series(0, 7) g(i) GROUP BY doc_id, i),
       |inc AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
       |corp AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+      |stop AS (SELECT i, m FROM corp GROUP BY i, m HAVING COUNT(*) > 100),
+      |incp AS (SELECT inc.* FROM inc
+      |         WHERE NOT EXISTS (SELECT 1 FROM stop
+      |                           WHERE stop.i = inc.i AND stop.m = inc.m)),
       |cvc AS (SELECT da, MAX(cnt) AS corpus_max FROM (
       |    SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS cnt
-      |    FROM inc a JOIN corp b ON a.i = b.i AND a.m = b.m
+      |    FROM incp a JOIN corp b ON a.i = b.i AND a.m = b.m
       |    GROUP BY 1, 2) q1 GROUP BY da),
       |dvd AS (SELECT da, MAX(cnt) AS batch_max FROM (
       |    SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS cnt
-      |    FROM inc a JOIN inc b ON a.i = b.i AND a.m = b.m
-      |                         AND b.doc_id < a.doc_id
+      |    FROM incp a JOIN incp b ON a.i = b.i AND a.m = b.m
+      |                           AND b.doc_id < a.doc_id
       |    GROUP BY 1, 2) q2 GROUP BY da),
       |ids AS (SELECT DISTINCT doc_id FROM inc)
       |SELECT ids.doc_id,
@@ -1044,32 +1063,54 @@ object Dedup {
     import graft.streaming.{Streams => St}
     // delta: map-only signatures — NOT widened and never repartitioned
     // (an admission batch keeps the st14 no-pre-join-shuffle property);
-    // corpus index build is the compute-dense side, widened like st14's
+    // corpus index build is the compute-dense side, widened like st14's.
+    // Both signed ONCE (cached): the delta feeds the probe, the
+    // delta-self join (both sides) and the id spine; the index feeds
+    // the probe and the epoch's per-band df stats — uncached, each
+    // branch re-ran the md5 signature kernel (r12 verdict #1).
     val inc = St.scalarSignatures(docs.filter(col("doc_id") % 5 === 0))
+      .cache()
     val corp = St.scalarSignatures(
       T.widened(docs.filter(col("doc_id") % 5 =!= 0)))
       .withColumnRenamed("doc_id", "db")
-    val cvc = inc.join(corp, Seq("i", "m"))
-      .groupBy(col("doc_id"), col("db")).agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(max("cnt").as("corpus_max"))
-    val dvd = inc.as("a")
-      .join(inc.as("b"),
-        col("a.i") === col("b.i") && col("a.m") === col("b.m") &&
-          col("b.doc_id") < col("a.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(max("cnt").as("batch_max"))
-    inc.select("doc_id").distinct()
-      .join(cvc, Seq("doc_id"), "left")
-      .join(dvd, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("corpus_max"), lit(0L)).as("corpus_max_bands"),
-        coalesce(col("batch_max"), lit(0L)).as("batch_max_bands"))
-      .withColumn("admitted",
-        col("corpus_max_bands") < 4 && col("batch_max_bands") < 4)
-      .withColumn("index_rows_added",
-        when(col("admitted"), lit(8L)).otherwise(lit(0L)))
-      .orderBy("doc_id")
+      .cache()
+    try {
+      // stop-bands from the index epoch's df stats (at 100 TB these are
+      // index metadata, maintained with the index itself): df > 100
+      // bands are boilerplate and excluded from both evidence joins —
+      // see the dd16 scaladoc; tiny (~3k rows at 30×), so the anti-join
+      // is a broadcast against both sides
+      val stop = corp.groupBy("i", "m").agg(count(lit(1)).as("bdf"))
+        .filter(col("bdf") > 100).select("i", "m")
+      val incP = inc.join(broadcast(stop), Seq("i", "m"), "left_anti")
+      val cvc = incP.join(corp, Seq("i", "m"))
+        .groupBy(col("doc_id"), col("db")).agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(max("cnt").as("corpus_max"))
+      val dvd = incP.as("a")
+        .join(incP.as("b"),
+          col("a.i") === col("b.i") && col("a.m") === col("b.m") &&
+            col("b.doc_id") < col("a.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(max("cnt").as("batch_max"))
+      // materialize-and-release (the shinglesOf pattern): the output is
+      // one small row per delta doc — cache it eagerly so the
+      // corpus-sized signature tables can be dropped immediately
+      val out = inc.select("doc_id").distinct()
+        .join(cvc, Seq("doc_id"), "left")
+        .join(dvd, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("corpus_max"), lit(0L)).as("corpus_max_bands"),
+          coalesce(col("batch_max"), lit(0L)).as("batch_max_bands"))
+        .withColumn("admitted",
+          col("corpus_max_bands") < 4 && col("batch_max_bands") < 4)
+        .withColumn("index_rows_added",
+          when(col("admitted"), lit(8L)).otherwise(lit(0L)))
+        .orderBy("doc_id")
+        .cache()
+      out.count()
+      out
+    } finally { inc.unpersist(); corp.unpersist() }
   }
 
   val defs: Seq[QueryDef] =

@@ -616,26 +616,39 @@ class StorageSimilaritySpec extends AnyFunSuite {
     // corpus pins both extremes plus the admission logic between them
     val s = spark
     import s.implicits._
-    val docs = Seq(
+    // 120 identical boilerplate corpus docs: every band value of that
+    // text reaches df=120 > 100 in the standing index, so all 8 of its
+    // bands are STOP bands (the r13 prune) — boilerplate is not
+    // near-dup evidence, exactly dd02's stop-shingle policy
+    val boiler = (1001L until 1151L).filterNot(_ % 5 == 0).map(id =>
+      (id, "boilerplate template header repeated across the daily crawl"))
+    assert(boiler.size == 120)
+    val docs = (Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "completely different corpus text with many unrelated tokens here"),
       (5L, "the quick brown fox jumps over the lazy dog again and again"),
       (10L, "the quick brown fox jumps over the lazy dog again and again"),
       (15L, "a wholly novel delta document nothing like anything else at all"),
-      (20L, "too short")
-    ).toDF("doc_id", "text")
+      (20L, "too short"),
+      (500L, "boilerplate template header repeated across the daily crawl")
+    ) ++ boiler).toDF("doc_id", "text")
     val got = operators.Dedup.incrementalBandIndex(spark, docs)
       .collect()
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4))))
       .toMap
-    // delta 5 = exact copy of corpus 1: all 8 bands collide -> rejected
+    // delta 5 = exact copy of corpus 1 (a UNIQUE doc, its bands df=1):
+    // all 8 bands collide -> rejected
     assert(got(5L) == ((8L, 0L, false, 0L)), s"got ${got.get(5L)}")
     // delta 10 = same text: collides with corpus 1 AND lower delta 5
     assert(got(10L) == ((8L, 8L, false, 0L)), s"got ${got.get(10L)}")
     // delta 15 = disjoint shingles: clean, admitted, 8 index rows appended
     assert(got(15L) == ((0L, 0L, true, 8L)), s"got ${got.get(15L)}")
+    // delta 500 = copy of the 120-doc boilerplate template: every
+    // matching band is a stop band, so it carries ZERO evidence — the
+    // doc is admitted (corpus_max_bands 0), pinning the prune semantics
+    assert(got(500L) == ((0L, 0L, true, 8L)), s"got ${got.get(500L)}")
     // delta 20 has < 3 tokens: outside the signature domain, no row
-    assert(got.keySet == Set(5L, 10L, 15L), s"got ${got.keySet}")
+    assert(got.keySet == Set(5L, 10L, 15L, 500L), s"got ${got.keySet}")
   }
 }
