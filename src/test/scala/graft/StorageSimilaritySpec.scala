@@ -651,4 +651,82 @@ class StorageSimilaritySpec extends AnyFunSuite {
     // delta 20 has < 3 tokens: outside the signature domain, no row
     assert(got.keySet == Set(5L, 10L, 15L, 500L), s"got ${got.keySet}")
   }
+
+  test("ss15 incremental IVFPQ maintenance: copies rejected, delta+rebuild == full rebuild") {
+    // PQ-friendly planted fixture: per subspace, every vector is one of
+    // 16 md5-chosen prototypes plus 10% noise — the per-subspace k=16
+    // fit recovers the prototypes, so recon(v) ≈ v and an exact-copy
+    // delta scores ADC ≈ 0.99 against its corpus twin while unrelated
+    // tuples score ≈ 0. All md5-derived → fully deterministic.
+    val s = spark
+    import s.implicits._
+    def unit(seed: String): Array[Float] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 16).map { k =>
+        val h = md.digest(s"$seed:$k".getBytes("UTF-8"))
+        ((h(0) & 0xff) / 255.0f) - 0.5f
+      }.toArray
+    }
+    def vec(id: Long): Array[Float] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 4).flatMap { m =>
+        val p = md.digest(s"$id:$m".getBytes("UTF-8"))(0) & 0x0f
+        val proto = unit(s"proto:$m:$p")
+        val noise = unit(s"n:$id:$m")
+        proto.zip(noise).map { case (a, b) => a + 0.1f * b }
+      }.toArray
+    }
+    // ids 0..99: %5==0 is the 20-vector delta, the other 80 the corpus;
+    // plant two exact copies of corpus vectors into the delta
+    val rows = (0L until 100L).map {
+      case 95L => (95L, vec(13L))
+      case 90L => (90L, vec(7L))
+      case id  => (id, vec(id))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    operators.Similarity.regDot(spark)
+    val (km, pq) = operators.Similarity.fitEpochModels(
+      emb.filter($"vec_id" % 5 =!= 0))
+    val (dec, idxDelta) =
+      operators.Similarity.incrementalIvfpqIndex(spark, emb, km, pq)
+    val got = dec.collect().map(r => r.getLong(0) ->
+      ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))))
+      .toMap
+    assert(got.keySet == (0L until 100L by 5).toSet, s"got ${got.keySet}")
+    got.foreach { case (id, (cell, codes, rng, acct)) =>
+      assert(cell && codes && rng && acct, s"vec $id booleans: ${got(id)}")
+    }
+    // admission re-derived from the EMITTED index delta rows
+    val idxRows = idxDelta.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5))).toSet
+    val admitted = idxRows.map(_._1)
+    assert(!admitted.contains(95L) && !admitted.contains(90L),
+      s"planted exact copies must be rejected, admitted=$admitted")
+    // 12 of the 18 unrelated deltas admit on this fixture (16-dim md5
+    // prototypes correlate enough — cos std ≈ 0.25/subspace — that a few
+    // unrelated pairs sit over the 0.6 cut, deterministically); the
+    // floor guards the degenerate everything-rejected failure mode
+    assert(admitted.size >= 10,
+      s"unrelated deltas should admit, got ${admitted.size}: $admitted")
+    // delta + rebuild ≡ full rebuild: the standing index plus the
+    // emitted delta rows must equal a from-scratch encode of
+    // corpus ∪ admitted through the SAME frozen epoch
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      operators.Similarity.encodeLiteral(km, pq, df)
+        .select("vec_id", "cell", "code0", "code1", "code2", "code3")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getInt(5))).toSet
+    val corpus = emb.filter($"vec_id" % 5 =!= 0)
+    val full = enc(corpus.unionByName(
+      emb.filter($"vec_id".isin(admitted.toSeq: _*))))
+    assert(enc(corpus) ++ idxRows == full,
+      "incremental index != full rebuild through the same epoch")
+    // plan shape: the probe is a cell equi-join — never corpus×delta
+    val plan = dec.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("cartesianproduct") &&
+      !plan.contains("broadcastnestedloopjoin"),
+      s"unexpected cartesian in ss15 plan:\n$plan")
+  }
 }
