@@ -320,5 +320,140 @@ object Multimodal {
       .orderBy("bin_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06)
+  /** mm07 — perceptual-hash near-dup admission over the binary payload
+    * table, closing the dedup modality matrix (r12 verdict #5): text has
+    * dd03/dd16/st14, embeddings have dd07/st19/ss15 — the multimodal
+    * payloads had none. The pHash shape: non-overlapping 16-byte payload
+    * tiles (the deterministic stand-in for patch/frame features, exactly
+    * as mm01's decode stubs the codec — a real deployment swaps the tile
+    * featurizer) are 60-bit md5-fingerprinted, and a 32-bit SimHash over
+    * the tile set gives each payload a perceptual fingerprint: payloads
+    * sharing most tiles land within a few Hamming bits, so an appended
+    * tail or a re-encoded container (same content bytes) collides while
+    * unrelated payloads stay far. Banded exactly like dd07b/dd04
+    * (4 × 8-bit bands, pairs must share ≥1 band) — candidates are NEVER
+    * corpus² (spec-locked). Admission mirrors dd16: the delta
+    * (doc_id % 5 = 0 plays the day's batch) probes the standing corpus
+    * bands plus lower-id delta docs; Hamming ≤ 6 on any candidate
+    * rejects; admitted payloads commit their 4 band rows as the index
+    * delta. Everything is md5-derived, so DuckDB re-derives every
+    * fingerprint, band, and decision bit-exactly. */
+  val mm07 = QueryDef.sql("mm07_perceptual_neardup_admission",
+    """WITH tiles AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id,
+      |          UNNEST(list_transform(range(0, CAST(length(text) // 16 AS INT)),
+      |            i -> substr(text, CAST(i*16+1 AS INT), 16))) AS s
+      |        FROM documents WHERE length(text) >= 16)),
+      |th AS (SELECT doc_id,
+      |         CAST(('0x' || substr(md5(CAST(h AS VARCHAR)), 1, 8)) AS BIGINT) AS f
+      |       FROM tiles),
+      |bits AS (SELECT doc_id, j,
+      |           SUM(CASE WHEN (f >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sb
+      |         FROM th, generate_series(0, 31) g(j) GROUP BY doc_id, j),
+      |hash AS (SELECT doc_id,
+      |           CAST(SUM(CASE WHEN sb > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS ph
+      |         FROM bits GROUP BY doc_id),
+      |banded AS (SELECT doc_id, ph, k, (ph >> (8*k)) & 255 AS band
+      |           FROM hash, generate_series(0, 3) g(k)),
+      |binc AS (SELECT * FROM banded WHERE doc_id % 5 = 0),
+      |bcorp AS (SELECT * FROM banded WHERE doc_id % 5 <> 0),
+      |cand_c AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+      |                  x.ph AS ha, y.ph AS hb
+      |           FROM binc x JOIN bcorp y ON x.k = y.k AND x.band = y.band),
+      |cvc AS (SELECT da, MIN(bit_count(xor(ha, hb))) AS corpus_min
+      |        FROM cand_c GROUP BY da),
+      |cand_d AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+      |                  x.ph AS ha, y.ph AS hb
+      |           FROM binc x JOIN binc y ON x.k = y.k AND x.band = y.band
+      |                                  AND y.doc_id < x.doc_id),
+      |dvd AS (SELECT da, MIN(bit_count(xor(ha, hb))) AS batch_min
+      |        FROM cand_d GROUP BY da),
+      |ids AS (SELECT DISTINCT doc_id FROM binc)
+      |SELECT ids.doc_id,
+      |  CAST(COALESCE(cvc.corpus_min, 99) AS INTEGER) AS corpus_min_hamming,
+      |  CAST(COALESCE(dvd.batch_min, 99) AS INTEGER) AS batch_min_hamming,
+      |  (COALESCE(cvc.corpus_min, 99) > 6
+      |     AND COALESCE(dvd.batch_min, 99) > 6) AS admitted,
+      |  CAST(CASE WHEN COALESCE(cvc.corpus_min, 99) > 6
+      |              AND COALESCE(dvd.batch_min, 99) > 6
+      |       THEN 4 ELSE 0 END AS BIGINT) AS index_rows_added
+      |FROM ids LEFT JOIN cvc ON ids.doc_id = cvc.da
+      |         LEFT JOIN dvd ON ids.doc_id = dvd.da
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    perceptualAdmission(s, T.documents(s, d))
+  }
+
+  /** mm07's dataflow over an arbitrary (doc_id, text) frame — factored
+    * (the incrementalBandIndex precedent) so the spec can plant
+    * perceptual extremes: exact copies, tail-appended payloads (tile
+    * set unchanged → Hamming 0 by construction), unrelated payloads. */
+  private[graft] def perceptualAdmission(
+      s: SparkSession, docs: DataFrame): DataFrame = {
+    val eligible = docs.filter(length(col("text")) >= 16)
+    // tile fingerprints: compute-dense md5 kernel over a possibly
+    // single-file scan — widened (guarded no-op at real scale)
+    val tiles = T.widened(eligible)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, CAST(length(text) div 16 AS INT) - 1), " +
+          "i -> substring(text, i*16+1, 16))")).as("tile"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tile")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val th = tiles.withColumn("f",
+      conv(substring(md5(col("h").cast("string")), 1, 8), 16, 10).cast("long"))
+    // all 32 bit-sums in ONE groupBy pass (the dd04 shape — the
+    // explode(sequence(0,31)) form shuffles the tile table ×32)
+    val bitAggs = (0 to 31).map { j =>
+      sum(expr(s"CASE WHEN (shiftright(f, $j) & 1) = 1 THEN 1 ELSE -1 END"))
+        .as(s"sb$j")
+    }
+    val hash = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 to 31).map { j =>
+          expr(s"CASE WHEN sb$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) " +
+            s"ELSE CAST(0 AS BIGINT) END")
+        }.reduce(_ + _).as("ph"))
+      .cache()
+    try {
+      val banded = hash
+        .select(col("doc_id"), col("ph"), explode(expr("sequence(0, 3)")).as("k"))
+        .withColumn("band", expr("shiftright(ph, 8*k) & 255"))
+      val binc = banded.filter(col("doc_id") % 5 === 0)
+      val bcorp = banded.filter(col("doc_id") % 5 =!= 0)
+      def minHamming(other: DataFrame, lowerOnly: Boolean): DataFrame = {
+        val cond = col("x.k") === col("y.k") && col("x.band") === col("y.band") &&
+          (if (lowerOnly) col("y.doc_id") < col("x.doc_id") else lit(true))
+        binc.as("x").join(other.as("y"), cond)
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+            col("x.ph").as("ha"), col("y.ph").as("hb"))
+          .distinct()
+          .withColumn("hm", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+          .groupBy("da").agg(min("hm").as("hmin"))
+      }
+      val cvc = minHamming(bcorp, lowerOnly = false)
+      val dvd = minHamming(binc, lowerOnly = true)
+      val out = binc.select("doc_id").distinct()
+        .join(cvc.select(col("da").as("doc_id"),
+          col("hmin").as("corpus_min")), Seq("doc_id"), "left")
+        .join(dvd.select(col("da").as("doc_id"),
+          col("hmin").as("batch_min")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("corpus_min"), lit(99)).cast("int")
+            .as("corpus_min_hamming"),
+          coalesce(col("batch_min"), lit(99)).cast("int")
+            .as("batch_min_hamming"))
+        .withColumn("admitted",
+          col("corpus_min_hamming") > 6 && col("batch_min_hamming") > 6)
+        .withColumn("index_rows_added",
+          when(col("admitted"), lit(4L)).otherwise(lit(0L)))
+        .orderBy("doc_id")
+        .cache()
+      out.count()
+      out
+    } finally hash.unpersist()
+  }
+
+  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07)
 }

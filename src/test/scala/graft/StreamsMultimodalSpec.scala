@@ -312,6 +312,55 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(stats.map(_.getLong(1)).sum == a.length)
   }
 
+  test("mm07: perceptual admission on planted payload extremes") {
+    val s = spark
+    import s.implicits._
+    // 16-char tile pieces so tile boundaries are exact by construction
+    def payload(tag: Char, fill: String) =
+      (1 to 5).map(i => f"$tag$i%02d-$fill").mkString // 5 tiles, 80 chars
+    val A = payload('t', "abcdefghijkl")
+    val B = payload('u', "mnopqrstuvwx")
+    val C = payload('w', "yzabcdefghij")
+    assert(A.length == 80 && A.substring(0, 16).length == 16)
+    val docs = Seq(
+      (1L, A),            // corpus original
+      (2L, B),            // corpus unrelated
+      (5L, A),            // delta exact copy -> Hamming 0 vs corpus
+      (10L, A + "tail"),  // appended tail: full-tile set UNCHANGED ->
+                          // Hamming 0 by construction (the perceptual
+                          // robustness a byte-hash dedup cannot give)
+      (15L, C),           // delta unrelated -> admitted
+      (20L, "tiny"),      // < one tile: outside the fingerprint domain
+      (25L, A)            // second delta copy: batch evidence too
+    ).toDF("doc_id", "text")
+    val got = multimodal.Multimodal.perceptualAdmission(spark, docs)
+    val rows = got.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(3), r.getLong(4))))
+      .toMap
+    assert(rows.keySet == Set(5L, 10L, 15L, 25L), s"got ${rows.keySet}")
+    // exact copy: corpus Hamming 0; nothing lower in the batch
+    assert(rows(5L) == ((0, 99, false, 0L)), s"got ${rows.get(5L)}")
+    // tail-appended payload: tile set identical -> Hamming 0 both ways
+    assert(rows(10L) == ((0, 0, false, 0L)), s"got ${rows.get(10L)}")
+    assert(rows(25L) == ((0, 0, false, 0L)), s"got ${rows.get(25L)}")
+    // unrelated payload: no candidate within 6 bits -> admitted, 4 band
+    // rows committed (md5-random fingerprints sit ~16 bits apart; the
+    // value is deterministic, only the >6 relation is asserted)
+    val (c15, b15, adm15, idx15) = rows(15L)
+    assert(c15 > 6 && b15 > 6 && adm15 && idx15 == 4L, s"got ${rows(15L)}")
+    // decision consistency on every row
+    rows.foreach { case (id, (c, b, adm, idx)) =>
+      assert(adm == (c > 6 && b > 6) && idx == (if (adm) 4L else 0L),
+        s"inconsistent decision for $id: ${rows(id)}")
+    }
+    // plan shape: banded equi-joins only — never corpus²
+    val plan = got.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("cartesianproduct") &&
+      !plan.contains("broadcastnestedloopjoin"),
+      s"unexpected cartesian in mm07 plan:\n$plan")
+  }
+
   test("mm06: interleaved packing equals a sequential driver-side packer") {
     val out = multimodal.Multimodal.mm06.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
