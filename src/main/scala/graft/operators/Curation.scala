@@ -701,7 +701,141 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** sp11 — the INCREMENTAL curation pipeline: sp09's composition with
+    * dd16's near-dup admission in place of exact-hash dedup (r12
+    * verdict #8). One job takes a crawl batch through rule gate (ta09)
+    * → MinHash band-index admission of the doc_id % 5 delta against the
+    * gated standing corpus (dd16's banded evidence incl. the stop-band
+    * prune; gated corpus docs pass, delta docs with ≥4 shared bands
+    * against corpus or a lower-id batch doc are dropped; sub-3-token
+    * docs carry no signature hence no evidence — admitted) → half-token-
+    * budget selection over quality order → 2048-token sequence packing.
+    *
+    * The point is COMPOSITION WITHOUT BARRIERS: unlike dd16 standalone
+    * (which caches its signature tables — the right call when the
+    * admission verdict is the product), the gate → signatures → both
+    * evidence joins → admission chain here is ONE lazy DAG — no cache,
+    * no eager action, no intermediate write; the only materialization
+    * points in the whole query are the two GlobalCumsum prefix-sum
+    * passes (sp09's documented two-pass scans) and the 1-row token
+    * total broadcast. PlanShapeSpec locks zero InMemoryTableScans,
+    * zero windows, zero cartesians. The oracle re-derives every stage
+    * end-to-end, so drift in ANY stage is a hash miss here even when
+    * the stage's own query stays green. */
+  val sp11 = QueryDef.sql("sp11_incremental_curation_pipeline",
+    s"""WITH $qualityCte,
+       |rules AS (SELECT doc_id, keep FROM (
+       |${ta09.oracle.get}
+       |) r),
+       |gd AS (SELECT q.doc_id, q.nt, q.quality, d.text
+       |       FROM q JOIN rules USING (doc_id)
+       |              JOIN documents d USING (doc_id)
+       |       WHERE rules.keep),
+       |toks AS (SELECT doc_id, string_split(text,' ') t FROM gd
+       |         WHERE len(string_split(text,' ')) >= 3),
+       |sh0 AS (SELECT DISTINCT doc_id,
+       |          CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM (
+       |  SELECT doc_id, UNNEST(list_transform(range(1, len(t)-1),
+       |    i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s FROM toks)),
+       |sig AS (SELECT doc_id, i, MIN(md5(i||':'||CAST(h AS VARCHAR))) AS m
+       |        FROM sh0, generate_series(0, 7) g(i) GROUP BY doc_id, i),
+       |inc AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+       |corp AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+       |stopb AS (SELECT i, m FROM corp GROUP BY i, m HAVING COUNT(*) > 100),
+       |incp AS (SELECT inc.* FROM inc
+       |         WHERE NOT EXISTS (SELECT 1 FROM stopb
+       |                           WHERE stopb.i = inc.i AND stopb.m = inc.m)),
+       |cvc AS (SELECT da, MAX(cnt) AS corpus_max FROM (
+       |    SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS cnt
+       |    FROM incp a JOIN corp b ON a.i = b.i AND a.m = b.m
+       |    GROUP BY 1, 2) q1 GROUP BY da),
+       |dvd AS (SELECT da, MAX(cnt) AS batch_max FROM (
+       |    SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS cnt
+       |    FROM incp a JOIN incp b ON a.i = b.i AND a.m = b.m
+       |                           AND b.doc_id < a.doc_id
+       |    GROUP BY 1, 2) q2 GROUP BY da),
+       |adm AS (SELECT gd.doc_id, gd.nt, gd.quality
+       |        FROM gd LEFT JOIN cvc ON cvc.da = gd.doc_id
+       |                LEFT JOIN dvd ON dvd.da = gd.doc_id
+       |        WHERE gd.doc_id % 5 <> 0
+       |           OR (COALESCE(cvc.corpus_max, 0) < 4
+       |               AND COALESCE(dvd.batch_max, 0) < 4)),
+       |tot AS (SELECT SUM(nt) AS total FROM adm),
+       |sel AS (SELECT doc_id, nt,
+       |          SUM(nt) OVER (ORDER BY quality DESC, doc_id
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |        FROM adm),
+       |cho AS (SELECT doc_id, nt FROM sel, tot WHERE 2 * cum <= tot.total),
+       |c2 AS (SELECT doc_id, nt,
+       |         CAST(SUM(nt) OVER (ORDER BY doc_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |              AS BIGINT) AS cum
+       |       FROM cho),
+       |e AS (SELECT doc_id, nt, cum, cum - nt AS st,
+       |        UNNEST(range((cum - nt) // 2048, (cum - 1) // 2048 + 1)) AS bin
+       |      FROM c2)
+       |SELECT CAST(bin AS BIGINT) AS bin_id,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN st // 2048 = bin THEN 1 ELSE 0 END) AS BIGINT) AS docs_starting,
+       |  CAST(SUM(least(cum, (bin+1)*2048) - greatest(st, bin*2048)) AS BIGINT) AS fill_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM e GROUP BY bin
+       |ORDER BY bin_id""".stripMargin) { (s, d) =>
+    import graft.streaming.{Streams => St}
+    val rules = ta09.fn(s, d).select(col("doc_id"), col("keep"))
+    val gated = qualityDf(s, d)
+      .join(rules, "doc_id").filter(col("keep"))
+      .join(T.documents(s, d).select("doc_id", "text"), "doc_id")
+      .select("doc_id", "nt", "quality", "text")
+    // dd16's admission evidence, inlined and fully lazy (see scaladoc)
+    val sigs = St.scalarSignatures(gated.select("doc_id", "text"))
+    val inc = sigs.filter(col("doc_id") % 5 === 0)
+    val corp = sigs.filter(col("doc_id") % 5 =!= 0)
+      .withColumnRenamed("doc_id", "db")
+    val stopB = corp.groupBy("i", "m").agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") > 100).select("i", "m")
+    val incP = inc.join(broadcast(stopB), Seq("i", "m"), "left_anti")
+    val cvc = incP.join(corp, Seq("i", "m"))
+      .groupBy(col("doc_id"), col("db")).agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("corpus_max"))
+    val dvd = incP.as("a")
+      .join(incP.as("b"),
+        col("a.i") === col("b.i") && col("a.m") === col("b.m") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("batch_max"))
+    val adm = gated
+      .join(cvc, Seq("doc_id"), "left")
+      .join(dvd, Seq("doc_id"), "left")
+      .filter(col("doc_id") % 5 =!= 0 ||
+        (coalesce(col("corpus_max"), lit(0L)) < 4 &&
+          coalesce(col("batch_max"), lit(0L)) < 4))
+      .select("doc_id", "nt", "quality")
+    // sp09's budget + packing tail over the admitted set
+    val total = adm.agg(sum("nt").as("total"))
+    val cho = graft.GlobalCumsum
+      .withRunningSum(adm, Seq(col("quality").desc, col("doc_id")), "nt", "cum")
+      .crossJoin(broadcast(total))
+      .filter(col("cum") * 2 <= col("total"))
+      .select("doc_id", "nt")
+    graft.GlobalCumsum.withRunningSum(cho, Seq(col("doc_id")), "nt", "cum")
+      .withColumn("st", col("cum") - col("nt"))
+      .withColumn("bin",
+        explode(expr("sequence(st div 2048, (cum - 1) div 2048)")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr("st div 2048") === col("bin"), 1).otherwise(0))
+          .cast("long").as("docs_starting"),
+        sum(least(col("cum"), (col("bin") + 1) * 2048) -
+          greatest(col("st"), col("bin") * 2048)).cast("long").as("fill_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .select(col("bin").cast("long").as("bin_id"), col("n_docs"),
+        col("docs_starting"), col("fill_tokens"), col("first_doc"), col("last_doc"))
+      .orderBy("bin_id")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(ta08, ta09, ta10, sp01, sp02, sp03, sp04, sp05, sp06, sp07, sp08,
-      sp09, sp10, dd08, dd09)
+      sp09, sp10, sp11, dd08, dd09)
 }

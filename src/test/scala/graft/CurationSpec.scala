@@ -138,6 +138,18 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_bigrams") == nt(r.getAs[Long]("doc_id"))))
   }
 
+  test("sp11: incremental pipeline packs contiguous full bins") {
+    val bins = run("sp11_incremental_curation_pipeline").collect()
+    assert(bins.nonEmpty, "the curated set must pack at least one bin")
+    val ids = bins.map(_.getAs[Long]("bin_id"))
+    assert(ids.toSeq == (0L until bins.length).toSeq)
+    bins.init.foreach(b => assert(b.getAs[Long]("fill_tokens") == 2048L))
+    assert(bins.last.getAs[Long]("fill_tokens") <= 2048L)
+    // (no volume relation to sp09 is asserted: sp11's admission filters
+    // only the DELTA — corpus-internal exact dups pass here but are
+    // deduped by sp09, so neither packed volume bounds the other)
+  }
+
   test("sp09: pipeline stages compose monotonically and bins fill") {
     val bins = run("sp09_curation_pipeline").collect()
     assert(bins.nonEmpty, "the curated set must pack at least one bin")

@@ -175,6 +175,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "both running sums must take the GlobalCumsum two-pass path")
   }
 
+  test("sp11: the incremental pipeline fuses with no barrier and no window") {
+    val p = plan("sp11_incremental_curation_pipeline")
+    assert(!p.contains("Window"),
+      "both running sums must take the GlobalCumsum two-pass path")
+    // the gate -> signature -> evidence -> admission chain must stay one
+    // lazy DAG: no cached stage (dd16 standalone caches; the fused
+    // pipeline must not) and no all-pairs join anywhere
+    assert(!p.contains("InMemoryTableScan"),
+      s"sp11 must not materialize an intermediate stage:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"sp11 admission must stay a banded equi-join:\n$p")
+  }
+
   test("ss09: IVFPQ candidate scan prunes to the probed cells") {
     // the ss09 query fn aggregates to a LocalTableScan, so lock the plan
     // of the shared candidate builder the oracle's scan_pruned gate runs on
