@@ -781,37 +781,7 @@ object Curation {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM e GROUP BY bin
        |ORDER BY bin_id""".stripMargin) { (s, d) =>
-    import graft.streaming.{Streams => St}
-    val rules = ta09.fn(s, d).select(col("doc_id"), col("keep"))
-    val gated = qualityDf(s, d)
-      .join(rules, "doc_id").filter(col("keep"))
-      .join(T.documents(s, d).select("doc_id", "text"), "doc_id")
-      .select("doc_id", "nt", "quality", "text")
-    // dd16's admission evidence, inlined and fully lazy (see scaladoc)
-    val sigs = St.scalarSignatures(gated.select("doc_id", "text"))
-    val inc = sigs.filter(col("doc_id") % 5 === 0)
-    val corp = sigs.filter(col("doc_id") % 5 =!= 0)
-      .withColumnRenamed("doc_id", "db")
-    val stopB = corp.groupBy("i", "m").agg(count(lit(1)).as("bdf"))
-      .filter(col("bdf") > 100).select("i", "m")
-    val incP = inc.join(broadcast(stopB), Seq("i", "m"), "left_anti")
-    val cvc = incP.join(corp, Seq("i", "m"))
-      .groupBy(col("doc_id"), col("db")).agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(max("cnt").as("corpus_max"))
-    val dvd = incP.as("a")
-      .join(incP.as("b"),
-        col("a.i") === col("b.i") && col("a.m") === col("b.m") &&
-          col("b.doc_id") < col("a.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(max("cnt").as("batch_max"))
-    val adm = gated
-      .join(cvc, Seq("doc_id"), "left")
-      .join(dvd, Seq("doc_id"), "left")
-      .filter(col("doc_id") % 5 =!= 0 ||
-        (coalesce(col("corpus_max"), lit(0L)) < 4 &&
-          coalesce(col("batch_max"), lit(0L)) < 4))
-      .select("doc_id", "nt", "quality")
+    val adm = admittedCuration(s, d)
     // sp09's budget + packing tail over the admitted set
     val total = adm.agg(sum("nt").as("total"))
     val cho = graft.GlobalCumsum
@@ -833,6 +803,45 @@ object Curation {
       .select(col("bin").cast("long").as("bin_id"), col("n_docs"),
         col("docs_starting"), col("fill_tokens"), col("first_doc"), col("last_doc"))
       .orderBy("bin_id")
+  }
+
+  /** sp11's fused gate → signatures → evidence → admission chain,
+    * factored so PlanShapeSpec can lock THIS frame's physical plan
+    * (the query's own executed plan is the packing tail downstream of
+    * the GlobalCumsum checkpoints, which would hide the chain). Fully
+    * lazy — no cache, no eager action (see the sp11 scaladoc). */
+  private[graft] def admittedCuration(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.{Streams => St}
+    val rules = ta09.fn(s, d).select(col("doc_id"), col("keep"))
+    val gated = qualityDf(s, d)
+      .join(rules, "doc_id").filter(col("keep"))
+      .join(T.documents(s, d).select("doc_id", "text"), "doc_id")
+      .select("doc_id", "nt", "quality", "text")
+    // dd16's admission evidence, inlined and fully lazy
+    val sigs = St.scalarSignatures(gated.select("doc_id", "text"))
+    val inc = sigs.filter(col("doc_id") % 5 === 0)
+    val corp = sigs.filter(col("doc_id") % 5 =!= 0)
+      .withColumnRenamed("doc_id", "db")
+    val stopB = corp.groupBy("i", "m").agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") > 100).select("i", "m")
+    val incP = inc.join(broadcast(stopB), Seq("i", "m"), "left_anti")
+    val cvc = incP.join(corp, Seq("i", "m"))
+      .groupBy(col("doc_id"), col("db")).agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("corpus_max"))
+    val dvd = incP.as("a")
+      .join(incP.as("b"),
+        col("a.i") === col("b.i") && col("a.m") === col("b.m") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("batch_max"))
+    gated
+      .join(cvc, Seq("doc_id"), "left")
+      .join(dvd, Seq("doc_id"), "left")
+      .filter(col("doc_id") % 5 =!= 0 ||
+        (coalesce(col("corpus_max"), lit(0L)) < 4 &&
+          coalesce(col("batch_max"), lit(0L)) < 4))
+      .select("doc_id", "nt", "quality")
   }
 
   val defs: Seq[QueryDef] =

@@ -179,13 +179,18 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("sp11_incremental_curation_pipeline")
     assert(!p.contains("Window"),
       "both running sums must take the GlobalCumsum two-pass path")
-    // the gate -> signature -> evidence -> admission chain must stay one
-    // lazy DAG: no cached stage (dd16 standalone caches; the fused
-    // pipeline must not) and no all-pairs join anywhere
-    assert(!p.contains("InMemoryTableScan"),
-      s"sp11 must not materialize an intermediate stage:\n$p")
-    assert(!p.contains("CartesianProduct"),
-      s"sp11 admission must stay a banded equi-join:\n$p")
+    // the query's own executed plan is the packing tail downstream of
+    // the GlobalCumsum checkpoints — lock the fused gate -> signature ->
+    // evidence -> admission chain on its factored frame directly: one
+    // lazy DAG, no cached stage (dd16 standalone caches; the fused
+    // pipeline must not), no all-pairs join anywhere
+    val adm = operators.Curation.admittedCuration(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!adm.contains("Window"), s"admission chain plans a window:\n$adm")
+    assert(!adm.contains("InMemoryTableScan"),
+      s"sp11's admission chain must not materialize a stage:\n$adm")
+    assert(!adm.contains("CartesianProduct"),
+      s"sp11 admission must stay a banded equi-join:\n$adm")
   }
 
   test("ss09: IVFPQ candidate scan prunes to the probed cells") {
