@@ -336,8 +336,11 @@ object Multimodal {
     * (doc_id % 5 = 0 plays the day's batch) probes the standing corpus
     * bands plus lower-id delta docs; Hamming ≤ 6 on any candidate
     * rejects; admitted payloads commit their 4 band rows as the index
-    * delta. Everything is md5-derived, so DuckDB re-derives every
-    * fingerprint, band, and decision bit-exactly. */
+    * delta. Bands hotter than max(100, N/8) in the standing index are
+    * pruned from both probes before any pair forms (the dd16 stop-band
+    * playbook — see the in-body comment for the relative-threshold
+    * rationale). Everything is md5-derived, so DuckDB re-derives every
+    * fingerprint, band, threshold, and decision bit-exactly. */
   val mm07 = QueryDef.sql("mm07_perceptual_neardup_admission",
     """WITH tiles AS (
       |  SELECT DISTINCT doc_id,
@@ -359,15 +362,23 @@ object Multimodal {
       |           FROM hash, generate_series(0, 3) g(k)),
       |binc AS (SELECT * FROM banded WHERE doc_id % 5 = 0),
       |bcorp AS (SELECT * FROM banded WHERE doc_id % 5 <> 0),
+      |bdf AS (SELECT k, band, COUNT(*) AS bdf FROM bcorp GROUP BY 1, 2),
+      |stop AS (SELECT k, band FROM bdf
+      |         WHERE bdf > GREATEST(100.0,
+      |                 (SELECT COUNT(*) FROM bcorp WHERE k = 0) / 8.0)),
+      |bincp AS (SELECT binc.* FROM binc
+      |          WHERE NOT EXISTS (SELECT 1 FROM stop
+      |                            WHERE stop.k = binc.k
+      |                              AND stop.band = binc.band)),
       |cand_c AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
       |                  x.ph AS ha, y.ph AS hb
-      |           FROM binc x JOIN bcorp y ON x.k = y.k AND x.band = y.band),
+      |           FROM bincp x JOIN bcorp y ON x.k = y.k AND x.band = y.band),
       |cvc AS (SELECT da, MIN(bit_count(xor(ha, hb))) AS corpus_min
       |        FROM cand_c GROUP BY da),
       |cand_d AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
       |                  x.ph AS ha, y.ph AS hb
-      |           FROM binc x JOIN binc y ON x.k = y.k AND x.band = y.band
-      |                                  AND y.doc_id < x.doc_id),
+      |           FROM bincp x JOIN bincp y ON x.k = y.k AND x.band = y.band
+      |                                    AND y.doc_id < x.doc_id),
       |dvd AS (SELECT da, MIN(bit_count(xor(ha, hb))) AS batch_min
       |        FROM cand_d GROUP BY da),
       |ids AS (SELECT DISTINCT doc_id FROM binc)
@@ -422,10 +433,34 @@ object Multimodal {
         .withColumn("band", expr("shiftright(ph, 8*k) & 255"))
       val binc = banded.filter(col("doc_id") % 5 === 0)
       val bcorp = banded.filter(col("doc_id") % 5 =!= 0)
+      // stop-band prune (r13 verdict #1 — the dd16 playbook on the
+      // binary modality): one hot perceptual band — black frames, blank
+      // images, constant-fill payloads all tile to identical
+      // fingerprints — emits n² candidate pairs inside BOTH equi-joins
+      // below. Bands whose standing-index df exceeds the threshold are
+      // broadcast-anti-joined out of the probe side, which starves both
+      // joins of the hot band; a delta payload whose only collisions
+      // rode such bands carries zero evidence and is ADMITTED (dd16's
+      // boilerplate semantics, oracle-mirrored). Unlike dd16's raw-md5
+      // band space (df ≈ 1 uniform → a fixed df>100 cut), an 8-bit band
+      // holds N/256 payloads even when nothing is wrong, so the cut is
+      // RELATIVE: df > max(100, N/8) = 32× the uniform expectation —
+      // degenerate concentration, not corpus growth. (Production's
+      // other lever is dd07b's corpus-adaptive band WIDTH, which keeps
+      // uniform df constant and an absolute cut meaningful.)
+      // threshold scalar off the cached hash frame (one tiny count, the
+      // ss15 delta.count() precedent) — an in-plan 1-row crossJoin would
+      // put a BroadcastNestedLoopJoin in the DAG the plan lock rejects
+      val nCorp = hash.filter(col("doc_id") % 5 =!= 0).count()
+      val bdf = bcorp.groupBy("k", "band").agg(count(lit(1)).as("bdf"))
+      val stop = bdf
+        .filter(col("bdf") > greatest(lit(100.0), lit(nCorp / 8.0)))
+        .select("k", "band")
+      val bincP = binc.join(broadcast(stop), Seq("k", "band"), "left_anti")
       def minHamming(other: DataFrame, lowerOnly: Boolean): DataFrame = {
         val cond = col("x.k") === col("y.k") && col("x.band") === col("y.band") &&
           (if (lowerOnly) col("y.doc_id") < col("x.doc_id") else lit(true))
-        binc.as("x").join(other.as("y"), cond)
+        bincP.as("x").join(other.as("y"), cond)
           .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
             col("x.ph").as("ha"), col("y.ph").as("hb"))
           .distinct()
@@ -433,7 +468,7 @@ object Multimodal {
           .groupBy("da").agg(min("hm").as("hmin"))
       }
       val cvc = minHamming(bcorp, lowerOnly = false)
-      val dvd = minHamming(binc, lowerOnly = true)
+      val dvd = minHamming(bincP, lowerOnly = true)
       val out = binc.select("doc_id").distinct()
         .join(cvc.select(col("da").as("doc_id"),
           col("hmin").as("corpus_min")), Seq("doc_id"), "left")

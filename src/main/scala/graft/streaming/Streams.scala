@@ -950,10 +950,14 @@ object Streams {
     * it is a bucketed table the micro-batch joins against (small here,
     * so Spark broadcasts it); only genuinely colliding pairs leave the
     * join. Signatures are md5-derived exactly as dd03's, so the DuckDB
-    * oracle re-derives the whole pipeline bit-exactly (no df≤100 prune
-    * on either side: an incoming doc cannot know corpus-wide shingle
-    * document frequencies at admission time, and the oracle encodes the
-    * same choice). */
+    * oracle re-derives the whole pipeline bit-exactly. No SHINGLE-df
+    * prune on either side (an incoming doc cannot know corpus-wide
+    * shingle document frequencies at admission time), but the standing
+    * index's own per-BAND df IS admission-time metadata, so bands held
+    * by >100 index docs are pruned from the static side before the
+    * stream starts (r13 verdict #1 — dd16's stop-band policy; one hot
+    * corpus band otherwise fans out against every micro-batch). The
+    * oracle encodes both choices. */
   val st14 = QueryDef.sql("st14_stream_neardup_admission",
     """WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents
       |              WHERE len(string_split(text,' ')) >= 3),
@@ -964,10 +968,14 @@ object Streams {
       |sig AS (SELECT doc_id, i, MIN(md5(i||':'||CAST(h AS VARCHAR))) AS m
       |        FROM sh0, generate_series(0, 7) g(i) GROUP BY doc_id, i),
       |inc AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
-      |corp AS (SELECT * FROM sig WHERE doc_id % 5 <> 0)
-      |SELECT inc.doc_id AS incoming_id, corp.doc_id AS corpus_id,
+      |corp AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+      |stop AS (SELECT i, m FROM corp GROUP BY i, m HAVING COUNT(*) > 100),
+      |corpp AS (SELECT corp.* FROM corp
+      |          WHERE NOT EXISTS (SELECT 1 FROM stop
+      |                            WHERE stop.i = corp.i AND stop.m = corp.m))
+      |SELECT inc.doc_id AS incoming_id, corpp.doc_id AS corpus_id,
       |  COUNT(*) AS shared_bands, COUNT(*) * 1e0 / 8 AS est_sim
-      |FROM inc JOIN corp ON inc.i = corp.i AND inc.m = corp.m
+      |FROM inc JOIN corpp ON inc.i = corpp.i AND inc.m = corpp.m
       |GROUP BY 1, 2
       |ORDER BY incoming_id, corpus_id""".stripMargin) { (s0, d) =>
     // small file splits: the stream side is MAP-ONLY by design (no
@@ -985,9 +993,21 @@ object Streams {
     // single-file batch scan for the compute-bound kernel; the STREAM
     // side stays map-only by design (no pre-join shuffle), so it is
     // filtered but never repartitioned
-    val corpusIndex = scalarSignatures(
+    val corpusIndex0 = scalarSignatures(
         T.widened(T.documents(s, d).filter(col("doc_id") % 5 =!= 0)))
       .withColumnRenamed("doc_id", "corpus_id")
+    // stop-band prune (r13 verdict #1, dd16's exact policy on the same
+    // signature kernel): a band held by >100 standing-index docs is
+    // boilerplate, and on a STREAM it is worse than in dd16 — one hot
+    // corpus band fans out against every micro-batch forever. Pruning
+    // the STATIC side alone suffices (candidates need both sides of the
+    // inner join) and keeps the stream side map-only; the index's
+    // per-band df is metadata of the standing state, available before
+    // the stream starts. Oracle-mirrored.
+    val stop14 = corpusIndex0.groupBy("i", "m")
+      .agg(count(lit(1)).as("bdf")).filter(col("bdf") > 100)
+      .select("i", "m")
+    val corpusIndex = corpusIndex0.join(broadcast(stop14), Seq("i", "m"), "left_anti")
     val batchSchema = s.read.parquet(s"$d/documents.parquet").schema
     val stream = s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
@@ -1290,10 +1310,13 @@ object Streams {
     * the index row's cached norm, and emits the pair with its
     * shared-band count and the ≥ 0.35 near-dup verdict (the dd07
     * graded-corpus cut — the fixture has no true near-dups, max
-    * pairwise cos ≈ 0.49; production raises cut + planes). Planes,
-    * banding, and verification are all md5-deterministic, so the
-    * DuckDB oracle re-derives the candidate set AND the verdicts
-    * bit-exactly — the dd07 oracle property, now under a stream. */
+    * pairwise cos ≈ 0.49; production raises cut + planes). Index bands
+    * hotter than max(100, N/8) are pruned from the static side before
+    * the stream starts (r13 verdict #1 — see the in-body comment).
+    * Planes, banding, thresholds, and verification are all
+    * md5-deterministic, so the DuckDB oracle re-derives the candidate
+    * set AND the verdicts bit-exactly — the dd07 oracle property, now
+    * under a stream. */
   val st19 = QueryDef.sql("st19_stream_simhash_admission",
     s"""WITH b AS (SELECT vec_id, embedding,
        |    ${graft.operators.Similarity.sigDuck(16, "embedding")} AS sig,
@@ -1305,9 +1328,16 @@ object Streams {
        |       FROM inc, generate_series(0, 1) g(k)),
        |bc AS (SELECT vec_id, k, (sig >> (8 * CAST(k AS INT))) & 255 AS band
        |       FROM corp, generate_series(0, 1) g(k)),
-       |cand AS (SELECT bi.vec_id AS incoming_id, bc.vec_id AS corpus_id,
+       |bdf AS (SELECT k, band, COUNT(*) AS bdf FROM bc GROUP BY 1, 2),
+       |stop AS (SELECT k, band FROM bdf
+       |         WHERE bdf > GREATEST(100.0,
+       |                 (SELECT COUNT(*) FROM corp) / 8.0)),
+       |bcp AS (SELECT bc.* FROM bc
+       |        WHERE NOT EXISTS (SELECT 1 FROM stop
+       |                          WHERE stop.k = bc.k AND stop.band = bc.band)),
+       |cand AS (SELECT bi.vec_id AS incoming_id, bcp.vec_id AS corpus_id,
        |           COUNT(*) AS shared_bands
-       |         FROM bi JOIN bc ON bi.k = bc.k AND bi.band = bc.band
+       |         FROM bi JOIN bcp ON bi.k = bcp.k AND bi.band = bcp.band
        |         GROUP BY 1, 2),
        |scored AS (SELECT cand.incoming_id, cand.corpus_id, cand.shared_bands,
        |    ${graft.operators.Similarity.duckDot("inc_r.embedding", "corp_r.embedding")}
@@ -1330,8 +1360,23 @@ object Streams {
       .selectExpr(id, e, n, "k",
         "shiftright(sig, 8 * CAST(k AS INT)) & 255L AS band")
     val eb = T.embeddings(s, d)
-    val corpIdx = banded(
+    val corpIdx0 = banded(
       T.widened(eb.filter(col("vec_id") % 5 =!= 0)), "corpus_id", "ce", "cnrm")
+    // stop-band prune on the static index (r13 verdict #1): an 8-bit
+    // band holds N/256 vectors even when healthy, so the cut is
+    // RELATIVE like mm07's — df > max(100, N/8), 32× the uniform
+    // expectation (a degenerate embedding cluster: zero vectors,
+    // collapsed encoder output). Static side only — candidates need
+    // both join sides, and the stream side stays map-only. The
+    // threshold is index metadata computed before the stream starts;
+    // oracle-mirrored bit-exactly.
+    // threshold scalar computed once before the stream starts (the mm07
+    // form — an in-plan 1-row crossJoin would be a BNLJ in every batch)
+    val nCorp19 = eb.filter(col("vec_id") % 5 =!= 0).count()
+    val stop19 = corpIdx0.groupBy("k", "band").agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") > greatest(lit(100.0), lit(nCorp19 / 8.0)))
+      .select("k", "band")
+    val corpIdx = corpIdx0.join(broadcast(stop19), Seq("k", "band"), "left_anti")
     val schema = s.read.parquet(s"$d/embeddings.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(d)

@@ -207,10 +207,16 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     val sig = sh0.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
       .select(col("doc_id"), expr(
         "stack(8, " + (0 to 7).map(i => s"$i, m$i").mkString(", ") + ") AS (i, m)"))
+    // mirror st14's static-side stop-band prune (df > 100 in the
+    // standing index — a no-op on this fixture, asserted so the
+    // comparator stays honest if the fixture ever grows a hot band)
+    val corpSig = sig.filter(col("doc_id") % 5 =!= 0)
+      .withColumnRenamed("doc_id", "corpus_id")
+    val stop = corpSig.groupBy("i", "m").agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") > 100).select("i", "m")
     val batch = sig.filter(col("doc_id") % 5 === 0)
       .withColumnRenamed("doc_id", "incoming_id")
-      .join(sig.filter(col("doc_id") % 5 =!= 0)
-        .withColumnRenamed("doc_id", "corpus_id"), Seq("i", "m"))
+      .join(corpSig.join(stop, Seq("i", "m"), "left_anti"), Seq("i", "m"))
       .groupBy("incoming_id", "corpus_id")
       .agg(count(lit(1)).as("shared_bands"))
       .orderBy("incoming_id", "corpus_id")
@@ -242,9 +248,17 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     val inc = banded(b.filter(col("vec_id") % 5 === 0))
       .select(col("vec_id").as("incoming_id"), col("embedding").as("ie"),
         col("nrm").as("inrm"), col("k"), col("band"))
-    val corp = banded(b.filter(col("vec_id") % 5 =!= 0))
+    val corp0 = banded(b.filter(col("vec_id") % 5 =!= 0))
       .select(col("vec_id").as("corpus_id"), col("embedding").as("ce"),
         col("nrm").as("cnrm"), col("k"), col("band"))
+    // mirror st19's static-side stop-band prune (df > max(100, N/8) —
+    // a no-op on this fixture, mirrored so the comparator stays honest
+    // if the fixture ever grows a hot band)
+    val nCorp = corp0.filter(col("k") === 0).count()
+    val stop = corp0.groupBy("k", "band").agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") > greatest(lit(100.0), lit(nCorp / 8.0)))
+      .select("k", "band")
+    val corp = corp0.join(stop, Seq("k", "band"), "left_anti")
     val batch = inc.join(corp, Seq("k", "band"))
       .withColumn("cos",
         expr(Sim.dotExpr.format("ie", "ce")) / (col("inrm") * col("cnrm")))
@@ -359,6 +373,47 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("cartesianproduct") &&
       !plan.contains("broadcastnestedloopjoin"),
       s"unexpected cartesian in mm07 plan:\n$plan")
+  }
+
+  test("mm07: stop-band prune starves a hot perceptual band of evidence") {
+    // The r13 verdict's hot-band extreme: 150 corpus payloads with
+    // IDENTICAL content (the black-frame / constant-fill case) share all
+    // 4 perceptual bands, so every band has standing-index df 150 >
+    // max(100, 151/8) and is pruned. Without the prune this fixture
+    // emits ~150² candidate pairs per band AND a delta copy of the hot
+    // payload is rejected on corpus evidence; with it, the hot bands
+    // carry no evidence (dd16's boilerplate-admission semantics) while
+    // sub-threshold bands still convict — expectations below are pinned
+    // by the mirrored DuckDB oracle run on this exact fixture.
+    val s = spark
+    import s.implicits._
+    def payload(tag: Char, fill: String) =
+      (1 to 5).map(i => f"$tag$i%02d-$fill").mkString
+    val A = payload('t', "abcdefghijkl") // the hot payload
+    val B = payload('u', "mnopqrstuvwx") // normal corpus payload
+    val C = payload('w', "yzabcdefghij") // delta-only payload
+    val corpusIds = (1 to 400).filter(_ % 5 != 0).take(150).map(_.toLong)
+    val docs = (corpusIds.map(_ -> A) ++ Seq(
+      401L -> B,  // corpus normal (df 1 bands)
+      500L -> A,  // delta copy of the HOT payload
+      510L -> B,  // delta copy of the normal payload
+      515L -> C,  // delta-only payload, no lower twin
+      525L -> C   // its higher-id twin: batch evidence via normal bands
+    )).toDF("doc_id", "text")
+    val got = multimodal.Multimodal.perceptualAdmission(spark, docs)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == Set(500L, 510L, 515L, 525L), s"got ${got.keySet}")
+    // hot-payload copy: all 4 bands pruned -> zero evidence -> ADMITTED
+    assert(got(500L) == ((99, 99, true, 4L)), s"got ${got(500L)}")
+    // normal-payload copy: its df-1 bands survive -> convicted on corpus
+    assert(got(510L) == ((0, 99, false, 0L)), s"got ${got(510L)}")
+    // C collides with B on one surviving band (Hamming 12 — md5-fixed):
+    // far, so admitted; its twin 525 is convicted on batch Hamming 0
+    assert(got(515L) == ((12, 12, true, 4L)), s"got ${got(515L)}")
+    assert(got(525L) == ((12, 0, false, 0L)), s"got ${got(525L)}")
   }
 
   test("mm06: interleaved packing equals a sequential driver-side packer") {
