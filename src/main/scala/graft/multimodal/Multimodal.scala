@@ -393,8 +393,14 @@ object Multimodal {
       |FROM ids LEFT JOIN cvc ON ids.doc_id = cvc.da
       |         LEFT JOIN dvd ON ids.doc_id = dvd.da
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    perceptualAdmission(s, T.documents(s, d))
+    // memoized per (application, dir) — the dd16 rationale (r13 ADVICE
+    // #3): one cached decisions frame per dir instead of one per rep
+    mm07Cache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d",
+      perceptualAdmission(s, T.documents(s, d)))
   }
+
+  private val mm07Cache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** mm07's dataflow over an arbitrary (doc_id, text) frame — factored
     * (the incrementalBandIndex precedent) so the spec can plant

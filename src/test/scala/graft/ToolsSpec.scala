@@ -163,4 +163,59 @@ class ToolsSpec extends AnyFunSuite {
     assert(out.contains("\"ml04_lda_em_train:iter_median\": 0.65"), out)
     assert(out.contains("\"ml04_lda_em_train\": 30.0"), out)
   }
+
+  test("a memo-shaped first run emits a :cold pin; a flat one does not") {
+    // r13 verdict #3: a query whose cold first run exceeds the spike
+    // rule against its own memo-warm pin gets a secondary :cold pin
+    // (checked by Bench only while the cold sample is the only one);
+    // queries whose first run sits inside the envelope get no :cold key
+    val dir = Files.createTempDirectory("graft_pins7")
+    write(dir, "bench.json",
+      """{"queries": {"dd16_incremental_band_index": 0.46, "q1": 0.5},
+        | "first_runs": {"dd16_incremental_band_index": 2.9, "q1": 0.6}}""".stripMargin)
+    write(dir, "expect.json", "{}")
+    write(dir, "NOTES.md", "")
+    val (code, err) = run(dir)
+    assert(code == 0, s"exit=$code\n$err")
+    val out = new String(Files.readAllBytes(dir.resolve("expect.json")), "UTF-8")
+    assert(out.contains("\"dd16_incremental_band_index:cold\": 2.9"), out)
+    assert(out.contains("\"dd16_incremental_band_index\": 0.46"), out)
+    assert(!out.contains("\"q1:cold\""), out)
+  }
+
+  private def runMerge(dir: Path, files: Seq[String], fresh: String): (Int, String) = {
+    import scala.sys.process._
+    val cmd = Seq("python3", "tools/merge_bench.py") ++
+      files.map(f => dir.resolve(f).toString) ++ Seq("--fresh", fresh)
+    val err = new StringBuilder
+    val code = Process(cmd, new java.io.File("."))
+      .!(ProcessLogger(_ => (), l => err.append(l).append('\n')))
+    (code, err.toString)
+  }
+
+  test("merge_bench refuses a family artifact that contributed nothing") {
+    // r13 ADVICE #2: an ONLY=st pass that selected zero queries (env
+    // typo, renamed family) must refuse instead of merging into an
+    // artifact silently missing the whole family
+    val dir = Files.createTempDirectory("graft_merge1")
+    val main =
+      """{"metric":"total","value":1.0,"unit":"sec","first_run_sum":1.0,
+        | "budget_exhausted":false,"queries":{"q1":1.0},
+        | "first_runs":{"q1":1.0},"runs":{"q1":1},
+        | "sf":"/tmp/sf1","failures":[]}""".stripMargin
+    write(dir, "main.json", main)
+    write(dir, "empty.json", main.replace("""{"q1":1.0}""", "{}")
+      .replace("""{"q1":1}""", "{}").replace(""""value":1.0""", """"value":0.0"""))
+    val (code, err) = runMerge(dir, Seq("main.json", "empty.json"), "st")
+    assert(code != 0 && err.contains("no queries"), s"exit=$code\n$err")
+    // a non-empty family artifact whose queries miss the --fresh prefix
+    // refuses too (wrong family selected)
+    write(dir, "wrong.json", main.replace("\"q1\"", "\"q2\""))
+    val (code2, err2) = runMerge(dir, Seq("main.json", "wrong.json"), "st")
+    assert(code2 != 0 && err2.contains("--fresh"), s"exit=$code2\n$err2")
+    // and the st-family artifact merges fine
+    write(dir, "st.json", main.replace("\"q1\"", "\"st01\""))
+    val (code3, err3) = runMerge(dir, Seq("main.json", "st.json"), "st")
+    assert(code3 == 0, s"exit=$code3\n$err3")
+  }
 }

@@ -87,6 +87,24 @@ for r in runs:
             queries[k] = min(queries.get(k, float("inf")),
                              statistics.median(its))
 
+# cold-first pins for memoized queries (r13 verdict #3): a query whose
+# de-noised pin is a memo-warm minimum (dd16's band index, ss15's epoch
+# fit, mm07's admission frame) has a first run that exceeds the spike
+# rule BY CONSTRUCTION in every fresh JVM, burning heavy retries that
+# cannot beat the pin. Where the clean runs' own cold sample would trip
+# the guard, emit a secondary `<query>:cold` pin = the cleanest observed
+# cold run; graft.Bench checks it only while the cold sample is the only
+# one (runs == 1). Same-shaped queries whose cold run is within the
+# spike envelope get no :cold key — the wall pin already covers them.
+cold = {}
+for r in runs:
+    for k, v in (r.get("first_runs") or {}).items():
+        cold[k] = min(cold.get(k, float("inf")), v)
+for k, v in cold.items():
+    pin = queries.get(k)
+    if pin is not None and v > max(1.5 * pin, pin + 0.5):
+        queries[k + ":cold"] = v
+
 prev = {}
 if os.path.exists(expect_path):
     prev = {k: v for k, v in json.load(open(expect_path)).items()

@@ -41,7 +41,14 @@ sfs = {r["sf"] for r in runs}
 assert len(sfs) == 1, f"artifacts span different sf dirs: {sfs}"
 
 merged = dict(runs[0])
-for r in runs[1:]:
+for i, r in enumerate(runs[1:], start=1):
+    # coverage: a family artifact that selected ZERO queries (env typo,
+    # renamed family) must refuse here, not merge into an artifact that
+    # silently misses the whole family (r13 ADVICE #2)
+    assert r["queries"], f"family artifact {paths[i]} contains no queries"
+    assert any(q.startswith(f) for f in fresh for q in r["queries"]), (
+        f"family artifact {paths[i]} has no query matching any --fresh "
+        f"prefix {fresh}: {sorted(r['queries'])[:5]}")
     overlap = set(merged["queries"]) & set(r["queries"])
     assert not overlap, f"per-query maps overlap: {sorted(overlap)[:5]}"
     for key in ("queries", "first_runs", "runs"):
@@ -51,8 +58,13 @@ for r in runs[1:]:
     merged["budget_exhausted"] = (
         merged.get("budget_exhausted", False) or r.get("budget_exhausted", False))
     merged["failures"] = merged.get("failures", []) + r.get("failures", [])
-    if "iter_times" in r:
-        merged["iter_times"] = {**merged.get("iter_times", {}), **r["iter_times"]}
+    for tkey in ("iter_times", "stage_times"):
+        if tkey in r:
+            merged[tkey] = {**merged.get(tkey, {}), **r[tkey]}
+# every --fresh prefix must have contributed from SOME family artifact
+for f in fresh:
+    assert any(q.startswith(f) for r in runs[1:] for q in r["queries"]), (
+        f"--fresh prefix '{f}' matched no query in any family artifact")
 merged["fresh_jvm_families"] = fresh
 merged["protocol"] = merged.get("protocol", "") + (
     "; merged by tools/merge_bench.py from one JVM per family in "
