@@ -1654,7 +1654,7 @@ object Similarity {
     .empty[String, (org.apache.spark.ml.clustering.KMeansModel,
       Seq[org.apache.spark.ml.clustering.KMeansModel])]
 
-  private def epochModels(s: SparkSession, d: String) =
+  private[graft] def epochModels(s: SparkSession, d: String) =
     epochCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d",
       fitEpochModels(T.embeddings(s, d).filter(col("vec_id") % 5 =!= 0)))
 
@@ -1791,6 +1791,80 @@ object Similarity {
   private val ss15Cache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** The standing IVFPQ index frame — (nid, cell, code0..M-1, recon,
+    * rnorm), one row per corpus vector, derived ONLY through the epoch's
+    * literal codebooks. Factored from ss15 so st20 can probe the same
+    * index from a stream (the ONE index codepath both consumers share —
+    * maintenance and streaming admission cannot diverge).
+    * Reconstruction + its norm precomputed PER INDEX ROW, not per
+    * candidate: a probe fans each index row out to many delta
+    * candidates, and rebuilding the 64-double recon array per candidate
+    * row was the dominant scoring cost (measured 5× at 30×). */
+  private[graft] def ivfpqIndexFrame(
+      km: org.apache.spark.ml.clustering.KMeansModel,
+      pq: Seq[org.apache.spark.ml.clustering.KMeansModel],
+      corpus: DataFrame): DataFrame = {
+    val reconIdx = (0 until pqM).map { m =>
+      val cents = pq(m).clusterCenters.map(c => array(c.toArray.map(lit): _*))
+      element_at(array(cents: _*), col(s"code$m") + 1)
+    }
+    encodeLiteral(km, pq, corpus)
+      .select(Seq(col("vec_id").as("nid"), col("cell")) ++
+        (0 until pqM).map(m => col(s"code$m")): _*)
+      .withColumn("recon", concat(reconIdx: _*))
+      .withColumn("rnorm", sqrt(expr(dotExpr.format("recon", "recon"))))
+  }
+
+  /** st20's admission kernel, shared by the stream and its batch twin
+    * (the spec pins their equality): per delta vector, ONE map-only
+    * chain — model.transform's independent float path for the argmin
+    * boolean, the literal argmin + nprobe probe cells, qnorm — then the
+    * ONLY join is the equi-join against the standing index on cell,
+    * scored with the ADC cosine against the index row's precomputed
+    * reconstruction. Every pre-join column is a projection and the
+    * probe fan-out is a stateless explode, so a streaming delta reaches
+    * the stream-static join with NO pre-join shuffle (the st14/st19
+    * property). LEFT OUTER so a delta vector probing only index-empty
+    * cells still emits its decision row (admitted by default). */
+  private[graft] def ivfCellAdmission(
+      delta: DataFrame, index: DataFrame,
+      km: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val centLit = array(km.clusterCenters.map(c =>
+      array(c.toArray.map(lit): _*)): _*)
+    val dm = km
+      .transform(delta.withColumn("v", array_to_vector(col("embedding"))))
+      .withColumnRenamed("cell", "cell_t").drop("v")
+    val probes = dm
+      .withColumn("cents", centLit)
+      .withColumn("amin", expr(
+        "element_at(array_sort(transform(cents, (c, i) -> " +
+          "struct(vec_l2sq(embedding, c) AS d, i AS cell))), 1)"))
+      .withColumn("cell_ok", expr(
+        "vec_l2sq(embedding, element_at(cents, cell_t + 1)) <= " +
+          "amin.d * (1 + 1e-9) + 1e-12"))
+      .withColumn("pc", expr(
+        s"transform(slice(array_sort(transform(cents, (c, i) -> " +
+          s"struct(vec_l2sq(embedding, c) AS d, i AS cell))), 1, $nprobe), " +
+          "p -> p.cell)"))
+      .withColumn("qnorm", sqrt(expr(dotExpr.format("embedding", "embedding"))))
+      .select(col("vec_id"), col("embedding").as("qe"), col("qnorm"),
+        col("cell_ok"), size(col("pc")).as("n_probe_cells"),
+        explode(col("pc")).as("cell"))
+    val cand = probes.join(index, Seq("cell"), "left_outer")
+      .withColumn("adc_cos",
+        expr(dotExpr.format("qe", "recon")) / (col("qnorm") * col("rnorm")))
+    cand.groupBy("vec_id", "cell_ok", "n_probe_cells")
+      .agg(max(col("adc_cos")).as("max_adc"),
+        max(abs(col("adc_cos"))).as("max_abs_adc"))
+      .select(col("vec_id"),
+        col("n_probe_cells").cast("long").as("n_probe_cells"),
+        col("cell_ok").as("cell_is_argmin"),
+        coalesce(col("max_abs_adc") <= 1.0 + 1e-9, lit(true))
+          .as("adc_cos_in_range"),
+        coalesce(col("max_adc") < 0.6, lit(true)).as("admitted"))
+  }
+
   /** ss15's dataflow over an arbitrary embeddings frame — factored so
     * the spec can plant exact-copy deltas and prove rebuild equality.
     * Returns (decisions, indexDelta). */
@@ -1810,20 +1884,7 @@ object Similarity {
     // yesterday's bucketed table keyed by cell, rebuilt here only
     // because the bench holds no cross-run state; nothing downstream
     // reads corpus floats
-    // reconstruction + its norm precomputed PER INDEX ROW, not per
-    // candidate: a probe fans each index row out to many delta
-    // candidates, and rebuilding the 64-double recon array per
-    // candidate row was the dominant scoring cost (measured 5× at 30×)
-    val reconIdx = (0 until pqM).map { m =>
-      val cents = pq(m).clusterCenters.map(c => array(c.toArray.map(lit): _*))
-      element_at(array(cents: _*), col(s"code$m") + 1)
-    }
-    val index = encodeLiteral(km, pq, corpus)
-      .select(Seq(col("vec_id").as("nid"), col("cell")) ++
-        (0 until pqM).map(m => col(s"code$m")): _*)
-      .withColumn("recon", concat(reconIdx: _*))
-      .withColumn("rnorm", sqrt(expr(dotExpr.format("recon", "recon"))))
-      .cache()
+    val index = ivfpqIndexFrame(km, pq, corpus).cache()
     try {
       // delta encode: the literal path IS the production assignment;
       // model.transform rides along as the independent float path the

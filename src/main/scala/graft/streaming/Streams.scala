@@ -1401,7 +1401,62 @@ object Streams {
       .orderBy("incoming_id", "corpus_id")
   }
 
+  /** st20 — streaming IVF-cell admission: ss15's stream twin (r13
+    * verdict #5), closing the admission matrix at the INDEX level —
+    * st14 probes a MinHash band index, st19 a SimHash band index, st20
+    * the IVFPQ index ss15 maintains. Each micro-batch delta (vec_id %
+    * 5 = 0) is assigned to the frozen epoch's cells via broadcast
+    * LITERAL codebooks — pure projections plus one stateless explode,
+    * so the stream side reaches the stream-static join with NO pre-join
+    * shuffle (the st14/st19 property) — then probes the standing IVFPQ
+    * index (built through [[graft.operators.Similarity.ivfpqIndexFrame]],
+    * the SAME codepath ss15's maintenance uses, so streaming admission
+    * and index maintenance cannot diverge) with the nprobe=2 nearest
+    * cells and verifies every candidate with the ADC cosine against the
+    * index row's precomputed reconstruction, in-batch. At 100 TB the
+    * index is yesterday's bucketed table keyed by cell; the corpus
+    * floats are never read.
+    *
+    * Cells and codes are engine-defined (seeded k-means), so the oracle
+    * pins the exact delta row set plus invariant booleans (the
+    * ss15/ml08 idiom): the literal cell assignment agrees with
+    * model.transform's independent float path within tolerance, and ADC
+    * cosines stay in [-1, 1]. The spec pins stream ≡ batch through the
+    * shared kernel and cross-checks admissions against ss15's emitted
+    * index delta. */
+  val st20 = QueryDef.sql("st20_stream_ivf_admission",
+    """SELECT vec_id, CAST(2 AS BIGINT) AS n_probe_cells,
+      |  TRUE AS cell_is_argmin, TRUE AS adc_cos_in_range
+      |FROM embeddings WHERE vec_id % 5 = 0
+      |ORDER BY vec_id""".stripMargin) { (s0, d) =>
+    import graft.operators.{Similarity => Sim}
+    val s = scopedSession(s0, StreamParts)
+    Sim.regDot(s)
+    val (km, pq) = Sim.epochModels(s, d)
+    // the static index: cached before the stream starts so micro-batches
+    // probe materialized rows instead of re-encoding the corpus
+    val index = Sim.ivfpqIndexFrame(km, pq,
+      T.widened(T.embeddings(s, d).filter(col("vec_id") % 5 =!= 0))).cache()
+    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+    val admitted = Sim.ivfCellAdmission(
+      stream.filter(col("vec_id") % 5 === 0), index, km)
+    val name = s"st20_sink_${System.nanoTime()}"
+    val q = admitted.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally { q.stop(); index.unpersist() }
+    s.table(name)
+      .select(col("vec_id"), col("n_probe_cells"), col("cell_is_argmin"),
+        col("adc_cos_in_range"))
+      .orderBy("vec_id")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(st01, st01b, st02, st03, st04, st05, st06, st07, st08, st09, st10,
-      st11, st12, st13, st14, st15, st16, st17, st18, st19)
+      st11, st12, st13, st14, st15, st16, st17, st18, st19, st20)
 }

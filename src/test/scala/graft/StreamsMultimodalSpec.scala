@@ -274,6 +274,40 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("st20: streamed IVF-cell admission equals the batch form and ss15's delta") {
+    import graft.operators.{Similarity => Sim}
+    Sim.regDot(spark)
+    val streamed = streaming.Streams.st20.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+      .toSeq
+    val (km, pq) = Sim.epochModels(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val index = Sim.ivfpqIndexFrame(km, pq, emb.filter(col("vec_id") % 5 =!= 0))
+    val batch = Sim.ivfCellAdmission(
+      emb.filter(col("vec_id") % 5 === 0), index, km)
+    val batchRows = batch.orderBy("vec_id").collect()
+    assert(streamed.nonEmpty, "fixture should emit one row per delta vector")
+    // stream ≡ batch through the shared kernel (the st19 idiom): the
+    // streaming plan (stream-static left-outer join + complete-mode
+    // aggregation) must reproduce the batch dataflow bit-for-bit
+    assert(streamed == batchRows
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+      .toSeq)
+    // admissions cross-checked against ss15's emitted index delta: the
+    // same epoch, nprobe, ADC scoring, and 0.6 cut — a vector st20
+    // admits is exactly a vector ss15 commits index rows for
+    val (_, indexDelta) =
+      Sim.incrementalIvfpqIndex(spark, emb, km, pq)
+    val ss15Admitted = indexDelta.select("vec_id").collect().map(_.getLong(0)).toSet
+    val st20Admitted = batchRows.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    assert(st20Admitted == ss15Admitted)
+    // plan lock: banded equi-join only — never delta×corpus
+    val plan = batch.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("cartesianproduct") &&
+      !plan.contains("broadcastnestedloopjoin"),
+      s"unexpected cartesian in st20 plan:\n$plan")
+  }
+
   test("st18: streamed quota admission equals the batch row_number form") {
     val streamed = streaming.Streams.st18.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3),
