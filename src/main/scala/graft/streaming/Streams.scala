@@ -1433,10 +1433,11 @@ object Streams {
     val s = scopedSession(s0, StreamParts)
     Sim.regDot(s)
     val (km, pq) = Sim.epochModels(s, d)
-    // the static index: cached before the stream starts so micro-batches
-    // probe materialized rows instead of re-encoding the corpus
-    val index = Sim.ivfpqIndexFrame(km, pq,
-      T.widened(T.embeddings(s, d).filter(col("vec_id") % 5 =!= 0))).cache()
+    // the standing index: memoized + cached per (application, dir) and
+    // MATERIALIZED before the stream starts — at 100 TB it is
+    // yesterday's bucketed table, standing state the micro-batches
+    // probe, not per-query work
+    val index = Sim.standingIvfpqIndex(s, d)
     val schema = s.read.parquet(s"$d/embeddings.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(d)
@@ -1449,7 +1450,7 @@ object Streams {
       .queryName(name)
       .start()
     try q.processAllAvailable()
-    finally { q.stop(); index.unpersist() }
+    finally q.stop()
     s.table(name)
       .select(col("vec_id"), col("n_probe_cells"), col("cell_is_argmin"),
         col("adc_cos_in_range"))
