@@ -326,23 +326,29 @@ object Multimodal {
     * payloads had none. The pHash shape: non-overlapping 16-byte payload
     * tiles (the deterministic stand-in for patch/frame features, exactly
     * as mm01's decode stubs the codec — a real deployment swaps the tile
-    * featurizer) are 60-bit md5-fingerprinted, and a 32-bit SimHash over
+    * featurizer) are 60-bit md5-fingerprinted, and a 60-bit SimHash over
     * the tile set gives each payload a perceptual fingerprint: payloads
     * sharing most tiles land within a few Hamming bits, so an appended
     * tail or a re-encoded container (same content bytes) collides while
-    * unrelated payloads stay far. Banded exactly like dd07b/dd04
-    * (4 × 8-bit bands, pairs must share ≥1 band) — candidates are NEVER
-    * corpus² (spec-locked). Admission mirrors dd16: the delta
-    * (doc_id % 5 = 0 plays the day's batch) probes the standing corpus
-    * bands plus lower-id delta docs; Hamming ≤ 6 on any candidate
-    * rejects; admitted payloads commit their 4 band rows as the index
-    * delta. Bands hotter than max(100, N/8) in the standing index are
-    * pruned from both probes before any pair forms (the dd16 stop-band
-    * playbook — see the in-body comment for the relative-threshold
-    * rationale). Everything is md5-derived, so DuckDB re-derives every
-    * fingerprint, band, threshold, and decision bit-exactly. */
+    * unrelated payloads stay far. Banded exactly like dd07b (4 bands ×
+    * r = clamp(⌈log2 N⌉−4, 8, 15) bits, pairs must share ≥1 band) —
+    * candidates are NEVER corpus² (spec-locked), and the corpus-adaptive
+    * band width keeps uniform per-band df ~16 at any N, so candidate
+    * pairs grow ~linearly in N instead of the fixed 8-bit space's
+    * ~N²/256 birthday pairing (r14 verdict #1; the reported min-Hamming
+    * stays over the legacy low-32-bit window, so the >6 admission cut's
+    * calibration — and every small-N decision — is untouched). Admission
+    * mirrors dd16: the delta (doc_id % 5 = 0 plays the day's batch)
+    * probes the standing corpus bands plus lower-id delta docs; Hamming
+    * ≤ 6 on any candidate rejects; admitted payloads commit their 4 band
+    * rows as the index delta. Bands hotter than max(100, 32·N/2^r) in
+    * the standing index are pruned from both probes before any pair
+    * forms (the dd16 stop-band playbook — see the in-body comment for
+    * the relative-threshold rationale). Everything is md5-derived, so
+    * DuckDB re-derives every fingerprint, band, dial, threshold, and
+    * decision bit-exactly. */
   val mm07 = QueryDef.sql("mm07_perceptual_neardup_admission",
-    """WITH tiles AS (
+    s"""WITH tiles AS (
       |  SELECT DISTINCT doc_id,
       |    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
       |  FROM (SELECT doc_id,
@@ -350,22 +356,25 @@ object Multimodal {
       |            i -> substr(text, CAST(i*16+1 AS INT), 16))) AS s
       |        FROM documents WHERE length(text) >= 16)),
       |th AS (SELECT doc_id,
-      |         CAST(('0x' || substr(md5(CAST(h AS VARCHAR)), 1, 8)) AS BIGINT) AS f
+      |         CAST(('0x' || substr(md5(CAST(h AS VARCHAR)), 9, 7)) AS BIGINT) * 4294967296
+      |           + CAST(('0x' || substr(md5(CAST(h AS VARCHAR)), 1, 8)) AS BIGINT) AS f
       |       FROM tiles),
       |bits AS (SELECT doc_id, j,
       |           SUM(CASE WHEN (f >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sb
-      |         FROM th, generate_series(0, 31) g(j) GROUP BY doc_id, j),
+      |         FROM th, generate_series(0, 59) g(j) GROUP BY doc_id, j),
       |hash AS (SELECT doc_id,
       |           CAST(SUM(CASE WHEN sb > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS ph
       |         FROM bits GROUP BY doc_id),
-      |banded AS (SELECT doc_id, ph, k, (ph >> (8*k)) & 255 AS band
-      |           FROM hash, generate_series(0, 3) g(k)),
+      |rr AS (SELECT ${graft.operators.Similarity.simhashBitsDuck} AS r FROM hash),
+      |cn AS (SELECT COUNT(*) AS n FROM hash WHERE doc_id % 5 <> 0),
+      |banded AS (SELECT doc_id, ph, k,
+      |             (ph >> (r * CAST(k AS INT))) & ((CAST(1 AS BIGINT) << r) - 1) AS band
+      |           FROM hash, rr, generate_series(0, 3) g(k)),
       |binc AS (SELECT * FROM banded WHERE doc_id % 5 = 0),
       |bcorp AS (SELECT * FROM banded WHERE doc_id % 5 <> 0),
       |bdf AS (SELECT k, band, COUNT(*) AS bdf FROM bcorp GROUP BY 1, 2),
-      |stop AS (SELECT k, band FROM bdf
-      |         WHERE bdf > GREATEST(100.0,
-      |                 (SELECT COUNT(*) FROM bcorp WHERE k = 0) / 8.0)),
+      |stop AS (SELECT k, band FROM bdf, rr, cn
+      |         WHERE bdf > GREATEST(100.0, 32.0 * cn.n / POW(2, rr.r))),
       |bincp AS (SELECT binc.* FROM binc
       |          WHERE NOT EXISTS (SELECT 1 FROM stop
       |                            WHERE stop.k = binc.k
@@ -373,13 +382,13 @@ object Multimodal {
       |cand_c AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
       |                  x.ph AS ha, y.ph AS hb
       |           FROM bincp x JOIN bcorp y ON x.k = y.k AND x.band = y.band),
-      |cvc AS (SELECT da, MIN(bit_count(xor(ha, hb))) AS corpus_min
+      |cvc AS (SELECT da, MIN(bit_count(xor(ha, hb) & 4294967295)) AS corpus_min
       |        FROM cand_c GROUP BY da),
       |cand_d AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
       |                  x.ph AS ha, y.ph AS hb
       |           FROM bincp x JOIN bincp y ON x.k = y.k AND x.band = y.band
       |                                    AND y.doc_id < x.doc_id),
-      |dvd AS (SELECT da, MIN(bit_count(xor(ha, hb))) AS batch_min
+      |dvd AS (SELECT da, MIN(bit_count(xor(ha, hb) & 4294967295)) AS batch_min
       |        FROM cand_d GROUP BY da),
       |ids AS (SELECT DISTINCT doc_id FROM binc)
       |SELECT ids.doc_id,
@@ -405,9 +414,13 @@ object Multimodal {
   /** mm07's dataflow over an arbitrary (doc_id, text) frame — factored
     * (the incrementalBandIndex precedent) so the spec can plant
     * perceptual extremes: exact copies, tail-appended payloads (tile
-    * set unchanged → Hamming 0 by construction), unrelated payloads. */
+    * set unchanged → Hamming 0 by construction), unrelated payloads.
+    * `forceBandBits` is a test hook pinning adaptive ≡ fixed at small N
+    * and the recall invariants across dial points; production always
+    * takes the dial. */
   private[graft] def perceptualAdmission(
-      s: SparkSession, docs: DataFrame): DataFrame = {
+      s: SparkSession, docs: DataFrame,
+      forceBandBits: Option[Int] = None): DataFrame = {
     val eligible = docs.filter(length(col("text")) >= 16)
     // tile fingerprints: compute-dense md5 kernel over a possibly
     // single-file scan — widened (guarded no-op at real scale)
@@ -418,25 +431,48 @@ object Multimodal {
       .select(col("doc_id"),
         conv(substring(md5(col("tile")), 1, 15), 16, 10).cast("long").as("h"))
       .distinct()
+    // 60-bit tile feature (r14 verdict #1): the LOW 32 bits are the
+    // legacy feature (md5 hex 1..8) so the small-N band layout and the
+    // reported Hamming window stay bit-identical to the fixed-band era;
+    // hex 9..15 stack 28 more bits on top so the adaptive layout
+    // (4 bands × r ≤ 15 bits = 60) has room to widen with the corpus.
     val th = tiles.withColumn("f",
-      conv(substring(md5(col("h").cast("string")), 1, 8), 16, 10).cast("long"))
-    // all 32 bit-sums in ONE groupBy pass (the dd04 shape — the
-    // explode(sequence(0,31)) form shuffles the tile table ×32)
-    val bitAggs = (0 to 31).map { j =>
+      (conv(substring(md5(col("h").cast("string")), 9, 7), 16, 10)
+        .cast("long") * lit(4294967296L)) +
+        conv(substring(md5(col("h").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+    // all 60 bit-sums in ONE groupBy pass (the dd04 shape — the
+    // explode(sequence(0,59)) form shuffles the tile table ×60)
+    val bitAggs = (0 to 59).map { j =>
       sum(expr(s"CASE WHEN (shiftright(f, $j) & 1) = 1 THEN 1 ELSE -1 END"))
         .as(s"sb$j")
     }
     val hash = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"),
-        (0 to 31).map { j =>
+        (0 to 59).map { j =>
           expr(s"CASE WHEN sb$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) " +
             s"ELSE CAST(0 AS BIGINT) END")
         }.reduce(_ + _).as("ph"))
       .cache()
     try {
+      // both corpus scalars in one tiny pass over the cached hash frame:
+      // the band-width dial reads total N (dd07b's convention), the
+      // stop-band threshold reads the standing-corpus N
+      val cnts = hash.agg(count(lit(1)),
+        count(when(col("doc_id") % 5 =!= 0, 1))).head()
+      val (nAll, nCorp) = (cnts.getLong(0), cnts.getLong(1))
+      // corpus-adaptive band WIDTH (r14 verdict #1 — dd07b's dial on the
+      // perceptual space): r = clamp(⌈log2 N⌉ − 4, 8, 15) keeps uniform
+      // per-band df ~16 at any corpus size, so candidate pairs grow
+      // ~linearly in N instead of the fixed 8-bit space's ~N²/256
+      // birthday pairing (40M surviving pairs at 150k docs, measured
+      // r14). Same integer-comparison chain as dd07b, oracle-mirrored.
+      val r = forceBandBits.getOrElse(
+        graft.operators.Similarity.simhashBits(nAll))
       val banded = hash
         .select(col("doc_id"), col("ph"), explode(expr("sequence(0, 3)")).as("k"))
-        .withColumn("band", expr("shiftright(ph, 8*k) & 255"))
+        .withColumn("band",
+          expr(s"shiftright(ph, $r * CAST(k AS INT)) & ${(1L << r) - 1}L"))
       val binc = banded.filter(col("doc_id") % 5 === 0)
       val bcorp = banded.filter(col("doc_id") % 5 =!= 0)
       // stop-band prune (r13 verdict #1 — the dd16 playbook on the
@@ -448,19 +484,16 @@ object Multimodal {
       // joins of the hot band; a delta payload whose only collisions
       // rode such bands carries zero evidence and is ADMITTED (dd16's
       // boilerplate semantics, oracle-mirrored). Unlike dd16's raw-md5
-      // band space (df ≈ 1 uniform → a fixed df>100 cut), an 8-bit band
-      // holds N/256 payloads even when nothing is wrong, so the cut is
-      // RELATIVE: df > max(100, N/8) = 32× the uniform expectation —
-      // degenerate concentration, not corpus growth. (Production's
-      // other lever is dd07b's corpus-adaptive band WIDTH, which keeps
-      // uniform df constant and an absolute cut meaningful.)
-      // threshold scalar off the cached hash frame (one tiny count, the
-      // ss15 delta.count() precedent) — an in-plan 1-row crossJoin would
-      // put a BroadcastNestedLoopJoin in the DAG the plan lock rejects
-      val nCorp = hash.filter(col("doc_id") % 5 =!= 0).count()
+      // band space (df ≈ 1 uniform → a fixed df>100 cut), an r-bit band
+      // holds N/2^r payloads even when nothing is wrong, so the cut is
+      // RELATIVE: df > max(100, 32·N/2^r) = 32× the uniform expectation
+      // — degenerate concentration, not corpus growth. (At r = 8 this
+      // is exactly the fixed-band era's N/8 cut, so the dial leaves the
+      // small-N prune semantics untouched.)
       val bdf = bcorp.groupBy("k", "band").agg(count(lit(1)).as("bdf"))
       val stop = bdf
-        .filter(col("bdf") > greatest(lit(100.0), lit(nCorp / 8.0)))
+        .filter(col("bdf") >
+          greatest(lit(100.0), lit(32.0 * nCorp / (1L << r))))
         .select("k", "band")
       val bincP = binc.join(broadcast(stop), Seq("k", "band"), "left_anti")
       def minHamming(other: DataFrame, lowerOnly: Boolean): DataFrame = {
@@ -470,7 +503,13 @@ object Multimodal {
           .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
             col("x.ph").as("ha"), col("y.ph").as("hb"))
           .distinct()
-          .withColumn("hm", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+          // the reported min-Hamming stays over the legacy 32-bit
+          // window (low bits of the 60-bit fingerprint): the operator's
+          // output contract — and the >6 admission cut calibrated to it
+          // — is unchanged by the band-space widening; the upper 28
+          // bits exist only to give the adaptive LSH layout room
+          .withColumn("hm",
+            expr("CAST(bit_count((ha ^ hb) & 4294967295) AS INT)"))
           .groupBy("da").agg(min("hm").as("hmin"))
       }
       val cvc = minHamming(bcorp, lowerOnly = false)

@@ -393,8 +393,10 @@ object Similarity {
   private[graft] def simhashBits(n: Long): Int =
     8 + (0 until 7).count(i => n > (1L << (12 + i)))
 
-  /** The same dial as a DuckDB SQL scalar over COUNT(*). */
-  private def simhashBitsDuck: String =
+  /** The same dial as a DuckDB SQL scalar over COUNT(*). Shared with
+    * the mm07/st19 oracles (r14 verdict #1: their band layouts now run
+    * this dial too). */
+  private[graft] def simhashBitsDuck: String =
     "8 + " + (0 until 7).map(i =>
       s"(CASE WHEN COUNT(*) > ${1L << (12 + i)} THEN 1 ELSE 0 END)").mkString(" + ")
 

@@ -1295,14 +1295,74 @@ object Streams {
       .orderBy("user_id", "window_start")
   }
 
+  /** Shared 2×r-bit SimHash banding for st19's two sides (and the
+    * adaptive-layout spec): signs with the md5-derived 2·r-plane
+    * signature as pure scalar projections and unpivots into 2 r-bit
+    * bands via one stateless constant-sequence explode — map-only, no
+    * shuffle before any join. */
+  private[graft] def st19Banded(df: DataFrame, r: Int,
+      id: String, e: String, n: String): DataFrame = {
+    import graft.operators.{Similarity => Sim}
+    df.select(col("vec_id"), col("embedding"),
+        expr(Sim.sigSpark(2 * r, "embedding")).as("sig"),
+        sqrt(expr(Sim.dotExpr.format("embedding", "embedding"))).as("nrm"))
+      .selectExpr(s"vec_id AS $id", s"embedding AS $e", s"nrm AS $n", "sig",
+        "explode(sequence(0, 1)) AS k")
+      .selectExpr(id, e, n, "k",
+        s"shiftright(sig, $r * CAST(k AS INT)) & ${(1L << r) - 1}L AS band")
+  }
+
+  /** st19's pruned static band index plus the dialed band width
+    * (factored so the spec can pin the adaptive layout directly).
+    *
+    * Corpus-adaptive band width (r14 verdict #1 — dd07b's dial on the
+    * static index): r = clamp(⌈log2 Ncorp⌉ − 4, 8, 15) bits per band,
+    * 2 bands × r planes, so uniform per-band df in the standing index
+    * stays ~16 at any corpus size and stream×index candidate pairs grow
+    * ~linearly in N instead of the fixed 8-bit space's ~N²/256 birthday
+    * pairing. The dial reads the INDEX side's count (the band occupancy
+    * that matters is the static one); the count is the same pre-stream
+    * action the stop-band threshold already needs. At every graded
+    * scale Ncorp ≤ 4096 keeps r = 8, so the layout — and the whole pair
+    * list — is bit-identical to the fixed 2×8 era. The oracle signs the
+    * full 2×15-plane prefix and masks the same r-bit windows (the dd07b
+    * property), so the pair list stays oracle-exact at any dial point.
+    *
+    * Stop-band prune (r13 verdict #1): an r-bit band holds N/2^r
+    * vectors even when healthy, so the cut is RELATIVE like mm07's —
+    * df > max(100, 32·N/2^r), 32× the uniform expectation (a degenerate
+    * embedding cluster: zero vectors, collapsed encoder output; at
+    * r = 8 this is the fixed era's N/8). Static side only — candidates
+    * need both join sides, and the stream side stays map-only. The
+    * threshold is index metadata computed before the stream starts;
+    * oracle-mirrored bit-exactly. (A 1-row in-plan crossJoin would be a
+    * BNLJ in every batch.) */
+  private[graft] def st19StaticIndex(s: SparkSession, eb: DataFrame,
+      forceBits: Option[Int] = None): (DataFrame, Int) = {
+    import graft.operators.{Similarity => Sim}
+    Sim.regDot(s)
+    val corp = eb.filter(col("vec_id") % 5 =!= 0)
+    val nCorp = corp.count()
+    val r = forceBits.getOrElse(Sim.simhashBits(nCorp))
+    val corpIdx0 = st19Banded(T.widened(corp), r, "corpus_id", "ce", "cnrm")
+    val stop = corpIdx0.groupBy("k", "band").agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") >
+        greatest(lit(100.0), lit(32.0 * nCorp / (1L << r))))
+      .select("k", "band")
+    (corpIdx0.join(broadcast(stop), Seq("k", "band"), "left_anti"), r)
+  }
+
   /** st19 — streaming embedding near-dup admission: the embedding-side
     * twin of st14 (text MinHash) and the ingestion-time shape of dd07's
     * banded SimHash dedup, closing the admission family across both
     * modalities. Incoming vectors (vec_id % 5 = 0 plays the crawl
-    * delta) are signed with the md5-derived 16-plane signature as PURE
+    * delta) are signed with the md5-derived 2·r-plane signature as PURE
     * SCALAR expressions — map-only: the sig is a projected column, the
-    * 2×8-bit band unpivot is a stateless constant-sequence generator
-    * (the st14 shape), and there is no shuffle before the join. Each
+    * 2×r-bit band unpivot is a stateless constant-sequence generator
+    * (the st14 shape), and there is no shuffle before the join; r is
+    * dd07b's corpus-adaptive dial over the INDEX size (r14 verdict #1,
+    * see the in-body comment — r = 8 at every graded scale, so the
+    * fixed-era pair list is preserved bit-exactly). Each
     * micro-batch probes the STATIC band index of the existing corpus
     * (vec_id % 5 <> 0; at 100 TB a bucketed table keyed by (k, band) —
     * the standing state dd16 maintains on the text side), verifies
@@ -1311,27 +1371,32 @@ object Streams {
     * shared-band count and the ≥ 0.35 near-dup verdict (the dd07
     * graded-corpus cut — the fixture has no true near-dups, max
     * pairwise cos ≈ 0.49; production raises cut + planes). Index bands
-    * hotter than max(100, N/8) are pruned from the static side before
-    * the stream starts (r13 verdict #1 — see the in-body comment).
+    * hotter than max(100, 32·N/2^r) are pruned from the static side
+    * before the stream starts (r13 verdict #1 — see the in-body
+    * comment).
     * Planes, banding, thresholds, and verification are all
     * md5-deterministic, so the DuckDB oracle re-derives the candidate
     * set AND the verdicts bit-exactly — the dd07 oracle property, now
     * under a stream. */
   val st19 = QueryDef.sql("st19_stream_simhash_admission",
-    s"""WITH b AS (SELECT vec_id, embedding,
-       |    ${graft.operators.Similarity.sigDuck(16, "embedding")} AS sig,
+    s"""WITH rr AS (SELECT ${graft.operators.Similarity.simhashBitsDuck} AS r
+       |           FROM embeddings WHERE vec_id % 5 <> 0),
+       |b AS (SELECT vec_id, embedding,
+       |    ${graft.operators.Similarity.sigDuck(30, "embedding")} AS sig,
        |    sqrt(${graft.operators.Similarity.duckDot("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
        |inc AS (SELECT * FROM b WHERE vec_id % 5 = 0),
        |corp AS (SELECT * FROM b WHERE vec_id % 5 <> 0),
-       |bi AS (SELECT vec_id, k, (sig >> (8 * CAST(k AS INT))) & 255 AS band
-       |       FROM inc, generate_series(0, 1) g(k)),
-       |bc AS (SELECT vec_id, k, (sig >> (8 * CAST(k AS INT))) & 255 AS band
-       |       FROM corp, generate_series(0, 1) g(k)),
+       |bi AS (SELECT vec_id, k,
+       |         (sig >> (r * CAST(k AS INT))) & ((CAST(1 AS BIGINT) << r) - 1) AS band
+       |       FROM inc, rr, generate_series(0, 1) g(k)),
+       |bc AS (SELECT vec_id, k,
+       |         (sig >> (r * CAST(k AS INT))) & ((CAST(1 AS BIGINT) << r) - 1) AS band
+       |       FROM corp, rr, generate_series(0, 1) g(k)),
        |bdf AS (SELECT k, band, COUNT(*) AS bdf FROM bc GROUP BY 1, 2),
-       |stop AS (SELECT k, band FROM bdf
+       |stop AS (SELECT k, band FROM bdf, rr
        |         WHERE bdf > GREATEST(100.0,
-       |                 (SELECT COUNT(*) FROM corp) / 8.0)),
+       |                 32.0 * (SELECT COUNT(*) FROM corp) / POW(2, rr.r))),
        |bcp AS (SELECT bc.* FROM bc
        |        WHERE NOT EXISTS (SELECT 1 FROM stop
        |                          WHERE stop.k = bc.k AND stop.band = bc.band)),
@@ -1351,36 +1416,12 @@ object Streams {
     import graft.operators.{Similarity => Sim}
     val s = scopedSession(s0, StreamParts)
     Sim.regDot(s)
-    def withSig(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
-      expr(Sim.sigSpark(16, "embedding")).as("sig"),
-      sqrt(expr(Sim.dotExpr.format("embedding", "embedding"))).as("nrm"))
-    def banded(df: DataFrame, id: String, e: String, n: String) = withSig(df)
-      .selectExpr(s"vec_id AS $id", s"embedding AS $e", s"nrm AS $n", "sig",
-        "explode(sequence(0, 1)) AS k")
-      .selectExpr(id, e, n, "k",
-        "shiftright(sig, 8 * CAST(k AS INT)) & 255L AS band")
     val eb = T.embeddings(s, d)
-    val corpIdx0 = banded(
-      T.widened(eb.filter(col("vec_id") % 5 =!= 0)), "corpus_id", "ce", "cnrm")
-    // stop-band prune on the static index (r13 verdict #1): an 8-bit
-    // band holds N/256 vectors even when healthy, so the cut is
-    // RELATIVE like mm07's — df > max(100, N/8), 32× the uniform
-    // expectation (a degenerate embedding cluster: zero vectors,
-    // collapsed encoder output). Static side only — candidates need
-    // both join sides, and the stream side stays map-only. The
-    // threshold is index metadata computed before the stream starts;
-    // oracle-mirrored bit-exactly.
-    // threshold scalar computed once before the stream starts (the mm07
-    // form — an in-plan 1-row crossJoin would be a BNLJ in every batch)
-    val nCorp19 = eb.filter(col("vec_id") % 5 =!= 0).count()
-    val stop19 = corpIdx0.groupBy("k", "band").agg(count(lit(1)).as("bdf"))
-      .filter(col("bdf") > greatest(lit(100.0), lit(nCorp19 / 8.0)))
-      .select("k", "band")
-    val corpIdx = corpIdx0.join(broadcast(stop19), Seq("k", "band"), "left_anti")
+    val (corpIdx, r19) = st19StaticIndex(s, eb)
     val schema = s.read.parquet(s"$d/embeddings.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(d)
-    val admitted = banded(stream.filter(col("vec_id") % 5 === 0),
+    val admitted = st19Banded(stream.filter(col("vec_id") % 5 === 0), r19,
         "incoming_id", "ie", "inrm")
       .join(corpIdx, Seq("k", "band"))
       .withColumn("cos",

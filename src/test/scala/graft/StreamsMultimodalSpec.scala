@@ -226,12 +226,16 @@ class StreamsMultimodalSpec extends AnyFunSuite {
   }
 
   test("st19: streamed SimHash admission equals the batch banded form") {
-    // The streaming side signs each vector with the 16-plane scalar
+    // The streaming side signs each vector with the 2·r-plane scalar
     // expression and probes the static band index per micro-batch; this
-    // comparator rebuilds the same 2x8-bit banding with plain batch
-    // frames over the same split. Agreement proves the stream-static
-    // band join + complete-mode pair aggregation + exact-cosine verify
-    // reproduce dd07's batch dataflow shape end to end.
+    // comparator rebuilds the LEGACY FIXED 16-plane / 2x8-bit banding
+    // with plain batch frames over the same split. Agreement proves the
+    // stream-static band join + complete-mode pair aggregation +
+    // exact-cosine verify reproduce dd07's batch dataflow shape end to
+    // end — AND (r14 verdict #1) that the adaptive dial degrades to the
+    // fixed-era layout bit-exactly at small N: the fixture's corpus is
+    // ≤ 4096 vectors, so a dial that failed to resolve to r = 8 would
+    // diverge from this hand-frozen fixed comparator.
     val streamed = streaming.Streams.st19.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getBoolean(4))).toSeq
@@ -272,6 +276,47 @@ class StreamsMultimodalSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getBoolean(4))).toSeq
     assert(streamed.nonEmpty, "fixture should produce at least one candidate pair")
     assert(streamed == batch)
+  }
+
+  test("st19: adaptive band width widens past 4096 and copies still collide") {
+    // r14 verdict #1 at the index level: 4500 corpus vectors push the
+    // dial to r = 9; the widened layout must (a) shrink the unrelated
+    // candidate volume vs a forced r = 8 layout on the SAME corpus and
+    // (b) keep an exact duplicate colliding on BOTH bands — identical
+    // embeddings sign identically at any width, so dedup recall can
+    // never be dialed away.
+    val n = 5625L // ids 0..5624: 4500 corpus (%5 != 0), 1125 delta
+    // murmur3-mixed components: sinusoids of the id are CORRELATED
+    // across vectors and concentrate the sign signatures into hot bands
+    val base = spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), " +
+        "i -> CAST((hash(id, i) % 1000) / 1000.0 AS FLOAT))")
+        .as("embedding"))
+    // plant one delta-side exact copy of corpus vector 1
+    val dup = base.filter(col("vec_id") === 1L)
+      .select(lit(5630L).as("vec_id"), col("embedding"))
+    val eb = base.union(dup)
+    val (idx9, r9) = streaming.Streams.st19StaticIndex(spark, eb)
+    assert(r9 == 9, s"dial at 4500 corpus vectors should be 9, got $r9")
+    val (idx8, r8) = streaming.Streams.st19StaticIndex(spark, eb, Some(8))
+    assert(r8 == 8)
+    // every band fits its r-bit window; 2 bands per corpus vector
+    val mx9 = idx9.agg(max("band"), count(lit(1))).head()
+    assert(mx9.getLong(0) < (1L << 9) && mx9.getLong(1) == 2 * 4500L)
+    def candidates(r: Int, idx: org.apache.spark.sql.DataFrame) =
+      streaming.Streams
+        .st19Banded(eb.filter(col("vec_id") % 5 === 0), r,
+          "incoming_id", "ie", "inrm")
+        .join(idx, Seq("k", "band"))
+        .select("incoming_id", "corpus_id")
+    val c9 = candidates(9, idx9).count()
+    val c8 = candidates(8, idx8).count()
+    assert(c9 < c8, s"wider bands must shrink candidates: r9=$c9 vs r8=$c8")
+    // the planted duplicate collides on both bands at the wide layout
+    val dupBands = candidates(9, idx9)
+      .filter(col("incoming_id") === 5630L && col("corpus_id") === 1L)
+      .count()
+    assert(dupBands == 2L, s"exact copy should share both 9-bit bands, got $dupBands")
   }
 
   test("st20: streamed IVF-cell admission equals the batch form and ss15's delta") {
@@ -407,6 +452,62 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("cartesianproduct") &&
       !plan.contains("broadcastnestedloopjoin"),
       s"unexpected cartesian in mm07 plan:\n$plan")
+  }
+
+  test("mm07: adaptive band width degrades to the fixed 8-bit layout at small N") {
+    // r14 verdict #1: the dial r = simhashBits(N) resolves to 8 for
+    // every N <= 4096, where the band masks (ph >> 8k) & 255 and the
+    // low-32-bit Hamming window are bit-identical to the fixed-band
+    // era — pinned here as full-frame equality between the dialed run
+    // and a forced r = 8 run on the planted-extremes fixture (plus the
+    // dial values themselves at the clamp edges).
+    assert(operators.Similarity.simhashBits(7L) == 8)
+    assert(operators.Similarity.simhashBits(4096L) == 8)
+    assert(operators.Similarity.simhashBits(4097L) == 9)
+    assert(operators.Similarity.simhashBits(150000L) == 14)
+    assert(operators.Similarity.simhashBits(Long.MaxValue / 2) == 15)
+    val s = spark
+    import s.implicits._
+    def payload(tag: Char, fill: String) =
+      (1 to 5).map(i => f"$tag$i%02d-$fill").mkString
+    val docs = Seq(
+      (1L, payload('t', "abcdefghijkl")), (2L, payload('u', "mnopqrstuvwx")),
+      (5L, payload('t', "abcdefghijkl")), (15L, payload('w', "yzabcdefghij")),
+      (25L, payload('t', "abcdefghijkl"))).toDF("doc_id", "text")
+    val dialed = multimodal.Multimodal.perceptualAdmission(spark, docs)
+      .collect().map(_.toSeq).toSeq
+    val fixed8 = multimodal.Multimodal
+      .perceptualAdmission(spark, docs, forceBandBits = Some(8))
+      .collect().map(_.toSeq).toSeq
+    assert(dialed == fixed8)
+  }
+
+  test("mm07: copies and tail-appends stay convicted at every dial point") {
+    // widening the bands loses per-band recall on NEAR misses by
+    // design (LSH), but a Hamming-0 twin shares EVERY band at any
+    // width — the conviction that matters for dedup can never be
+    // dialed away; the low-32-bit Hamming report is width-invariant
+    val s = spark
+    import s.implicits._
+    def payload(tag: Char, fill: String) =
+      (1 to 5).map(i => f"$tag$i%02d-$fill").mkString
+    val A = payload('t', "abcdefghijkl")
+    val docs = Seq(
+      (1L, A), (2L, payload('u', "mnopqrstuvwx")),
+      (5L, A),           // delta exact copy
+      (10L, A + "tail"), // tile set unchanged -> Hamming 0
+      (15L, payload('w', "yzabcdefghij"))).toDF("doc_id", "text")
+    for (r <- Seq(10, 15)) {
+      val rows = multimodal.Multimodal
+        .perceptualAdmission(spark, docs, forceBandBits = Some(r))
+        .collect()
+        .map(x => x.getLong(0) ->
+          ((x.getInt(1), x.getInt(2), x.getBoolean(3)))).toMap
+      assert(rows(5L)._1 == 0 && !rows(5L)._3, s"r=$r: ${rows(5L)}")
+      assert(rows(10L)._1 == 0 && !rows(10L)._3, s"r=$r: ${rows(10L)}")
+      val (c15, b15, adm15) = rows(15L)
+      assert(c15 > 6 && b15 > 6 && adm15, s"r=$r: ${rows(15L)}")
+    }
   }
 
   test("mm07: stop-band prune starves a hot perceptual band of evidence") {
