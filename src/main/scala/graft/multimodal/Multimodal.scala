@@ -411,6 +411,14 @@ object Multimodal {
   private val mm07Cache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** The banded intermediates of mm07's dataflow, factored so
+    * [[perceptualAdmission]] and the candidate-volume probe
+    * ([[graft.tools.ProbeMm07]]) share one construction. `hash` is
+    * CACHED — the caller must unpersist it when done. */
+  private[graft] case class PerceptualParts(
+      hash: DataFrame, r: Int, nAll: Long, nCorp: Long,
+      binc: DataFrame, bcorp: DataFrame, bincP: DataFrame)
+
   /** mm07's dataflow over an arbitrary (doc_id, text) frame — factored
     * (the incrementalBandIndex precedent) so the spec can plant
     * perceptual extremes: exact copies, tail-appended payloads (tile
@@ -418,9 +426,9 @@ object Multimodal {
     * `forceBandBits` is a test hook pinning adaptive ≡ fixed at small N
     * and the recall invariants across dial points; production always
     * takes the dial. */
-  private[graft] def perceptualAdmission(
+  private[graft] def perceptualParts(
       s: SparkSession, docs: DataFrame,
-      forceBandBits: Option[Int] = None): DataFrame = {
+      forceBandBits: Option[Int] = None): PerceptualParts = {
     val eligible = docs.filter(length(col("text")) >= 16)
     // tile fingerprints: compute-dense md5 kernel over a possibly
     // single-file scan — widened (guarded no-op at real scale)
@@ -454,8 +462,7 @@ object Multimodal {
             s"ELSE CAST(0 AS BIGINT) END")
         }.reduce(_ + _).as("ph"))
       .cache()
-    try {
-      // both corpus scalars in one tiny pass over the cached hash frame:
+    // both corpus scalars in one tiny pass over the cached hash frame:
       // the band-width dial reads total N (dd07b's convention), the
       // stop-band threshold reads the standing-corpus N
       val cnts = hash.agg(count(lit(1)),
@@ -496,6 +503,15 @@ object Multimodal {
           greatest(lit(100.0), lit(32.0 * nCorp / (1L << r))))
         .select("k", "band")
       val bincP = binc.join(broadcast(stop), Seq("k", "band"), "left_anti")
+    PerceptualParts(hash, r, nAll, nCorp, binc, bcorp, bincP)
+  }
+
+  private[graft] def perceptualAdmission(
+      s: SparkSession, docs: DataFrame,
+      forceBandBits: Option[Int] = None): DataFrame = {
+    val parts = perceptualParts(s, docs, forceBandBits)
+    import parts.{binc, bcorp, bincP}
+    try {
       def minHamming(other: DataFrame, lowerOnly: Boolean): DataFrame = {
         val cond = col("x.k") === col("y.k") && col("x.band") === col("y.band") &&
           (if (lowerOnly) col("y.doc_id") < col("x.doc_id") else lit(true))
@@ -532,7 +548,7 @@ object Multimodal {
         .cache()
       out.count()
       out
-    } finally hash.unpersist()
+    } finally parts.hash.unpersist()
   }
 
   val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07)

@@ -314,6 +314,14 @@ object MlQueries {
     * any query's result — purely observability. */
   @volatile var ml04IterTimes: Option[Seq[Double]] = None
 
+  /** Telemetry sink for ml06's most recent ONLINE fit: per-job wall
+    * times of the fit (~2 short jobs per iteration — see
+    * LdaPipeline.lastOnlineFitJobTimes). The ml04 idiom for the online
+    * optimizer (r14 verdict #3: ml06 recorded a 60.9 s cold driver
+    * sample with no telemetry to adjudicate it); Bench keys its
+    * iter-median guard to this via Bench.iterTelemetry. */
+  @volatile var ml06IterTimes: Option[Seq[Double]] = None
+
   /** ml06 — A6 on the ONLINE optimizer at the reference's FULL training
     * configuration (k=5, 50 iterations, auto α/β, the `0.05 +
     * 1/corpusSize` minibatch tweak from `LDAClustering.scala:43`) — the
@@ -339,6 +347,7 @@ object MlQueries {
       .select(col("doc_id"), split(col("text"), " ").as("tokens"))
     val fitted = LdaPipeline.train(s, tokens,
       LdaPipeline.Params(k = 5, maxIterations = 50, algorithm = "online", seed = 42L))
+    ml06IterTimes = LdaPipeline.lastOnlineFitJobTimes
     // per-doc posterior invariants in ONE pass over the cached corpus:
     // booleans reduced with min() (false < true ⇒ min == AND), so the
     // aggregate is map-side combinable — no per-doc rows move

@@ -70,6 +70,14 @@ object Storage {
       .orderBy("o_orderstatus")
   }
 
+  /** Stage telemetry for q39's cold run (r14 verdict #4: a 14.4 s
+    * driver first run vs a 5.5 s cold pin had nothing to attribute it
+    * to): wall times of the two bucketed CTAS writes, recorded once per
+    * session when the tables are actually built. Bench folds this into
+    * its stage_times JSON — the join itself is the remainder of the
+    * first run's wall. Telemetry only. */
+  @volatile var q39StageTimes: Option[Seq[(String, Double)]] = None
+
   /** The bucketed join itself (shared with the plan assertion in
     * StorageSpec). Bucket count 8 on the join key both sides. */
   def bucketedJoin(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
@@ -79,10 +87,16 @@ object Storage {
     val tag = java.lang.Integer.toHexString(d.hashCode).replace('-', 'n')
     val (to, tl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
     if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tl)) {
+      val t0 = System.nanoTime()
       T.orders(s, d).write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
+      val t1 = System.nanoTime()
       T.lineitem(s, d).write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+      val t2 = System.nanoTime()
+      q39StageTimes = Some(Seq(
+        "build_bucketed_orders" -> (t1 - t0) / 1e9,
+        "build_bucketed_lineitem" -> (t2 - t1) / 1e9))
     }
     val o = s.table(to)
     val l = s.table(tl)

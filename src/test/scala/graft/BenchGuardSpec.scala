@@ -9,8 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * regression tripping, the telemetry-missing fallback (r13 ADVICE
   * #1), the telemetry keying, and the :cold memo-pin exemption (r13
   * verdict #3) are all asserted here instead of waiting for a live
-  * event. [[Bench.spikeDecision]] is pure, so these are plain unit
-  * cases. */
+  * event. r15 additions: the decision returns the EFFECTIVE pin it
+  * used (r14 ADVICE #4), ml06 joins the iter-median keying (r14
+  * verdict #3), and `pinsActive = false` — the off-calibration-dir
+  * audit mode — disables every pin-based retry (r14 verdict #2).
+  * [[Bench.spikeDecision]] is pure, so these are plain unit cases. */
 class BenchGuardSpec extends AnyFunSuite {
   private val ml04 = "ml04_lda_em_train"
   private val ml04Pins = Map(ml04 -> 29.0, s"$ml04:iter_median" -> 0.618)
@@ -18,28 +21,46 @@ class BenchGuardSpec extends AnyFunSuite {
   test("ml04 wall spread does not trip while the iteration median is healthy") {
     // the r13 driver artifact's exact shape: 82.4 s wall (2.8x the wall
     // pin) from 4 GC-stall outlier iterations around a 1.21x median
-    assert(!Bench.spikeDecision(ml04, 82.4, 1, ml04Pins,
-      Some(Seq.fill(46)(0.748) ++ Seq(22.9, 7.5, 5.8, 2.7))))
+    assert(Bench.spikeDecision(ml04, 82.4, 1, ml04Pins,
+      Some(Seq.fill(46)(0.748) ++ Seq(22.9, 7.5, 5.8, 2.7))).isEmpty)
   }
 
-  test("a real 1.5x per-iteration regression still trips") {
+  test("a real 1.5x per-iteration regression still trips, reporting the iter pin") {
+    // the effective pin in the trip is the ITER pin, not the wall pin
+    // (r14 ADVICE #4: the retry log printed the wrong reference)
     assert(Bench.spikeDecision(ml04, 50.0, 1, ml04Pins,
-      Some(Seq.fill(50)(1.2))))
+      Some(Seq.fill(50)(1.2))) == Some(0.618))
   }
 
   test("missing iteration telemetry falls back to the wall pin, not immunity") {
     // r13 ADVICE #1: a broken reflective accessor returning None must
     // not silently disable ALL spike protection for ml04
-    assert(Bench.spikeDecision(ml04, 82.4, 1, ml04Pins, None))
-    assert(!Bench.spikeDecision(ml04, 30.0, 1, ml04Pins, None))
+    assert(Bench.spikeDecision(ml04, 82.4, 1, ml04Pins, None) == Some(29.0))
+    assert(Bench.spikeDecision(ml04, 30.0, 1, ml04Pins, None).isEmpty)
   }
 
-  test("an iter_median pin on another query never reads ml04's telemetry") {
-    // r13 ADVICE #1: the telemetry is keyed — a future query pinned on
-    // iter_times must not be judged against ml04's iteration times
+  test("an iter_median pin on an unkeyed query never reads iteration telemetry") {
+    // r13 ADVICE #1: the telemetry is keyed (Bench.iterTelemetry) — a
+    // future query pinned on iter_times must not be judged against
+    // telemetry that isn't its own; the wall pin applies instead
     val pins = Map("other_q" -> 1.0, "other_q:iter_median" -> 0.5)
     assert(Bench.spikeDecision("other_q", 10.0, 1, pins,
-      Some(Seq.fill(50)(0.5))))
+      Some(Seq.fill(50)(0.5))) == Some(1.0))
+  }
+
+  test("ml06 is keyed for the iter-median guard like ml04 (r14 verdict #3)") {
+    val ml06 = "ml06_lda_online_train"
+    assert(Bench.iterTelemetry.contains(ml06) && Bench.iterTelemetry.contains(ml04))
+    val pins = Map(ml06 -> 6.0, s"$ml06:iter_median" -> 0.10)
+    // the r14 driver shape: 60.9 s wall on a healthy per-iteration
+    // median (a few stalled iterations) — suppressed
+    assert(Bench.spikeDecision(ml06, 60.9, 1, pins,
+      Some(Seq.fill(46)(0.11) ++ Seq(20.0, 15.0, 10.0, 9.0))).isEmpty)
+    // a real per-iteration regression trips on the iter pin
+    assert(Bench.spikeDecision(ml06, 12.0, 1, pins,
+      Some(Seq.fill(50)(0.2))) == Some(0.10))
+    // telemetry missing -> wall-pin fallback
+    assert(Bench.spikeDecision(ml06, 12.0, 1, pins, None) == Some(6.0))
   }
 
   test(":cold pin exempts a memoized query's first run only") {
@@ -48,19 +69,40 @@ class BenchGuardSpec extends AnyFunSuite {
     val pins = Map("dd16_incremental_band_index" -> 0.45,
       "dd16_incremental_band_index:cold" -> 3.0)
     // the observed cold first run: under the cold pin, no retry
-    assert(!Bench.spikeDecision("dd16_incremental_band_index", 2.9, 1, pins, None))
+    assert(Bench.spikeDecision("dd16_incremental_band_index", 2.9, 1, pins, None).isEmpty)
     // the same time on a WARM sample (runs 2) is a real regression
-    assert(Bench.spikeDecision("dd16_incremental_band_index", 2.9, 2, pins, None))
-    // a genuinely spiked cold run still trips past the cold pin
-    assert(Bench.spikeDecision("dd16_incremental_band_index", 5.0, 1, pins, None))
+    assert(Bench.spikeDecision("dd16_incremental_band_index", 2.9, 2, pins, None) == Some(0.45))
+    // a genuinely spiked cold run still trips past the cold pin — and
+    // the effective pin reported is the COLD pin (r14 ADVICE #4: the
+    // log used to print the warm pin, or 0.00 with only a :cold key)
+    assert(Bench.spikeDecision("dd16_incremental_band_index", 5.0, 1, pins, None) == Some(3.0))
+    // a query with ONLY a :cold pin reports that pin, not 0.0
+    val coldOnly = Map("q_memo:cold" -> 2.0)
+    assert(Bench.spikeDecision("q_memo", 9.0, 1, coldOnly, None) == Some(2.0))
   }
 
   test("without a :cold pin the universal wall rule is unchanged") {
     val pins = Map("q01_pricing_summary" -> 1.0)
-    assert(Bench.spikeDecision("q01_pricing_summary", 1.7, 1, pins, None))
-    assert(!Bench.spikeDecision("q01_pricing_summary", 1.4, 1, pins, None))
+    assert(Bench.spikeDecision("q01_pricing_summary", 1.7, 1, pins, None).isDefined)
+    assert(Bench.spikeDecision("q01_pricing_summary", 1.4, 1, pins, None).isEmpty)
     // unpinned queries never trip (universal pinning is the generator's
     // declared-coverage gate's job, not the runtime's)
-    assert(!Bench.spikeDecision("unpinned", 99.0, 1, Map.empty, None))
+    assert(Bench.spikeDecision("unpinned", 99.0, 1, Map.empty, None).isEmpty)
+  }
+
+  test("pinsActive=false disables every pin-based retry (off-dir audits)") {
+    // r14 verdict #2: the >=10x audits compared first runs against
+    // sf0.1-calibrated pins — structurally futile retries (~138 s per
+    // sf1 pass) and a permanently true budget_exhausted stamp. When the
+    // bench dir is not the pin file's _pin_dir, no pin may trip:
+    // neither the wall rule ...
+    val pins = Map("q01_pricing_summary" -> 1.0)
+    assert(Bench.spikeDecision("q01_pricing_summary", 99.0, 1, pins, None,
+      pinsActive = false).isEmpty)
+    // ... nor the iter-median rule
+    assert(Bench.spikeDecision(ml04, 999.0, 1, ml04Pins,
+      Some(Seq.fill(50)(9.9)), pinsActive = false).isEmpty)
+    // and pinsActive=true (the default) keeps both live
+    assert(Bench.spikeDecision("q01_pricing_summary", 99.0, 1, pins, None).isDefined)
   }
 }

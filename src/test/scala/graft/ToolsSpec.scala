@@ -218,4 +218,52 @@ class ToolsSpec extends AnyFunSuite {
     val (code3, err3) = runMerge(dir, Seq("main.json", "st.json"), "st")
     assert(code3 == 0, s"exit=$code3\n$err3")
   }
+
+  test("merge_bench refuses when --fresh is omitted (r14 ADVICE #1)") {
+    // fresh=[] made the per-artifact prefix check vacuously False, so
+    // every merge without the flag failed even on valid disjoint
+    // artifacts; the flag is now explicitly required with a clear error
+    val dir = Files.createTempDirectory("graft_merge2")
+    val main =
+      """{"metric":"total","value":1.0,"unit":"sec","first_run_sum":1.0,
+        | "budget_exhausted":false,"queries":{"q1":1.0},
+        | "first_runs":{"q1":1.0},"runs":{"q1":1},
+        | "sf":"/tmp/sf1","failures":[]}""".stripMargin
+    write(dir, "main.json", main)
+    write(dir, "st.json", main.replace("\"q1\"", "\"st01\""))
+    import scala.sys.process._
+    val cmd = Seq("python3", "tools/merge_bench.py",
+      dir.resolve("main.json").toString, dir.resolve("st.json").toString)
+    val err = new StringBuilder
+    val code = Process(cmd, new java.io.File("."))
+      .!(ProcessLogger(_ => (), l => err.append(l).append('\n')))
+    assert(code != 0 && err.toString.contains("pass --fresh"),
+      s"exit=$code\n$err")
+  }
+
+  test("a suffixed pin key is justifiable via a pin-raise NOTES line (r14 ADVICE #3)") {
+    // 'dd16_...:cold' could previously never be unlocked through
+    // NOTES.md because ':' was outside the name-token regex
+    val dir = Files.createTempDirectory("graft_pins8")
+    write(dir, "expect.json", """{"q1_x": 1.0, "q1_x:cold": 2.0}""")
+    write(dir, "bench.json",
+      """{"queries": {"q1_x": 1.0}, "first_runs": {"q1_x": 9.0}}""")
+    write(dir, "NOTES.md", "")
+    val (code, err) = run(dir, "--allow-raise", "q1_x:cold")
+    assert(code == 1 && err.contains("q1_x:cold"), s"exit=$code\n$err")
+    write(dir, "NOTES.md", "- pin-raise: q1_x:cold — fixture grew; cold build cost doubled")
+    val (code2, err2) = run(dir, "--allow-raise", "q1_x:cold")
+    assert(code2 == 0, s"exit=$code2\n$err2")
+  }
+
+  test("the pin file stamps its calibration dir as _pin_dir (r14 verdict #2)") {
+    val dir = Files.createTempDirectory("graft_pins9")
+    write(dir, "bench.json", """{"queries": {"q1": 1.0}, "sf": "/root/testdata/sf0.1"}""")
+    write(dir, "expect.json", "{}")
+    write(dir, "NOTES.md", "")
+    val (code, err) = run(dir)
+    assert(code == 0, s"exit=$code\n$err")
+    val out = new String(Files.readAllBytes(dir.resolve("expect.json")), "UTF-8")
+    assert(out.contains("\"_pin_dir\": \"/root/testdata/sf0.1\""), out)
+  }
 }

@@ -72,6 +72,14 @@ while i < len(args):
 
 runs = [json.load(open(p)) for p in paths]
 assert runs, "pass at least one bench artifact"
+# the dir the pins are calibrated at, stamped into the pin file as
+# "_pin_dir" (r14 verdict #2): graft.Bench disables pin-based spike
+# retries when SPARK_GRAFT_SF_DIR points elsewhere — the >=10x audits
+# were burning ~138 s of futile heavy retries against sf0.1 pins and
+# always stamping budget_exhausted=true
+pin_dirs = {r.get("sf") for r in runs if r.get("sf")}
+assert len(pin_dirs) <= 1, f"artifacts span different sf dirs: {pin_dirs}"
+pin_dir = pin_dirs.pop() if pin_dirs else "/root/testdata/sf0.1"
 queries = {}
 for r in runs:
     for k, v in r["queries"].items():
@@ -119,7 +127,10 @@ for line in notes.splitlines():
     m = re.match(r"^\s*(?:[-*]\s*)?pin-raise:\s*(.*)$", line)
     if m:
         name_part = re.split(r"—|--", m.group(1), maxsplit=1)[0]
-        pin_raise_names |= set(re.findall(r"[A-Za-z0-9_]+", name_part))
+        # ':' belongs in the name token (r14 ADVICE #3): suffixed pin
+        # keys like 'dd16_incremental_band_index:cold' must be
+        # justifiable via NOTES.md, not only via --allow-raise
+        pin_raise_names |= set(re.findall(r"[A-Za-z0-9_:]+", name_part))
 
 new_pins = {k: math.ceil(v * 1000) / 1000 for k, v in queries.items()}
 
@@ -188,7 +199,7 @@ comment = (
     "query); BENCH_LOCAL.json cannot serve this role because driver "
     "runs overwrite it with possibly-spiked values."
 )
-out = {"_comment": comment}
+out = {"_comment": comment, "_pin_dir": pin_dir}
 for k in sorted(new_pins):
     out[k] = new_pins[k]
 with open(expect_path, "w") as f:

@@ -56,7 +56,9 @@ for _ in range(N_DOC // 500):
 # the hot cluster: 20% byte-identical constant-fill payloads ("black
 # frames") spread uniformly over doc_ids so both the %5 delta and the
 # corpus sides carry their share
-BLACK = "\x00BLACKFRAME\x00\x00\x00\x00" * 5  # 80 chars = 5 16-byte tiles
+# unit padded to exactly 16 chars (r14 ADVICE #2: the 15-char unit
+# yielded 4 tiles + 11 untiled chars, not the documented 5)
+BLACK = "\x00BLACKFRAME\x00\x00\x00\x00\x00" * 5  # 80 chars = 5 16-byte tiles
 hot = rng.choice(N_DOC, int(N_DOC * HOT_FRAC), replace=False)
 for i in hot:
     texts[i] = BLACK
@@ -71,7 +73,11 @@ pq.write_table(pa.table({
     "n_chars": pa.array([len(t) for t in texts], pa.int64()),
 }), f"{OUT}/documents.parquet")
 n_hot_corpus = sum(1 for i in hot if i % 5 != 0)
+n_corp = sum(1 for i in range(N_DOC) if i % 5 != 0)
+# mirror mm07's corpus-adaptive dial (r15): r = 8 + #{i: N > 2^(12+i)},
+# relative stop cut max(100, 32*Ncorp/2^r)
+r = 8 + sum(N_DOC > (1 << (12 + i)) for i in range(7))
 print(f"documents: {N_DOC} rows, hot cluster {len(hot)} "
-      f"({n_hot_corpus} corpus-side; prune cut max(100, "
-      f"{sum(1 for i in range(N_DOC) if i % 5 != 0) / 8.0:.0f}))")
+      f"({n_hot_corpus} corpus-side; r={r}, prune cut max(100, "
+      f"{32.0 * n_corp / (1 << r):.0f}))")
 print("done ->", OUT)

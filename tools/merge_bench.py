@@ -35,6 +35,11 @@ while i < len(args):
         i += 1
 
 assert len(paths) >= 2, "pass at least two bench artifacts"
+# r14 ADVICE #1: with --fresh omitted the per-artifact prefix check
+# below is vacuously False and every merge fails even on valid inputs —
+# the flag is how the merged record documents its JVM split, so require
+# it explicitly instead of silently accepting an undocumented merge
+assert fresh, "pass --fresh with the family prefixes merged from separate JVMs"
 runs = [json.load(open(p)) for p in paths]
 
 sfs = {r["sf"] for r in runs}
