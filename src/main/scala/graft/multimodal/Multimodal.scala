@@ -551,5 +551,134 @@ object Multimodal {
     } finally parts.hash.unpersist()
   }
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07)
+  /** mm08's dataflow over an arbitrary (doc_id, text) frame — factored
+    * (the perceptualParts precedent) so the spec can plant temporal
+    * extremes: frozen-frame runs, a hard scene cut, a one-character
+    * frame perturbation. */
+  private[graft] def temporalFrameStats(
+      s: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eligible = docs.filter(length(col("text")) >= 32)
+    // frames IN ORDER (vs mm07's order-free tile SET): posexplode keeps
+    // the frame index the temporal deltas are defined over
+    val frames = T.widened(eligible)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, CAST(length(text) div 16 AS INT) - 1), " +
+          "i -> substring(text, i*16+1, 16))")))
+      .withColumnRenamed("pos", "fi")
+      .withColumnRenamed("col", "frame")
+    // per-frame 32-bit SimHash over the frame's 13 character 4-grams:
+    // md5 of the whole frame would destroy locality (one changed byte →
+    // ~16 Hamming bits); shingle-level SimHash keeps near-identical
+    // frames within a few bits — the property the delta thresholds need
+    val sh = frames
+      .select(col("doc_id"), col("fi"), explode(expr(
+        "transform(sequence(0, 12), j -> substring(frame, j+1, 4))")).as("g"))
+      .select(col("doc_id"), col("fi"),
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("f"))
+    val bitAggs = (0 to 31).map { j =>
+      sum(expr(s"CASE WHEN (shiftright(f, $j) & 1) = 1 THEN 1 ELSE -1 END"))
+        .as(s"sb$j")
+    }
+    val fh = sh.groupBy("doc_id", "fi").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), col("fi"),
+        (0 to 31).map { j =>
+          expr(s"CASE WHEN sb$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) " +
+            s"ELSE CAST(0 AS BIGINT) END")
+        }.reduce(_ + _).as("ph"))
+    // consecutive-frame Hamming deltas: windows are PARTITIONED BY
+    // doc_id (frames per payload are bounded by the payload size, so
+    // no partition can outgrow an executor at any corpus scale)
+    val byDoc = Window.partitionBy("doc_id").orderBy("fi")
+    val d = fh
+      .withColumn("prev", lag("ph", 1).over(byDoc))
+      .filter(col("prev").isNotNull)
+      .withColumn("delta", expr("CAST(bit_count(ph ^ prev) AS INT)"))
+    // longest frozen run via gaps-and-islands over the static deltas
+    val isl = d.filter(col("delta") <= 2)
+      .withColumn("grp", col("fi") - row_number().over(byDoc))
+    val mx = isl.groupBy("doc_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("doc_id").agg(max("len").as("max_run"))
+    val nf = fh.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    val agg = d.groupBy("doc_id").agg(
+      sum(when(col("delta") > 10, 1L).otherwise(0L)).as("n_cuts"),
+      sum(when(col("delta") <= 2, 1L).otherwise(0L)).as("static_deltas"),
+      count(lit(1)).as("n_deltas"))
+    nf.join(agg, Seq("doc_id"))
+      .join(mx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_frames").cast("int").as("n_frames"),
+        col("n_cuts"),
+        col("static_deltas"),
+        coalesce(col("max_run"), lit(0L)).as("max_static_run"),
+        (col("static_deltas").cast("double") / col("n_deltas"))
+          .as("static_ratio"),
+        (col("static_deltas").cast("double") / col("n_deltas") >= 0.5)
+          .as("is_static_heavy"))
+      .orderBy("doc_id")
+  }
+
+  /** mm08 — frame-level TEMPORAL near-dup over the binary payload
+    * stream (r14 verdict optional #7): mm07 dedups whole payloads
+    * across the corpus; mm08 looks INSIDE each payload at its frame
+    * sequence — the video-curation primitives a training pipeline needs
+    * before paying to embed every frame. Frames are the payload's
+    * consecutive 16-byte windows (mm02's pseudo-video model, mm07's
+    * tile granularity), each fingerprinted with a 32-bit SimHash over
+    * its character 4-grams so near-identical frames land within a few
+    * Hamming bits. Consecutive-frame deltas then classify the stream:
+    * delta ≤ 2 is a FROZEN step (stuck encoder, station logo, black
+    * run — frames to drop before embedding), delta > 10 is a hard
+    * SCENE CUT (the keyframe boundaries to sample at); per payload we
+    * emit the frame count, cut count, frozen-step count, the longest
+    * frozen run (gaps-and-islands), the frozen ratio, and an
+    * is_static_heavy verdict (≥ half the steps frozen → the payload is
+    * temporal boilerplate). Everything is a narrow per-document
+    * dataflow — windows partition by doc_id, no cross-document join
+    * exists anywhere, so the operator is embarrassingly parallel and
+    * scales linearly to any corpus. All md5-derived: DuckDB re-derives
+    * every fingerprint, delta, island, and verdict bit-exactly. */
+  val mm08 = QueryDef.sql("mm08_temporal_framedup",
+    """WITH fr AS (
+      |  SELECT doc_id, i AS fi, substr(text, CAST(i*16+1 AS INT), 16) AS frame
+      |  FROM (SELECT doc_id, text,
+      |          UNNEST(range(0, CAST(length(text) // 16 AS INT))) AS i
+      |        FROM documents WHERE length(text) >= 32)),
+      |sh AS (SELECT doc_id, fi,
+      |         CAST(('0x' || substr(md5(substr(frame, CAST(j+1 AS INT), 4)), 1, 8)) AS BIGINT) AS f
+      |       FROM fr, generate_series(0, 12) g(j)),
+      |bits AS (SELECT doc_id, fi, b,
+      |           SUM(CASE WHEN (f >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sb
+      |         FROM sh, generate_series(0, 31) gb(b) GROUP BY doc_id, fi, b),
+      |fh AS (SELECT doc_id, fi,
+      |         CAST(SUM(CASE WHEN sb > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS ph
+      |       FROM bits GROUP BY doc_id, fi),
+      |d AS (SELECT doc_id, fi, delta FROM (
+      |        SELECT doc_id, fi,
+      |          bit_count(xor(ph, LAG(ph) OVER (PARTITION BY doc_id ORDER BY fi))) AS delta
+      |        FROM fh) x WHERE delta IS NOT NULL),
+      |isl AS (SELECT doc_id, fi,
+      |          fi - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fi) AS grp
+      |        FROM d WHERE delta <= 2),
+      |mx AS (SELECT doc_id, MAX(len) AS max_run FROM (
+      |         SELECT doc_id, grp, COUNT(*) AS len FROM isl GROUP BY doc_id, grp) r
+      |       GROUP BY doc_id),
+      |nf AS (SELECT doc_id, COUNT(*) AS n_frames FROM fh GROUP BY doc_id),
+      |agg AS (SELECT doc_id,
+      |          SUM(CASE WHEN delta > 10 THEN 1 ELSE 0 END) AS n_cuts,
+      |          SUM(CASE WHEN delta <= 2 THEN 1 ELSE 0 END) AS static_deltas,
+      |          COUNT(*) AS n_deltas
+      |        FROM d GROUP BY doc_id)
+      |SELECT nf.doc_id, CAST(nf.n_frames AS INTEGER) AS n_frames,
+      |  CAST(agg.n_cuts AS BIGINT) AS n_cuts,
+      |  CAST(agg.static_deltas AS BIGINT) AS static_deltas,
+      |  CAST(COALESCE(mx.max_run, 0) AS BIGINT) AS max_static_run,
+      |  CAST(agg.static_deltas AS DOUBLE) / agg.n_deltas AS static_ratio,
+      |  (CAST(agg.static_deltas AS DOUBLE) / agg.n_deltas) >= 0.5e0 AS is_static_heavy
+      |FROM nf JOIN agg USING (doc_id) LEFT JOIN mx USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    temporalFrameStats(s, T.documents(s, d))
+  }
+
+  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08)
 }

@@ -551,6 +551,40 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(got(525L) == ((12, 0, false, 0L)), s"got ${got(525L)}")
   }
 
+  test("mm08: temporal frame stats on planted extremes") {
+    // planted payloads built from 16-char frames; every expectation
+    // below is md5-pinned (deltas: one-char perturbation = 2, X↔Y = 15,
+    // Y↔Z = 10 — the mid band that is neither frozen nor a cut)
+    val s = spark
+    import s.implicits._
+    val X = "AAAABBBBCCCCDDDD"
+    val Xp = "AAAABBBBCCCCDDDE" // one char changed -> frozen step (2)
+    val Y = "WXYZWXYZWXYZWXYZ"
+    val Z = "0123456789abcdef"
+    val docs = Seq(
+      (1L, X * 6),         // frozen payload: 5 static deltas
+      (2L, X * 3 + Y * 3), // one hard scene cut mid-stream
+      (3L, X + Xp + Y),    // perturbed frame then a cut
+      (4L, X + Y + Z + X), // deltas 15, 10, 15: cuts at >10 only
+      (5L, X)              // single frame: no deltas -> excluded
+    ).toDF("doc_id", "text")
+    val got = multimodal.Multimodal.temporalFrameStats(spark, docs)
+    val rows = got.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L), s"got ${rows.keySet}")
+    assert(rows(1L) == ((6, 0L, 5L, 5L, 1.0, true)), s"got ${rows(1L)}")
+    assert(rows(2L) == ((6, 1L, 4L, 2L, 0.8, true)), s"got ${rows(2L)}")
+    assert(rows(3L) == ((3, 1L, 1L, 1L, 0.5, true)), s"got ${rows(3L)}")
+    assert(rows(4L) == ((4, 2L, 0L, 0L, 0.0, false)), s"got ${rows(4L)}")
+    // plan shape: per-document windows only — an unpartitioned window
+    // would plan an Exchange SinglePartition and serialize the corpus
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition") &&
+      !plan.toLowerCase.contains("cartesianproduct"),
+      s"mm08 must stay embarrassingly parallel:\n$plan")
+  }
+
   test("mm06: interleaved packing equals a sequential driver-side packer") {
     val out = multimodal.Multimodal.mm06.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
