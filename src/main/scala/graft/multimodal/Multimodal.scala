@@ -588,32 +588,34 @@ object Multimodal {
         }.reduce(_ + _).as("ph"))
     // consecutive-frame Hamming deltas: windows are PARTITIONED BY
     // doc_id (frames per payload are bounded by the payload size, so
-    // no partition can outgrow an executor at any corpus scale)
+    // no partition can outgrow an executor at any corpus scale). The
+    // whole classification is ONE dataflow — lag and the running
+    // break-count share a single Window over (doc_id, fi), and the
+    // frozen islands come out of a two-level aggregation instead of a
+    // second filtered window + joins (a join-per-stat plan recomputed
+    // the fingerprint pipeline once PER BRANCH — three full scans):
+    // grouping rows by (doc_id, running count of non-frozen steps)
+    // puts each frozen run in its own group, so max(statics per group)
+    // IS the longest frozen run, and n_frames = n_deltas + 1 because
+    // frames are contiguous.
     val byDoc = Window.partitionBy("doc_id").orderBy("fi")
     val d = fh
       .withColumn("prev", lag("ph", 1).over(byDoc))
       .filter(col("prev").isNotNull)
       .withColumn("delta", expr("CAST(bit_count(ph ^ prev) AS INT)"))
-    // longest frozen run via gaps-and-islands over the static deltas
-    val isl = d.filter(col("delta") <= 2)
-      .withColumn("grp", col("fi") - row_number().over(byDoc))
-    val mx = isl.groupBy("doc_id", "grp").agg(count(lit(1)).as("len"))
-      .groupBy("doc_id").agg(max("len").as("max_run"))
-    val nf = fh.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
-    val agg = d.groupBy("doc_id").agg(
-      sum(when(col("delta") > 10, 1L).otherwise(0L)).as("n_cuts"),
-      sum(when(col("delta") <= 2, 1L).otherwise(0L)).as("static_deltas"),
-      count(lit(1)).as("n_deltas"))
-    nf.join(agg, Seq("doc_id"))
-      .join(mx, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        col("n_frames").cast("int").as("n_frames"),
-        col("n_cuts"),
-        col("static_deltas"),
-        coalesce(col("max_run"), lit(0L)).as("max_static_run"),
-        (col("static_deltas").cast("double") / col("n_deltas"))
-          .as("static_ratio"),
-        (col("static_deltas").cast("double") / col("n_deltas") >= 0.5)
+      .withColumn("brk",
+        sum(when(col("delta") > 2, 1).otherwise(0)).over(byDoc))
+    val grp = d.groupBy("doc_id", "brk").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("delta") > 10, 1L).otherwise(0L)).as("cuts"),
+      sum(when(col("delta") <= 2, 1L).otherwise(0L)).as("statics"))
+    grp.groupBy("doc_id").agg(
+        (sum("n") + 1).cast("int").as("n_frames"),
+        sum("cuts").as("n_cuts"),
+        sum("statics").as("static_deltas"),
+        max("statics").as("max_static_run"),
+        (sum("statics").cast("double") / sum("n")).as("static_ratio"),
+        (sum("statics").cast("double") / sum("n") >= 0.5)
           .as("is_static_heavy"))
       .orderBy("doc_id")
   }
@@ -653,29 +655,25 @@ object Multimodal {
       |fh AS (SELECT doc_id, fi,
       |         CAST(SUM(CASE WHEN sb > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS ph
       |       FROM bits GROUP BY doc_id, fi),
-      |d AS (SELECT doc_id, fi, delta FROM (
+      |d AS (SELECT doc_id, fi, delta,
+      |        SUM(CASE WHEN delta > 2 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY fi) AS brk
+      |      FROM (
       |        SELECT doc_id, fi,
       |          bit_count(xor(ph, LAG(ph) OVER (PARTITION BY doc_id ORDER BY fi))) AS delta
       |        FROM fh) x WHERE delta IS NOT NULL),
-      |isl AS (SELECT doc_id, fi,
-      |          fi - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fi) AS grp
-      |        FROM d WHERE delta <= 2),
-      |mx AS (SELECT doc_id, MAX(len) AS max_run FROM (
-      |         SELECT doc_id, grp, COUNT(*) AS len FROM isl GROUP BY doc_id, grp) r
-      |       GROUP BY doc_id),
-      |nf AS (SELECT doc_id, COUNT(*) AS n_frames FROM fh GROUP BY doc_id),
-      |agg AS (SELECT doc_id,
-      |          SUM(CASE WHEN delta > 10 THEN 1 ELSE 0 END) AS n_cuts,
-      |          SUM(CASE WHEN delta <= 2 THEN 1 ELSE 0 END) AS static_deltas,
-      |          COUNT(*) AS n_deltas
-      |        FROM d GROUP BY doc_id)
-      |SELECT nf.doc_id, CAST(nf.n_frames AS INTEGER) AS n_frames,
-      |  CAST(agg.n_cuts AS BIGINT) AS n_cuts,
-      |  CAST(agg.static_deltas AS BIGINT) AS static_deltas,
-      |  CAST(COALESCE(mx.max_run, 0) AS BIGINT) AS max_static_run,
-      |  CAST(agg.static_deltas AS DOUBLE) / agg.n_deltas AS static_ratio,
-      |  (CAST(agg.static_deltas AS DOUBLE) / agg.n_deltas) >= 0.5e0 AS is_static_heavy
-      |FROM nf JOIN agg USING (doc_id) LEFT JOIN mx USING (doc_id)
+      |grp AS (SELECT doc_id, brk, COUNT(*) AS n,
+      |          SUM(CASE WHEN delta > 10 THEN 1 ELSE 0 END) AS cuts,
+      |          SUM(CASE WHEN delta <= 2 THEN 1 ELSE 0 END) AS statics
+      |        FROM d GROUP BY doc_id, brk)
+      |SELECT doc_id,
+      |  CAST(SUM(n) + 1 AS INTEGER) AS n_frames,
+      |  CAST(SUM(cuts) AS BIGINT) AS n_cuts,
+      |  CAST(SUM(statics) AS BIGINT) AS static_deltas,
+      |  CAST(MAX(statics) AS BIGINT) AS max_static_run,
+      |  CAST(SUM(statics) AS DOUBLE) / SUM(n) AS static_ratio,
+      |  (CAST(SUM(statics) AS DOUBLE) / SUM(n)) >= 0.5e0 AS is_static_heavy
+      |FROM grp GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     temporalFrameStats(s, T.documents(s, d))
   }
