@@ -344,9 +344,15 @@ object Multimodal {
     * rows as the index delta. Bands hotter than max(100, 32·N/2^r) in
     * the standing index are pruned from both probes before any pair
     * forms (the dd16 stop-band playbook — see the in-body comment for
-    * the relative-threshold rationale). Everything is md5-derived, so
-    * DuckDB re-derives every fingerprint, band, dial, threshold, and
-    * decision bit-exactly. */
+    * the relative-threshold rationale). Known boundary, named here
+    * deliberately: the dial clamps at r = 15 because 4 bands × 15 bits
+    * exhaust the 60-bit fingerprint, so past ~2^19 docs (the measured
+    * 500k-doc leg already sits at the clamp) per-band df resumes
+    * growing ~N/32768; the production lever beyond the clamp is a
+    * wider fingerprint (e.g. 128-bit from the same tile table = the
+    * construction here ×2) with more/wider bands, not a different
+    * algorithm. Everything is md5-derived, so DuckDB re-derives every
+    * fingerprint, band, dial, threshold, and decision bit-exactly. */
   val mm07 = QueryDef.sql("mm07_perceptual_neardup_admission",
     s"""WITH tiles AS (
       |  SELECT DISTINCT doc_id,

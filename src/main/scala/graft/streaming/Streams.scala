@@ -1327,6 +1327,11 @@ object Streams {
     * list — is bit-identical to the fixed 2×8 era. The oracle signs the
     * full 2×15-plane prefix and masks the same r-bit windows (the dd07b
     * property), so the pair list stays oracle-exact at any dial point.
+    * Known boundary (same as mm07's): the dial clamps at r = 15 (the
+    * 2×15-plane signature budget), so past ~2^19 index vectors per-band
+    * df resumes growing ~N/32768 — the production lever beyond the
+    * clamp is more planes/bands (a 4×15 layout is dd07b's own shape),
+    * not a different algorithm.
     *
     * Stop-band prune (r13 verdict #1): an r-bit band holds N/2^r
     * vectors even when healthy, so the cut is RELATIVE like mm07's —
