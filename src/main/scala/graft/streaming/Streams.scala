@@ -1303,35 +1303,59 @@ object Streams {
   private[graft] def st19Banded(df: DataFrame, r: Int,
       id: String, e: String, n: String): DataFrame = {
     import graft.operators.{Similarity => Sim}
-    df.select(col("vec_id"), col("embedding"),
-        expr(Sim.sigSpark(2 * r, "embedding")).as("sig"),
-        sqrt(expr(Sim.dotExpr.format("embedding", "embedding"))).as("nrm"))
-      .selectExpr(s"vec_id AS $id", s"embedding AS $e", s"nrm AS $n", "sig",
-        "explode(sequence(0, 1)) AS k")
-      .selectExpr(id, e, n, "k",
-        s"shiftright(sig, $r * CAST(k AS INT)) & ${(1L << r) - 1}L AS band")
+    if (r <= 15) {
+      df.select(col("vec_id"), col("embedding"),
+          expr(Sim.sigSpark(2 * r, "embedding")).as("sig"),
+          sqrt(expr(Sim.dotExpr.format("embedding", "embedding"))).as("nrm"))
+        .selectExpr(s"vec_id AS $id", s"embedding AS $e", s"nrm AS $n", "sig",
+          "explode(sequence(0, 1)) AS k")
+        .selectExpr(id, e, n, "k",
+          s"shiftright(sig, $r * CAST(k AS INT)) & ${(1L << r) - 1}L AS band")
+    } else {
+      // wide mode (index > 2^19 vectors — the beyond-clamp lever): sign
+      // all 120 planes into two 60-bit words and band four fixed
+      // 30-bit lanes, each contributing its low r ≤ 30 bits. Doubling
+      // the band count buys back the per-band recall the wider windows
+      // lose (dd07b's own 4-band rationale); identical embeddings
+      // still sign identically, so exact twins collide on all 4 bands
+      // at any width. Still map-only on the stream side: two projected
+      // sig words + one stateless constant-sequence explode.
+      df.select(col("vec_id"), col("embedding"),
+          expr(Sim.sigSpark(60, "embedding")).as("sig"),
+          expr(Sim.sigSparkRange(60, 120, "embedding")).as("sig_hi"),
+          sqrt(expr(Sim.dotExpr.format("embedding", "embedding"))).as("nrm"))
+        .selectExpr(s"vec_id AS $id", s"embedding AS $e", s"nrm AS $n",
+          "sig", "sig_hi", "explode(sequence(0, 3)) AS k")
+        .selectExpr(id, e, n, "k",
+          s"(CASE WHEN k < 2 THEN shiftright(sig, 30 * CAST(k AS INT)) " +
+            s"ELSE shiftright(sig_hi, 30 * (CAST(k AS INT) - 2)) END) " +
+            s"& ${(1L << r) - 1}L AS band")
+    }
   }
 
   /** st19's pruned static band index plus the dialed band width
     * (factored so the spec can pin the adaptive layout directly).
     *
     * Corpus-adaptive band width (r14 verdict #1 — dd07b's dial on the
-    * static index): r = clamp(⌈log2 Ncorp⌉ − 4, 8, 15) bits per band,
-    * 2 bands × r planes, so uniform per-band df in the standing index
-    * stays ~16 at any corpus size and stream×index candidate pairs grow
-    * ~linearly in N instead of the fixed 8-bit space's ~N²/256 birthday
-    * pairing. The dial reads the INDEX side's count (the band occupancy
-    * that matters is the static one); the count is the same pre-stream
+    * static index): r = clamp(⌈log2 Ncorp⌉ − 4, 8, 30) bits per band,
+    * so uniform per-band df in the standing index stays ~16 at any
+    * corpus size and stream×index candidate pairs grow ~linearly in N
+    * instead of the fixed 8-bit space's ~N²/256 birthday pairing. The
+    * dial reads the INDEX side's count (the band occupancy that
+    * matters is the static one); the count is the same pre-stream
     * action the stop-band threshold already needs. At every graded
     * scale Ncorp ≤ 4096 keeps r = 8, so the layout — and the whole pair
     * list — is bit-identical to the fixed 2×8 era. The oracle signs the
-    * full 2×15-plane prefix and masks the same r-bit windows (the dd07b
+    * full plane prefix and masks the same r-bit windows (the dd07b
     * property), so the pair list stays oracle-exact at any dial point.
-    * Known boundary (same as mm07's): the dial clamps at r = 15 (the
-    * 2×15-plane signature budget), so past ~2^19 index vectors per-band
-    * df resumes growing ~N/32768 — the production lever beyond the
-    * clamp is more planes/bands (a 4×15 layout is dd07b's own shape),
-    * not a different algorithm.
+    * The old r = 15 clamp (the 2×15-plane signature budget) is now a
+    * MODE BOUNDARY (mm07's beyond-clamp lever, embedding-side): past
+    * ~2^19 index vectors the dial keeps climbing and the layout
+    * switches to 4 bands over fixed 30-bit lanes of a 120-plane
+    * signature — wider windows keep uniform per-band df ~16 out to
+    * N ≈ 2^34, the doubled band count buys back per-band recall.
+    * Below the boundary nothing moves, and the oracle mirrors both
+    * modes through one CASE on the shared dial.
     *
     * Stop-band prune (r13 verdict #1): an r-bit band holds N/2^r
     * vectors even when healthy, so the cut is RELATIVE like mm07's —
@@ -1348,13 +1372,30 @@ object Streams {
     Sim.regDot(s)
     val corp = eb.filter(col("vec_id") % 5 =!= 0)
     val nCorp = corp.count()
-    val r = forceBits.getOrElse(Sim.simhashBits(nCorp))
+    val r = forceBits.getOrElse(Sim.simhashBitsWide(nCorp))
     val corpIdx0 = st19Banded(T.widened(corp), r, "corpus_id", "ce", "cnrm")
     val stop = corpIdx0.groupBy("k", "band").agg(count(lit(1)).as("bdf"))
       .filter(col("bdf") >
         greatest(lit(100.0), lit(32.0 * nCorp / (1L << r))))
       .select("k", "band")
-    (corpIdx0.join(broadcast(stop), Seq("k", "band"), "left_anti"), r)
+    val pruned = corpIdx0.join(broadcast(stop), Seq("k", "band"), "left_anti")
+    // the standing state, materialized BEFORE the stream starts (at
+    // 100 TB it is yesterday's bucketed table; here the in-memory build
+    // prices the plane signing once, not per micro-batch) — and the
+    // stream-static join strategy is chosen from the index's MEASURED
+    // row count, ss15's width-derived dial (r13 ADVICE #4), not
+    // Catalyst's scan-stats guess: broadcast only when the signed index
+    // actually fits, else the join degrades to the shuffle equi-join on
+    // (k, band) that st19's Scaladoc documents as the at-scale plan.
+    // (Found on the 700k dial-crossing fixture: the stats estimate
+    // under-priced the signed 2.2M-row index and planned a broadcast
+    // that blew the 300 s build deadline.)
+    val mat = pruned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nIdx = mat.count()
+    // dominant field is the 64-dim embedding (ss15's 8 B/dim broadcast
+    // convention) + norm/band/k/id + row overhead
+    val idxRowBytes = 64L * 8 + 128
+    (if (nIdx * idxRowBytes < (128L << 20)) broadcast(mat) else mat, r)
   }
 
   /** st19 — streaming embedding near-dup admission: the embedding-side
@@ -1384,20 +1425,31 @@ object Streams {
     * set AND the verdicts bit-exactly — the dd07 oracle property, now
     * under a stream. */
   val st19 = QueryDef.sql("st19_stream_simhash_admission",
-    s"""WITH rr AS (SELECT ${graft.operators.Similarity.simhashBitsDuck} AS r
+    s"""WITH rr AS (SELECT ${graft.operators.Similarity.simhashBitsWideDuck} AS r
        |           FROM embeddings WHERE vec_id % 5 <> 0),
        |b AS (SELECT vec_id, embedding,
-       |    ${graft.operators.Similarity.sigDuck(30, "embedding")} AS sig,
+       |    ${graft.operators.Similarity.sigDuck(60, "embedding")} AS sig,
+       |    ${graft.operators.Similarity.sigDuckRange(60, 120, "embedding")} AS sig_hi,
        |    sqrt(${graft.operators.Similarity.duckDot("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
        |inc AS (SELECT * FROM b WHERE vec_id % 5 = 0),
        |corp AS (SELECT * FROM b WHERE vec_id % 5 <> 0),
        |bi AS (SELECT vec_id, k,
-       |         (sig >> (r * CAST(k AS INT))) & ((CAST(1 AS BIGINT) << r) - 1) AS band
-       |       FROM inc, rr, generate_series(0, 1) g(k)),
+       |         (CASE WHEN r > 15 THEN
+       |            (CASE WHEN k < 2 THEN sig >> (30 * CAST(k AS INT))
+       |                  ELSE sig_hi >> (30 * (CAST(k AS INT) - 2)) END)
+       |          ELSE sig >> (r * CAST(k AS INT)) END)
+       |         & ((CAST(1 AS BIGINT) << r) - 1) AS band
+       |       FROM inc, rr, generate_series(0, 3) g(k)
+       |       WHERE k <= (CASE WHEN r > 15 THEN 3 ELSE 1 END)),
        |bc AS (SELECT vec_id, k,
-       |         (sig >> (r * CAST(k AS INT))) & ((CAST(1 AS BIGINT) << r) - 1) AS band
-       |       FROM corp, rr, generate_series(0, 1) g(k)),
+       |         (CASE WHEN r > 15 THEN
+       |            (CASE WHEN k < 2 THEN sig >> (30 * CAST(k AS INT))
+       |                  ELSE sig_hi >> (30 * (CAST(k AS INT) - 2)) END)
+       |          ELSE sig >> (r * CAST(k AS INT)) END)
+       |         & ((CAST(1 AS BIGINT) << r) - 1) AS band
+       |       FROM corp, rr, generate_series(0, 3) g(k)
+       |       WHERE k <= (CASE WHEN r > 15 THEN 3 ELSE 1 END)),
        |bdf AS (SELECT k, band, COUNT(*) AS bdf FROM bc GROUP BY 1, 2),
        |stop AS (SELECT k, band FROM bdf, rr
        |         WHERE bdf > GREATEST(100.0,

@@ -35,7 +35,10 @@ object ProbeMm07 {
 
     dirs.foreach { d =>
       val docs = T.documents(spark, d)
-      Seq(None, Some(8)).foreach { force =>
+      // adaptive = the production dial (WIDE 4x30-bit-lane layout past
+      // 2^19 docs); fixed-15 = the old clamp (the best the narrow
+      // 60-bit fingerprint can do); fixed-8 = the r13-era fixed space
+      Seq(None, Some(15), Some(8)).foreach { force =>
         val parts = Multimodal.perceptualParts(spark, docs, force)
         try {
           // candidate pairs of BOTH evidence joins (corpus probe +

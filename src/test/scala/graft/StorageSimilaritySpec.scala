@@ -534,6 +534,29 @@ class StorageSimilaritySpec extends AnyFunSuite {
     assert(r == 8)
   }
 
+  test("dd07/dd07b wide lane layout past the clamp keeps twins paired") {
+    // forced r = 20 at small N (the dial itself crosses only past 2^19
+    // vectors): the bands×30-plane lane layout — 2 bands in one
+    // signature word, 4 bands across two. A planted exact copy signs
+    // identically in every lane, so the verified pair (cos 1.0)
+    // survives the mode switch in BOTH band forms.
+    val base = spark.range(60L).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), " +
+        "i -> CAST((hash(id, i) % 1000) / 1000.0 AS FLOAT))")
+        .as("embedding"))
+    val dup = base.filter(col("vec_id") === 3L)
+      .select(lit(100L).as("vec_id"), col("embedding"))
+    val eb = base.union(dup)
+    for (bands <- Seq(2, 4)) {
+      val pairs = operators.Similarity
+        .simhashNeardup(spark, eb, bands, withRBits = false, forceBits = Some(20))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.exists { case (va, vb, cos) =>
+        va == 3L && vb == 100L && math.abs(cos - 1.0) < 1e-9 },
+        s"bands=$bands: planted twin lost past the clamp: ${pairs.take(5).toSeq}")
+    }
+  }
+
   test("ss10b tie-aware agreement: tied picks count, genuinely-worse picks don't") {
     // pins the metric definition (r8 verdict item #2): agreement =
     // fraction of sources whose ANN pick's EXACT margin is within

@@ -319,6 +319,36 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(dupBands == 2L, s"exact copy should share both 9-bit bands, got $dupBands")
   }
 
+  test("st19: wide 4-band lane layout past the clamp keeps twins colliding") {
+    // the beyond-clamp lever, forced at small N (the dial itself only
+    // crosses at 2^19 index vectors): r = 20 signs all 120 planes into
+    // two words and bands four 30-bit lanes — 4 index rows per corpus
+    // vector, every band inside its 20-bit window, and an exact
+    // delta-side copy still collides on ALL FOUR bands (identical
+    // embeddings sign identically at any width/mode)
+    val base = spark.range(100L).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), " +
+        "i -> CAST((hash(id, i) % 1000) / 1000.0 AS FLOAT))")
+        .as("embedding"))
+    val dup = base.filter(col("vec_id") === 1L)
+      .select(lit(105L).as("vec_id"), col("embedding"))
+    val eb = base.union(dup)
+    val (idx, r) = streaming.Streams.st19StaticIndex(spark, eb, Some(20))
+    assert(r == 20)
+    // 80 corpus ids (%5 != 0 among 0..99) × 4 bands, none hot enough
+    // for the df > max(100, ...) prune at this size
+    val mx = idx.agg(max("band"), count(lit(1))).head()
+    assert(mx.getLong(0) < (1L << 20) && mx.getLong(1) == 4 * 80L,
+      s"got band=${mx.getLong(0)} rows=${mx.getLong(1)}")
+    val dupBands = streaming.Streams
+      .st19Banded(eb.filter(col("vec_id") % 5 === 0), 20,
+        "incoming_id", "ie", "inrm")
+      .join(idx, Seq("k", "band"))
+      .filter(col("incoming_id") === 105L && col("corpus_id") === 1L)
+      .count()
+    assert(dupBands == 4L, s"exact copy should share all 4 wide bands, got $dupBands")
+  }
+
   test("st20: streamed IVF-cell admission equals the batch form and ss15's delta") {
     import graft.operators.{Similarity => Sim}
     Sim.regDot(spark)
@@ -466,6 +496,16 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(operators.Similarity.simhashBits(4097L) == 9)
     assert(operators.Similarity.simhashBits(150000L) == 14)
     assert(operators.Similarity.simhashBits(Long.MaxValue / 2) == 15)
+    // the beyond-clamp chain: equal to the legacy dial through 2^19
+    // (so the wide layout can never activate at a graded scale), then
+    // climbing to 30 — the mode boundary is exactly the old clamp
+    for (n <- Seq(7L, 4096L, 4097L, 150000L, 1L << 19))
+      assert(operators.Similarity.simhashBitsWide(n) ==
+        operators.Similarity.simhashBits(n), s"wide dial moved at n=$n")
+    assert(operators.Similarity.simhashBitsWide(1L << 19) == 15)
+    assert(operators.Similarity.simhashBitsWide((1L << 19) + 1) == 16)
+    assert(operators.Similarity.simhashBitsWide(1L << 34) == 30)
+    assert(operators.Similarity.simhashBitsWide(Long.MaxValue / 2) == 30)
     val s = spark
     import s.implicits._
     def payload(tag: Char, fill: String) =
@@ -486,7 +526,10 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     // widening the bands loses per-band recall on NEAR misses by
     // design (LSH), but a Hamming-0 twin shares EVERY band at any
     // width — the conviction that matters for dedup can never be
-    // dialed away; the low-32-bit Hamming report is width-invariant
+    // dialed away; the low-32-bit Hamming report is width-invariant.
+    // r = 20 and r = 30 force the WIDE mode (4 × 30-bit lanes of the
+    // 120-bit fingerprint): identical payloads mint identical ph AND
+    // ph_hi, so the invariant crosses the mode boundary too.
     val s = spark
     import s.implicits._
     def payload(tag: Char, fill: String) =
@@ -497,7 +540,7 @@ class StreamsMultimodalSpec extends AnyFunSuite {
       (5L, A),           // delta exact copy
       (10L, A + "tail"), // tile set unchanged -> Hamming 0
       (15L, payload('w', "yzabcdefghij"))).toDF("doc_id", "text")
-    for (r <- Seq(10, 15)) {
+    for (r <- Seq(10, 15, 20, 30)) {
       val rows = multimodal.Multimodal
         .perceptualAdmission(spark, docs, forceBandBits = Some(r))
         .collect()
@@ -507,6 +550,46 @@ class StreamsMultimodalSpec extends AnyFunSuite {
       assert(rows(10L)._1 == 0 && !rows(10L)._3, s"r=$r: ${rows(10L)}")
       val (c15, b15, adm15) = rows(15L)
       assert(c15 > 6 && b15 > 6 && adm15, s"r=$r: ${rows(15L)}")
+    }
+  }
+
+  test("dd17: cross-modality consistency classifies planted extremes") {
+    // the modality matrix's off-diagonal: byte-exact copies are twins
+    // in BOTH modalities (consistent), a tail-append is a perceptual
+    // twin whose TEXT fingerprint differs (the quarantine case), and
+    // unrelated payloads are never twins. Same invariants in narrow
+    // mode (dialed r = 8 at this N) and forced-wide mode (r = 20, the
+    // 4x30-bit-lane layout): identical tile sets mint identical
+    // ph/ph_hi, so the twin structure crosses the mode boundary.
+    val s = spark
+    import s.implicits._
+    def payload(tag: Char, fill: String) =
+      (1 to 5).map(i => f"$tag$i%02d-$fill").mkString
+    val A = payload('t', "abcdefghijkl")
+    val docs = Seq(
+      (1L, A), (2L, payload('u', "mnopqrstuvwx")),
+      (5L, A),           // byte-exact copy of 1 -> consistent twin
+      (10L, A + "tail"), // tile set unchanged, text differs -> SUSPECT
+      (15L, payload('w', "yzabcdefghij"))).toDF("doc_id", "text")
+    for (force <- Seq(None, Some(20))) {
+      val got = multimodal.Multimodal.crossmodalConsistency(spark, docs, force)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5))))
+        .toMap
+      // the planted trio: 1-5 consistent, 1-10 and 5-10 suspect
+      def core(id: Long) = { val (_, tw, cons, susp, flag) = got(id); (tw, cons, susp, flag) }
+      assert(core(1L) == ((2L, 1L, 1L, true)), s"force=$force: ${got.get(1L)}")
+      assert(core(5L) == ((2L, 1L, 1L, true)), s"force=$force: ${got.get(5L)}")
+      assert(core(10L) == ((2L, 0L, 2L, true)), s"force=$force: ${got.get(10L)}")
+      // anything else that surfaced rode a chance band collision: never
+      // a twin, never suspect; and the counts stay internally consistent
+      got.foreach { case (id, (cand, tw, cons, susp, flag)) =>
+        if (!Set(1L, 5L, 10L).contains(id))
+          assert(tw == 0L && !flag, s"force=$force id=$id: ${got(id)}")
+        assert(cons + susp == tw && tw <= cand && flag == (susp > 0),
+          s"force=$force id=$id inconsistent: ${got(id)}")
+      }
     }
   }
 

@@ -74,9 +74,10 @@ pq.write_table(pa.table({
 }), f"{OUT}/documents.parquet")
 n_hot_corpus = sum(1 for i in hot if i % 5 != 0)
 n_corp = sum(1 for i in range(N_DOC) if i % 5 != 0)
-# mirror mm07's corpus-adaptive dial (r15): r = 8 + #{i: N > 2^(12+i)},
-# relative stop cut max(100, 32*Ncorp/2^r)
-r = 8 + sum(N_DOC > (1 << (12 + i)) for i in range(7))
+# mirror mm07's corpus-adaptive dial (r15, beyond-clamp chain: the
+# wide 4x30-bit-lane layout activates past 2^19 docs where r > 15):
+# r = 8 + #{i: N > 2^(12+i)}, relative stop cut max(100, 32*Ncorp/2^r)
+r = 8 + sum(N_DOC > (1 << (12 + i)) for i in range(22))
 print(f"documents: {N_DOC} rows, hot cluster {len(hot)} "
       f"({n_hot_corpus} corpus-side; r={r}, prune cut max(100, "
       f"{32.0 * n_corp / (1 << r):.0f}))")

@@ -25,7 +25,13 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    try:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    except duckdb.Error:
+        # fixture dirs (e.g. the dial-crossing /tmp/widecross) carry only
+        # the tables their queries read; a query that needs a missing
+        # table still fails loudly at execution
+        pass
 
 
 def canon(df):
