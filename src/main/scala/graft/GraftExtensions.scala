@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatDot, FloatL2, FloatSq8, PolyHash, TopKIds, TopKVals}
+import graft.functions.{FloatDot, FloatL2, FloatSq8, PolyHash, SimHashSig, TopKIds, TopKVals}
 
 /** SparkSessionExtensions entry point — the idiomatic deployment path
   * for this engine's native expressions: users add
@@ -43,5 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_sq8"),
       new ExpressionInfo(classOf[FloatSq8].getName, "vec_sq8"),
       (children: Seq[Expression]) => FloatSq8(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (children: Seq[Expression]) => SimHashSig.build(children)))
   }
 }

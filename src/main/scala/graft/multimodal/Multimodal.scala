@@ -375,14 +375,10 @@ object Multimodal {
       |         CAST(('0x' || substr(md, 24, 7)) AS BIGINT) * 4294967296
       |           + CAST(('0x' || substr(md, 16, 8)) AS BIGINT) AS f2
       |       FROM (SELECT doc_id, md5(CAST(h AS VARCHAR)) AS md FROM tiles)),
-      |bits AS (SELECT doc_id, j,
-      |           SUM(CASE WHEN (f >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sb,
-      |           SUM(CASE WHEN (f2 >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sc
-      |         FROM th, generate_series(0, 59) g(j) GROUP BY doc_id, j),
       |hash AS (SELECT doc_id,
-      |           CAST(SUM(CASE WHEN sb > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS ph,
-      |           CAST(SUM(CASE WHEN sc > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS ph2
-      |         FROM bits GROUP BY doc_id),
+      |           ${(0 to 59).map(j => s"(CASE WHEN SUM(CASE WHEN (f >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(1 AS BIGINT) << $j ELSE CAST(0 AS BIGINT) END)").mkString(" + ")} AS ph,
+      |           ${(0 to 59).map(j => s"(CASE WHEN SUM(CASE WHEN (f2 >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(1 AS BIGINT) << $j ELSE CAST(0 AS BIGINT) END)").mkString(" + ")} AS ph2
+      |         FROM th GROUP BY doc_id),
       |rr AS (SELECT ${graft.operators.Similarity.simhashBitsWideDuck} AS r FROM hash),
       |banded AS (SELECT doc_id, ph, k,
       |             (CASE WHEN r > 15 THEN

@@ -42,6 +42,10 @@ object Similarity {
     // vec_l2sq replaces the CodegenFallback aggregate(zip_with(...))
     // squared-distance at centroid-assignment time, bit-identical chain
     graft.functions.FloatL2.register(s)
+    // the signature sibling (r15): one out-of-line loop instead of the
+    // composed per-plane CASE chain, whose generated method blows the
+    // JIT bytecode ceiling past ~60 planes and runs interpreted
+    graft.functions.SimHashSig.register(s)
   }
 
   private def cosine(qe: String, ne: String): String =
@@ -87,16 +91,12 @@ object Similarity {
     * size); dd07 signs the first 16 for its banded near-dup signature;
     * dd07b signs up to 60 (4 bands × up to 15 bits — the corpus-adaptive
     * dial); st19's wide layout signs all 120 (4 lanes × up to 30 bits,
-    * the beyond-clamp lever) — all from the same seed family (the hash
-    * is per plane index), so every prefix is stable: extending the
-    * table can never move a plane an existing oracle embedded. */
-  private val planes: Array[Array[Double]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(120, 64) { (p, dim) =>
-      val h = md.digest(s"$p:$dim".getBytes("UTF-8"))
-      if ((h(0) & 1) == 0) 1.0 else -1.0
-    }
-  }
+    * the beyond-clamp lever). The canonical table lives in
+    * [[graft.functions.SimHashPlanes]] (the native `simhash_sig`
+    * kernel signs from it; the SQL-literal forms here embed its
+    * prefixes), so the two surfaces can never drift. */
+  private def planes: Array[Array[Double]] =
+    graft.functions.SimHashPlanes.weights
 
   private def planeArraySql(p: Int): String =
     planes(p).map(w => if (w > 0) "1e0" else "-1e0").mkString("[", ", ", "]")
@@ -546,11 +546,15 @@ object Similarity {
     // fixed 30-bit lanes — 2 bands fit one signature word, 4 take a
     // second; below the boundary the legacy bands·r-plane layout (and
     // its oracle-verified pair list) is bit-identical
+    // native simhash_sig (r15): bit-identical to the composed sigSpark
+    // chain (equality property-tested), but one out-of-line loop — the
+    // composed form's generated method exceeds the JIT bytecode ceiling
+    // past ~60 planes and runs interpreted
     val sigCols =
-      if (!wide) Seq(expr(sigSpark(bands * r, "embedding")).as("sig"))
-      else if (bands <= 2) Seq(expr(sigSpark(60, "embedding")).as("sig"))
-      else Seq(expr(sigSpark(60, "embedding")).as("sig"),
-        expr(sigSparkRange(60, 120, "embedding")).as("sig_hi"))
+      if (!wide) Seq(expr(s"simhash_sig(embedding, 0, ${bands * r})").as("sig"))
+      else if (bands <= 2) Seq(expr("simhash_sig(embedding, 0, 60)").as("sig"))
+      else Seq(expr("simhash_sig(embedding, 0, 60)").as("sig"),
+        expr("simhash_sig(embedding, 60, 120)").as("sig_hi"))
     val b = e0
       .select(Seq(col("vec_id"), col("embedding")) ++ sigCols :+
         sqrt(expr(dotExpr.format("embedding", "embedding"))).as("nrm"): _*)

@@ -1303,9 +1303,13 @@ object Streams {
   private[graft] def st19Banded(df: DataFrame, r: Int,
       id: String, e: String, n: String): DataFrame = {
     import graft.operators.{Similarity => Sim}
+    // native signature kernel (r15) — see Similarity.simhashNeardup's
+    // in-body note; registration is idempotent and df may come from a
+    // spec that never touched regDot
+    graft.functions.SimHashSig.register(df.sparkSession)
     if (r <= 15) {
       df.select(col("vec_id"), col("embedding"),
-          expr(Sim.sigSpark(2 * r, "embedding")).as("sig"),
+          expr(s"simhash_sig(embedding, 0, ${2 * r})").as("sig"),
           sqrt(expr(Sim.dotExpr.format("embedding", "embedding"))).as("nrm"))
         .selectExpr(s"vec_id AS $id", s"embedding AS $e", s"nrm AS $n", "sig",
           "explode(sequence(0, 1)) AS k")
@@ -1321,8 +1325,8 @@ object Streams {
       // at any width. Still map-only on the stream side: two projected
       // sig words + one stateless constant-sequence explode.
       df.select(col("vec_id"), col("embedding"),
-          expr(Sim.sigSpark(60, "embedding")).as("sig"),
-          expr(Sim.sigSparkRange(60, 120, "embedding")).as("sig_hi"),
+          expr("simhash_sig(embedding, 0, 60)").as("sig"),
+          expr("simhash_sig(embedding, 60, 120)").as("sig_hi"),
           sqrt(expr(Sim.dotExpr.format("embedding", "embedding"))).as("nrm"))
         .selectExpr(s"vec_id AS $id", s"embedding AS $e", s"nrm AS $n",
           "sig", "sig_hi", "explode(sequence(0, 3)) AS k")

@@ -534,6 +534,39 @@ class StorageSimilaritySpec extends AnyFunSuite {
     assert(r == 8)
   }
 
+  test("simhash_sig: native kernel equals the composed plane-CASE chain") {
+    // the native expression exists purely for the JIT (the composed
+    // form's generated method exceeds the bytecode ceiling past ~60
+    // planes and runs interpreted), so its contract is BIT EQUALITY
+    // with the composed chain the DuckDB oracles mirror — checked on
+    // 500 random float vectors at every layout the engine signs
+    operators.Similarity.regDot(spark)
+    val vecs = spark.range(500L).select(
+      expr("transform(sequence(0, 63), " +
+        "i -> CAST((hash(id, i) % 1000) / 1000.0 AS FLOAT))")
+        .as("embedding"))
+    for (n <- Seq(16, 30, 60)) {
+      val diff = vecs.select(
+          expr(operators.Similarity.sigSpark(n, "embedding")).as("composed"),
+          expr(s"simhash_sig(embedding, 0, $n)").as("native"))
+        .filter(col("composed") =!= col("native")).count()
+      assert(diff == 0L, s"n=$n: $diff rows disagree")
+    }
+    val diffHi = vecs.select(
+        expr(operators.Similarity.sigSparkRange(60, 120, "embedding")).as("composed"),
+        expr("simhash_sig(embedding, 60, 120)").as("native"))
+      .filter(col("composed") =!= col("native")).count()
+    assert(diffHi == 0L, s"$diffHi rows disagree on the high word")
+    // composed chain signs a non-64-dim vector as 0 (vec_dot nulls on
+    // length mismatch, CASE maps null to 0) — the native kernel mirrors
+    val short = spark.range(5L).select(
+      expr("transform(sequence(0, 62), i -> CAST(id + i AS FLOAT))")
+        .as("embedding"))
+    val z = short.select(expr("simhash_sig(embedding, 0, 60)").as("s"))
+      .filter(col("s") =!= 0L).count()
+    assert(z == 0L, "short vectors must sign as 0")
+  }
+
   test("dd07/dd07b wide lane layout past the clamp keeps twins paired") {
     // forced r = 20 at small N (the dial itself crosses only past 2^19
     // vectors): the bands×30-plane lane layout — 2 bands in one

@@ -23,6 +23,9 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# DuckDB's default temp dir is the CWD — a big spill (the 700k-doc
+# wide-mode oracles hit 60 GB) must land on /tmp, not inside the repo
+con.execute("PRAGMA temp_directory='/tmp/duckdb_parity_spill'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     try:
