@@ -36,7 +36,7 @@ object Curation {
 
   /** Shared quality CTE (mirrors ta02 — kept in lockstep by the green
     * oracles on both). */
-  private val qualityCte =
+  private[graft] val qualityCte =
     s"""q AS (
        |  SELECT doc_id, lang, CAST(len(string_split(text,' ')) AS BIGINT) AS nt,
        |    0.3e0 * ((len(list_distinct(string_split(text,' '))) * 1e0)
@@ -46,7 +46,7 @@ object Curation {
        |                     / len(string_split(text,' '))) AS quality
        |  FROM documents)""".stripMargin
 
-  private def qualityDf(s: SparkSession, d: String): DataFrame =
+  private[graft] def qualityDf(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("lang"),
@@ -587,51 +587,15 @@ object Curation {
     * this is the actual shape of a pretraining-data build: narrow maps
     * + one content-hash shuffle + two prefix-sum passes + one dense-key
     * agg. */
-  val sp09 = QueryDef.sql("sp09_curation_pipeline",
-    s"""WITH $qualityCte,
-       |rules AS (SELECT doc_id, keep FROM (
-       |${ta09.oracle.get}
-       |) r),
-       |fp AS (SELECT doc_id, md5(text) AS f FROM documents),
-       |g0 AS (SELECT q.doc_id, q.nt, q.quality, fp.f
-       |       FROM q JOIN rules USING (doc_id) JOIN fp USING (doc_id)
-       |       WHERE rules.keep),
-       |surv AS (SELECT f, MIN(doc_id) AS sid FROM g0 GROUP BY f),
-       |gated AS (SELECT g0.doc_id, g0.nt, g0.quality
-       |          FROM g0 JOIN surv ON surv.f = g0.f AND surv.sid = g0.doc_id),
-       |tot AS (SELECT SUM(nt) AS total FROM gated),
-       |sel AS (SELECT doc_id, nt,
-       |          SUM(nt) OVER (ORDER BY quality DESC, doc_id
-       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |        FROM gated),
-       |cho AS (SELECT doc_id, nt FROM sel, tot WHERE 2 * cum <= tot.total),
-       |c2 AS (SELECT doc_id, nt,
-       |         CAST(SUM(nt) OVER (ORDER BY doc_id
-       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       |              AS BIGINT) AS cum
-       |       FROM cho),
-       |e AS (SELECT doc_id, nt, cum, cum - nt AS st,
-       |        UNNEST(range((cum - nt) // 2048, (cum - 1) // 2048 + 1)) AS bin
-       |      FROM c2)
-       |SELECT CAST(bin AS BIGINT) AS bin_id,
-       |  COUNT(*) AS n_docs,
-       |  CAST(SUM(CASE WHEN st // 2048 = bin THEN 1 ELSE 0 END) AS BIGINT) AS docs_starting,
-       |  CAST(SUM(least(cum, (bin+1)*2048) - greatest(st, bin*2048)) AS BIGINT) AS fill_tokens,
-       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-       |FROM e GROUP BY bin
-       |ORDER BY bin_id""".stripMargin) { (s, d) =>
-    val rules = ta09.fn(s, d).select(col("doc_id"), col("keep"))
-    val fp = T.documents(s, d).select(col("doc_id"), md5(col("text")).as("f"))
-    val g0 = qualityDf(s, d)
-      .join(rules, "doc_id").filter(col("keep"))
-      .join(fp, "doc_id")
-    val surv = g0.groupBy("f").agg(min("doc_id").as("sid"))
-    val gated = g0.join(surv,
-        g0("f") === surv("f") && g0("doc_id") === surv("sid"))
-      .select(g0("doc_id"), g0("nt"), g0("quality"))
-    val total = gated.agg(sum("nt").as("total"))
+  /** The shared budget + packing tail of the pipeline queries (sp09 /
+    * sp11 / mm-side sp12): half-token-budget selection over (quality
+    * DESC, doc_id) order, then 2048-token sequence packing — both
+    * running sums via the GlobalCumsum two-pass scan, never a
+    * one-partition window. `src` must expose (doc_id, nt, quality). */
+  private[graft] def budgetPack(adm: DataFrame): DataFrame = {
+    val total = adm.agg(sum("nt").as("total"))
     val cho = graft.GlobalCumsum
-      .withRunningSum(gated, Seq(col("quality").desc, col("doc_id")), "nt", "cum")
+      .withRunningSum(adm, Seq(col("quality").desc, col("doc_id")), "nt", "cum")
       .crossJoin(broadcast(total))
       .filter(col("cum") * 2 <= col("total"))
       .select("doc_id", "nt")
@@ -649,6 +613,58 @@ object Curation {
       .select(col("bin").cast("long").as("bin_id"), col("n_docs"),
         col("docs_starting"), col("fill_tokens"), col("first_doc"), col("last_doc"))
       .orderBy("bin_id")
+  }
+
+  /** [[budgetPack]]'s DuckDB mirror — the tail CTEs from the token
+    * total to the packed-bin rollup, over any (doc_id, nt, quality)
+    * CTE named `src`. ONE string shared by the sp09/sp11/sp12 oracles
+    * so the three mirrors cannot drift. */
+  private[graft] def budgetPackSql(src: String): String =
+    s"""tot AS (SELECT SUM(nt) AS total FROM $src),
+       |sel AS (SELECT doc_id, nt,
+       |          SUM(nt) OVER (ORDER BY quality DESC, doc_id
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |        FROM $src),
+       |cho AS (SELECT doc_id, nt FROM sel, tot WHERE 2 * cum <= tot.total),
+       |c2 AS (SELECT doc_id, nt,
+       |         CAST(SUM(nt) OVER (ORDER BY doc_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |              AS BIGINT) AS cum
+       |       FROM cho),
+       |e AS (SELECT doc_id, nt, cum, cum - nt AS st,
+       |        UNNEST(range((cum - nt) // 2048, (cum - 1) // 2048 + 1)) AS bin
+       |      FROM c2)
+       |SELECT CAST(bin AS BIGINT) AS bin_id,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN st // 2048 = bin THEN 1 ELSE 0 END) AS BIGINT) AS docs_starting,
+       |  CAST(SUM(least(cum, (bin+1)*2048) - greatest(st, bin*2048)) AS BIGINT) AS fill_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM e GROUP BY bin
+       |ORDER BY bin_id""".stripMargin
+
+  val sp09 = QueryDef.sql("sp09_curation_pipeline",
+    s"""WITH $qualityCte,
+       |rules AS (SELECT doc_id, keep FROM (
+       |${ta09.oracle.get}
+       |) r),
+       |fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+       |g0 AS (SELECT q.doc_id, q.nt, q.quality, fp.f
+       |       FROM q JOIN rules USING (doc_id) JOIN fp USING (doc_id)
+       |       WHERE rules.keep),
+       |surv AS (SELECT f, MIN(doc_id) AS sid FROM g0 GROUP BY f),
+       |gated AS (SELECT g0.doc_id, g0.nt, g0.quality
+       |          FROM g0 JOIN surv ON surv.f = g0.f AND surv.sid = g0.doc_id),
+       |${budgetPackSql("gated")}""".stripMargin) { (s, d) =>
+    val rules = ta09.fn(s, d).select(col("doc_id"), col("keep"))
+    val fp = T.documents(s, d).select(col("doc_id"), md5(col("text")).as("f"))
+    val g0 = qualityDf(s, d)
+      .join(rules, "doc_id").filter(col("keep"))
+      .join(fp, "doc_id")
+    val surv = g0.groupBy("f").agg(min("doc_id").as("sid"))
+    val gated = g0.join(surv,
+        g0("f") === surv("f") && g0("doc_id") === surv("sid"))
+      .select(g0("doc_id"), g0("nt"), g0("quality"))
+    budgetPack(gated)
   }
 
   /** sp10 — temperature-scaled mixture sampling: sp03's rebalance rule
@@ -760,49 +776,10 @@ object Curation {
        |        WHERE gd.doc_id % 5 <> 0
        |           OR (COALESCE(cvc.corpus_max, 0) < 4
        |               AND COALESCE(dvd.batch_max, 0) < 4)),
-       |tot AS (SELECT SUM(nt) AS total FROM adm),
-       |sel AS (SELECT doc_id, nt,
-       |          SUM(nt) OVER (ORDER BY quality DESC, doc_id
-       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |        FROM adm),
-       |cho AS (SELECT doc_id, nt FROM sel, tot WHERE 2 * cum <= tot.total),
-       |c2 AS (SELECT doc_id, nt,
-       |         CAST(SUM(nt) OVER (ORDER BY doc_id
-       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       |              AS BIGINT) AS cum
-       |       FROM cho),
-       |e AS (SELECT doc_id, nt, cum, cum - nt AS st,
-       |        UNNEST(range((cum - nt) // 2048, (cum - 1) // 2048 + 1)) AS bin
-       |      FROM c2)
-       |SELECT CAST(bin AS BIGINT) AS bin_id,
-       |  COUNT(*) AS n_docs,
-       |  CAST(SUM(CASE WHEN st // 2048 = bin THEN 1 ELSE 0 END) AS BIGINT) AS docs_starting,
-       |  CAST(SUM(least(cum, (bin+1)*2048) - greatest(st, bin*2048)) AS BIGINT) AS fill_tokens,
-       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-       |FROM e GROUP BY bin
-       |ORDER BY bin_id""".stripMargin) { (s, d) =>
+       |${budgetPackSql("adm")}""".stripMargin) { (s, d) =>
     val adm = admittedCuration(s, d)
     // sp09's budget + packing tail over the admitted set
-    val total = adm.agg(sum("nt").as("total"))
-    val cho = graft.GlobalCumsum
-      .withRunningSum(adm, Seq(col("quality").desc, col("doc_id")), "nt", "cum")
-      .crossJoin(broadcast(total))
-      .filter(col("cum") * 2 <= col("total"))
-      .select("doc_id", "nt")
-    graft.GlobalCumsum.withRunningSum(cho, Seq(col("doc_id")), "nt", "cum")
-      .withColumn("st", col("cum") - col("nt"))
-      .withColumn("bin",
-        explode(expr("sequence(st div 2048, (cum - 1) div 2048)")))
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(expr("st div 2048") === col("bin"), 1).otherwise(0))
-          .cast("long").as("docs_starting"),
-        sum(least(col("cum"), (col("bin") + 1) * 2048) -
-          greatest(col("st"), col("bin") * 2048)).cast("long").as("fill_tokens"),
-        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-      .select(col("bin").cast("long").as("bin_id"), col("n_docs"),
-        col("docs_starting"), col("fill_tokens"), col("first_doc"), col("last_doc"))
-      .orderBy("bin_id")
+    budgetPack(adm)
   }
 
   /** sp11's fused gate → signatures → evidence → admission chain,

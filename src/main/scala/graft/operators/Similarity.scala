@@ -536,7 +536,6 @@ object Similarity {
     regDot(s)
     val nVec = e0.count()
     val r = forceBits.getOrElse(simhashBitsWide(nVec))
-    val wide = r > 15
     // derive the vector width from the data — a hardcoded dim would
     // under-estimate on wider corpora and broadcast an oversized side
     val dim = if (nVec == 0L) 0L
@@ -550,36 +549,9 @@ object Similarity {
     // chain (equality property-tested), but one out-of-line loop — the
     // composed form's generated method exceeds the JIT bytecode ceiling
     // past ~60 planes and runs interpreted
-    val sigCols =
-      if (!wide) Seq(expr(s"simhash_sig(embedding, 0, ${bands * r})").as("sig"))
-      else if (bands <= 2) Seq(expr("simhash_sig(embedding, 0, 60)").as("sig"))
-      else Seq(expr("simhash_sig(embedding, 0, 60)").as("sig"),
-        expr("simhash_sig(embedding, 60, 120)").as("sig_hi"))
-    val b = e0
-      .select(Seq(col("vec_id"), col("embedding")) ++ sigCols :+
-        sqrt(expr(dotExpr.format("embedding", "embedding"))).as("nrm"): _*)
-      .cache()
+    val (b, banded) = simhashSigBanded(s, e0, bands, r)
     try {
-      val bandExpr =
-        if (!wide) s"shiftright(sig, $r * CAST(k AS INT)) & ${(1L << r) - 1}L"
-        else if (bands <= 2)
-          s"shiftright(sig, 30 * CAST(k AS INT)) & ${(1L << r) - 1}L"
-        else
-          s"(CASE WHEN k < 2 THEN shiftright(sig, 30 * CAST(k AS INT)) " +
-            s"ELSE shiftright(sig_hi, 30 * (CAST(k AS INT) - 2)) END) " +
-            s"& ${(1L << r) - 1}L"
-      val sigNames = if (wide && bands > 2) Seq("sig", "sig_hi") else Seq("sig")
-      val banded = b
-        .select(col("vec_id") +: explode(expr(s"sequence(0, ${bands - 1})")).as("k") +:
-          sigNames.map(col): _*)
-        .withColumn("band", expr(bandExpr))
-        .select("vec_id", "k", "band")
-      val cand = banded.as("x")
-        .join(banded.as("y"),
-          col("x.k") === col("y.k") && col("x.band") === col("y.band") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
-        .distinct()
+      val cand = simhashCandidates(banded)
       // stats-chosen broadcast for the verify joins (the jaccardPairs
       // pattern): `b` sits behind a projection+cache so Catalyst's size
       // estimate is the raw scan's, and the two joins would shuffle the
@@ -613,6 +585,52 @@ object Similarity {
       out
     } finally b.unpersist()
   }
+
+  /** [[simhashNeardup]]'s signature + band construction, factored so the
+    * candidate-volume probe (graft.tools.ProbeDd07) always measures the
+    * PRODUCTION layout — narrow contiguous r-bit windows through the
+    * clamp, 30-bit lanes of the 120-plane signature past it (r15 ADVICE
+    * #3: the probe's private re-implementation had drifted from the
+    * wide mode). Returns the CACHED per-vector signature/norm frame
+    * (caller unpersists) and the banded unpivot built on it. */
+  private[graft] def simhashSigBanded(s: SparkSession, e0: DataFrame,
+      bands: Int, r: Int): (DataFrame, DataFrame) = {
+    regDot(s)
+    val wide = r > 15
+    val sigCols =
+      if (!wide) Seq(expr(s"simhash_sig(embedding, 0, ${bands * r})").as("sig"))
+      else if (bands <= 2) Seq(expr("simhash_sig(embedding, 0, 60)").as("sig"))
+      else Seq(expr("simhash_sig(embedding, 0, 60)").as("sig"),
+        expr("simhash_sig(embedding, 60, 120)").as("sig_hi"))
+    val b = e0
+      .select(Seq(col("vec_id"), col("embedding")) ++ sigCols :+
+        sqrt(expr(dotExpr.format("embedding", "embedding"))).as("nrm"): _*)
+      .cache()
+    val bandExpr =
+      if (!wide) s"shiftright(sig, $r * CAST(k AS INT)) & ${(1L << r) - 1}L"
+      else if (bands <= 2)
+        s"shiftright(sig, 30 * CAST(k AS INT)) & ${(1L << r) - 1}L"
+      else
+        s"(CASE WHEN k < 2 THEN shiftright(sig, 30 * CAST(k AS INT)) " +
+          s"ELSE shiftright(sig_hi, 30 * (CAST(k AS INT) - 2)) END) " +
+          s"& ${(1L << r) - 1}L"
+    val sigNames = if (wide && bands > 2) Seq("sig", "sig_hi") else Seq("sig")
+    val banded = b
+      .select(col("vec_id") +: explode(expr(s"sequence(0, ${bands - 1})")).as("k") +:
+        sigNames.map(col): _*)
+      .withColumn("band", expr(bandExpr))
+      .select("vec_id", "k", "band")
+    (b, banded)
+  }
+
+  /** ≥1-shared-band candidate pairs of a banded frame (va < vb). */
+  private[graft] def simhashCandidates(banded: DataFrame): DataFrame =
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.k") === col("y.k") && col("x.band") === col("y.band") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
 
   /** dd07 — embedding-cosine near-duplicate pairs, completing the dedup
     * family's modality coverage (text shingles → dd02-dd05; embeddings →

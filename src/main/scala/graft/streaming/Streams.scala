@@ -1371,7 +1371,7 @@ object Streams {
     * oracle-mirrored bit-exactly. (A 1-row in-plan crossJoin would be a
     * BNLJ in every batch.) */
   private[graft] def st19StaticIndex(s: SparkSession, eb: DataFrame,
-      forceBits: Option[Int] = None): (DataFrame, Int) = {
+      forceBits: Option[Int] = None): St19Index = {
     import graft.operators.{Similarity => Sim}
     Sim.regDot(s)
     val corp = eb.filter(col("vec_id") % 5 =!= 0)
@@ -1396,10 +1396,42 @@ object Streams {
     // that blew the 300 s build deadline.)
     val mat = pruned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nIdx = mat.count()
-    // dominant field is the 64-dim embedding (ss15's 8 B/dim broadcast
-    // convention) + norm/band/k/id + row overhead
-    val idxRowBytes = 64L * 8 + 128
-    (if (nIdx * idxRowBytes < (128L << 20)) broadcast(mat) else mat, r)
+    // dominant field is the embedding (ss15's 8 B/dim broadcast
+    // convention) + norm/band/k/id + row overhead; the dim is DERIVED
+    // from the data (r15 ADVICE #2 — a hardcoded 64 would under-price a
+    // wider embedding table and re-introduce the oversized broadcast
+    // this measured chooser exists to prevent)
+    val dim = if (nCorp == 0L) 0L
+      else corp.select(size(col("embedding"))).first().getInt(0).toLong
+    val idxRowBytes = dim * 8 + 128
+    val hinted = if (nIdx * idxRowBytes < (128L << 20)) broadcast(mat) else mat
+    St19Index(mat, hinted, r)
+  }
+
+  /** A built st19 index: `mat` is the PERSISTED frame (unpersist goes
+    * through it — the broadcast-hinted plan would not match the cache
+    * entry), `hinted` is what the stream joins against. */
+  private[graft] case class St19Index(mat: DataFrame, hinted: DataFrame, r: Int)
+
+  /** st19's standing index memoized per (application, dir) — the
+    * standingIvfpqIndex idiom (r15 ADVICE #1): the persisted index
+    * frame is standing state, so repeated bench passes / parity runs
+    * reuse ONE materialized copy instead of accumulating a fresh
+    * MEMORY_AND_DISK frame per run. Inserting a new dir for the same
+    * app unpersists the previous dir's frame (LRU-1 — one dir drives a
+    * Verify/Bench app; specs plant frames through [[st19StaticIndex]]
+    * directly and own their lifecycle). */
+  private val st19IdxCache =
+    scala.collection.concurrent.TrieMap.empty[String, St19Index]
+
+  private[graft] def st19StandingIndex(s: SparkSession, d: String): St19Index = {
+    val app = s.sparkContext.applicationId
+    st19IdxCache.getOrElseUpdate(s"$app|$d", {
+      st19IdxCache.keys.filter(_.startsWith(app + "|")).foreach { k =>
+        st19IdxCache.remove(k).foreach(_.mat.unpersist())
+      }
+      st19StaticIndex(s, T.embeddings(s, d))
+    })
   }
 
   /** st19 — streaming embedding near-dup admission: the embedding-side
@@ -1477,8 +1509,8 @@ object Streams {
     import graft.operators.{Similarity => Sim}
     val s = scopedSession(s0, StreamParts)
     Sim.regDot(s)
-    val eb = T.embeddings(s, d)
-    val (corpIdx, r19) = st19StaticIndex(s, eb)
+    val idx = st19StandingIndex(s, d)
+    val (corpIdx, r19) = (idx.hinted, idx.r)
     val schema = s.read.parquet(s"$d/embeddings.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(d)

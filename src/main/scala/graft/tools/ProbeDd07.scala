@@ -42,22 +42,12 @@ object ProbeDd07 {
     println(s"[dd07-probe] dir=$sfDir n=$n")
 
     def layout(tag: String, bands: Int, r: Int): Unit = {
-      val b = e0
-        .select(col("vec_id"), col("embedding"),
-          expr(Similarity.sigSpark(bands * r, "embedding")).as("sig"),
-          sqrt(expr(Similarity.dotExpr.format("embedding", "embedding"))).as("nrm"))
-        .cache()
-      val banded = b
-        .select(col("vec_id"), explode(expr(s"sequence(0, ${bands - 1})")).as("k"), col("sig"))
-        .withColumn("band", expr(s"shiftright(sig, $r * CAST(k AS INT)) & ${(1L << r) - 1}L"))
-        .select("vec_id", "k", "band")
-      val cand = banded.as("x")
-        .join(banded.as("y"),
-          col("x.k") === col("y.k") && col("x.band") === col("y.band") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
-        .distinct()
-        .cache()
+      // the PRODUCTION construction (r15 ADVICE #3): signature kernel,
+      // narrow windows vs wide 30-bit lanes, and the candidate join all
+      // come from Similarity's factored pieces, so on a dial-crossing
+      // fixture this curve measures exactly what dd07/dd07b run
+      val (b, banded) = Similarity.simhashSigBanded(spark, e0, bands, r)
+      val cand = Similarity.simhashCandidates(banded).cache()
       val nCand = time(s"$tag candidates (bands=$bands r=$r)")(cand.count())
       val dim = b.select(size(col("embedding"))).first().getInt(0).toLong
       val bSmall = n * (48L + 4L * dim) < (128L << 20)
@@ -78,7 +68,7 @@ object ProbeDd07 {
     }
 
     layout("fixed", bands = 2, r = 8)
-    layout("adaptive", bands = 4, r = Similarity.simhashBits(n))
+    layout("adaptive", bands = 4, r = Similarity.simhashBitsWide(n))
     spark.stop()
   }
 }

@@ -37,7 +37,8 @@ object ProbeSt19 {
       // adaptive = production dial (WIDE 4-band lane layout past 2^19
       // index vectors); fixed-15 = the old clamp; fixed-8 = r13's space
       Seq(None, Some(15), Some(8)).foreach { force =>
-        val (idx, r) = Streams.st19StaticIndex(spark, eb, force)
+        val built = Streams.st19StaticIndex(spark, eb, force)
+        val (idx, r) = (built.hinted, built.r)
         val cand = Streams
           .st19Banded(eb.filter(col("vec_id") % 5 === 0), r,
             "incoming_id", "ie", "inrm")

@@ -150,6 +150,23 @@ class CurationSpec extends AnyFunSuite {
     // deduped by sp09, so neither packed volume bounds the other)
   }
 
+  test("sp12: multimodal pipeline packs contiguous full bins, quarantine ⊆ gate") {
+    val bins = run("sp12_multimodal_curation_pipeline").collect()
+    assert(bins.nonEmpty, "the curated set must pack at least one bin")
+    val ids = bins.map(_.getAs[Long]("bin_id"))
+    assert(ids.toSeq == (0L until bins.length).toSeq)
+    bins.init.foreach(b => assert(b.getAs[Long]("fill_tokens") == 2048L))
+    assert(bins.last.getAs[Long]("fill_tokens") <= 2048L)
+    // the admitted set is a subset of the ta09-gated set: every packed
+    // doc id must carry keep=true in the standalone gate query
+    val admIds = multimodal.Multimodal.multimodalAdmitted(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keep = run("ta09_quality_rules")
+      .filter(org.apache.spark.sql.functions.col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admIds.subsetOf(keep), "admission must not resurrect gated-out docs")
+  }
+
   test("sp09: pipeline stages compose monotonically and bins fill") {
     val bins = run("sp09_curation_pipeline").collect()
     assert(bins.nonEmpty, "the curated set must pack at least one bin")

@@ -193,6 +193,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"sp11 admission must stay a banded equi-join:\n$adm")
   }
 
+  test("sp12: the multimodal pipeline fuses with no barrier and no window") {
+    val p = plan("sp12_multimodal_curation_pipeline")
+    assert(!p.contains("Window"),
+      "both running sums must take the GlobalCumsum two-pass path")
+    // lock the fused gate -> fingerprint -> evidence -> admission chain
+    // on its factored frame (the sp11/admittedCuration precedent): one
+    // lazy DAG — no cached stage, no all-pairs join, no window
+    val adm = multimodal.Multimodal.multimodalAdmitted(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!adm.contains("Window"), s"admission chain plans a window:\n$adm")
+    assert(!adm.contains("InMemoryTableScan"),
+      s"sp12's admission chain must not materialize a stage:\n$adm")
+    assert(!adm.contains("CartesianProduct"),
+      s"sp12 admission must stay a banded equi-join:\n$adm")
+    assert(!adm.contains("BroadcastNestedLoopJoin"),
+      s"sp12 admission must join on band keys:\n$adm")
+  }
+
   test("ss09: IVFPQ candidate scan prunes to the probed cells") {
     // the ss09 query fn aggregates to a LocalTableScan, so lock the plan
     // of the shared candidate builder the oracle's scan_pruned gate runs on

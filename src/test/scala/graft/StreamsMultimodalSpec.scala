@@ -296,9 +296,11 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     val dup = base.filter(col("vec_id") === 1L)
       .select(lit(5630L).as("vec_id"), col("embedding"))
     val eb = base.union(dup)
-    val (idx9, r9) = streaming.Streams.st19StaticIndex(spark, eb)
+    val St19 = streaming.Streams.st19StaticIndex(spark, eb)
+    val (idx9, r9) = (St19.hinted, St19.r)
     assert(r9 == 9, s"dial at 4500 corpus vectors should be 9, got $r9")
-    val (idx8, r8) = streaming.Streams.st19StaticIndex(spark, eb, Some(8))
+    val St8 = streaming.Streams.st19StaticIndex(spark, eb, Some(8))
+    val (idx8, r8) = (St8.hinted, St8.r)
     assert(r8 == 8)
     // every band fits its r-bit window; 2 bands per corpus vector
     val mx9 = idx9.agg(max("band"), count(lit(1))).head()
@@ -333,7 +335,8 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     val dup = base.filter(col("vec_id") === 1L)
       .select(lit(105L).as("vec_id"), col("embedding"))
     val eb = base.union(dup)
-    val (idx, r) = streaming.Streams.st19StaticIndex(spark, eb, Some(20))
+    val i20 = streaming.Streams.st19StaticIndex(spark, eb, Some(20))
+    val (idx, r) = (i20.hinted, i20.r)
     assert(r == 20)
     // 80 corpus ids (%5 != 0 among 0..99) × 4 bands, none hot enough
     // for the df > max(100, ...) prune at this size

@@ -26,15 +26,15 @@ con = duckdb.connect()
 # DuckDB's default temp dir is the CWD — a big spill (the 700k-doc
 # wide-mode oracles hit 60 GB) must land on /tmp, not inside the repo
 con.execute("PRAGMA temp_directory='/tmp/duckdb_parity_spill'")
+import os
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    try:
+    # fixture dirs (e.g. the dial-crossing /tmp/widecross) carry only
+    # the tables their queries read — skip ONLY absent files; a corrupt
+    # or unreadable parquet must fail here, not as a confusing per-query
+    # error later (r15 ADVICE #5)
+    if os.path.exists(f"{SF}/{t}.parquet"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-    except duckdb.Error:
-        # fixture dirs (e.g. the dial-crossing /tmp/widecross) carry only
-        # the tables their queries read; a query that needs a missing
-        # table still fails loudly at execution
-        pass
 
 
 def canon(df):
