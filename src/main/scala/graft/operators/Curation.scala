@@ -593,9 +593,17 @@ object Curation {
     * running sums via the GlobalCumsum two-pass scan, never a
     * one-partition window. `src` must expose (doc_id, nt, quality). */
   private[graft] def budgetPack(adm: DataFrame): DataFrame = {
-    val total = adm.agg(sum("nt").as("total"))
-    val cho = graft.GlobalCumsum
+    // the token total is the LAST running-sum value, so read it from
+    // the (localCheckpoint-ed) prefix-sum output instead of a separate
+    // SUM over `adm` — the admission chain upstream is evaluated ONCE
+    // per query, not twice (r16; at sf0.1 this halved sp12's cold wall,
+    // and at 100 TB it is one fewer full pass over the gated corpus).
+    // Exact-integer equal to the oracle's SUM(nt): cum is a total-order
+    // running sum of nt over every admitted row.
+    val withCum = graft.GlobalCumsum
       .withRunningSum(adm, Seq(col("quality").desc, col("doc_id")), "nt", "cum")
+    val total = withCum.agg(max("cum").as("total"))
+    val cho = withCum
       .crossJoin(broadcast(total))
       .filter(col("cum") * 2 <= col("total"))
       .select("doc_id", "nt")
