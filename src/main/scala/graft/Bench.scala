@@ -70,6 +70,58 @@ object Bench {
     }
   }
 
+  /** De-noised headline contribution of one query (r16 verdict #1a):
+    * the spike guard already JUDGES iter-telemetry queries on the
+    * median of their per-iteration times, but the headline `value`
+    * still summed ml04's raw wall — r16's artifact carried a 518 s
+    * ml04 sample whose own telemetry showed a healthy 0.99 s/iter
+    * median (4 of 50 iterations stalled at 32/44/163/155 s under box
+    * contention). Price the iteration portion at median × n and keep
+    * the non-iteration overhead (setup, inference, report) as
+    * max(0, best − Σiters). Pricing can only REMOVE contention: the
+    * result is capped at the measured best, so a clean run's headline
+    * is unchanged and a priced value never claims speed that wasn't
+    * measured. Only queries keyed in [[iterTelemetry]] are priced. */
+  private[graft] def pricedValue(name: String, best: Double,
+      iterTimes: Option[Seq[Double]]): Double =
+    if (!iterTelemetry.contains(name)) best
+    else iterTimes.filter(_.nonEmpty).fold(best) { ts =>
+      math.min(best, median(ts) * ts.size + math.max(0.0, best - ts.sum))
+    }
+
+  /** Pass-level contention verdict (r16 verdict #1c): when a large
+    * slice of the surface exceeds 1.5× its pin in ONE pass, the cause
+    * is the box, not the code (r14: 91 and r16: 91 of 179 queries over
+    * pin across families the round's diff never touched). The flag
+    * makes that adjudication machine-readable in the artifact instead
+    * of requiring cross-round forensics. Threshold: ≥10 queries AND
+    * ≥10% of the selected surface — a real regression localizes to a
+    * family (single-digit query counts), contention does not. Pins
+    * disabled (off-calibration-dir audit) ⇒ never contended. */
+  private[graft] def contendedFlag(overPin: Int, nSelected: Int,
+      pinsActive: Boolean): Boolean =
+    pinsActive && overPin >= 10 && overPin * 10 >= nSelected
+
+  /** 1-minute loadavg, or -1 when /proc is unavailable. */
+  private def loadavg(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+      java.nio.charset.StandardCharsets.UTF_8).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Cumulative steal jiffies from /proc/stat's aggregate cpu line
+    * (field 8), or -1 when absent. Steal is the direct signature of a
+    * contended virtualized box: guest-runnable time the hypervisor
+    * gave to someone else. */
+  private def stealJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")).filter(_.length > 8).map(_(8).toLong)
+        .getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -214,6 +266,12 @@ object Bench {
     val repeatBudget = math.max(240.0, 1.85 * selected.size) // sec: global cap on extra-run time
     var repeatSpent = 0.0
     val results = selected.map { case (name, fn) =>
+      // per-query environment telemetry (r16 verdict #1b): loadavg and
+      // steal time bracketing ALL of this query's runs, so a contended
+      // sample is machine-adjudicable from the artifact alone instead
+      // of needing same-day clean-pass forensics
+      val loadBefore = loadavg()
+      val stealBefore = stealJiffies()
       val first = once(name, fn)
       var best = first
       var runs = 1
@@ -260,16 +318,21 @@ object Bench {
           trip = spiked(best, runs)
         }
       }
-      (name, first, best, runs)
+      val loadAfter = loadavg()
+      val stealAfter = stealJiffies()
+      val stealSec =
+        if (stealBefore < 0 || stealAfter < 0) -1.0
+        else (stealAfter - stealBefore) / 100.0 // USER_HZ=100 jiffies/s
+      (name, first, best, runs, loadBefore, loadAfter, stealSec)
     }
-    val qs = results.map { case (k, _, b, _) => s"\"" + k + "\":" + b }
+    val qs = results.map { case (k, _, b, _, _, _, _) => s"\"" + k + "\":" + b }
       .mkString("{", ",", "}")
     // per-query FIRST runs (r7 verdict item #1): a memoized query's cold
     // cost (dd05's fixpoint, ml01's fit, q39's bucketed-table build) is
     // visible only in its first run; publishing the full map makes cold
     // cost vs memo-hit auditable instead of only the aggregate
     // first_run_sum.
-    val firstRuns = results.map { case (k, f, _, _) => s"\"" + k + "\":" + f }
+    val firstRuns = results.map { case (k, f, _, _, _, _, _) => s"\"" + k + "\":" + f }
       .mkString("{", ",", "}")
     // per-query RUN COUNTS + budget flag (r10 verdict item #4): when the
     // repeat budget drains mid-suite, the remaining queries' "de-noised"
@@ -278,7 +341,7 @@ object Bench {
     // mixed warm minima with cold singles. runs==1 entries (below the
     // repeat threshold) and budget_exhausted=true make that state
     // explicit in the artifact instead of needing first_runs forensics.
-    val runCounts = results.map { case (k, _, _, r) => s"\"" + k + "\":" + r }
+    val runCounts = results.map { case (k, _, _, r, _, _, _) => s"\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val budgetExhausted = repeatSpent >= repeatBudget || heavySpent >= heavyBudget
     // headline = the DE-NOISED sum (per-query minima): with per-query
@@ -286,8 +349,36 @@ object Bench {
     // load spike distort the round's single headline number (r4: 353.8 s
     // driver artifact vs 217 s first-run sum vs ~147 s de-noised, all on
     // the same tree). first-run sum stays in the line for transparency.
-    val total = if (results.nonEmpty) results.map(_._3).sum else 0.0
+    // Iter-telemetry queries (ml04/ml06) enter the headline PRICED at
+    // median-iter × n + non-iteration overhead (r16 verdict #1a) —
+    // capped at the measured best, so only contention is removed; their
+    // raw minima stay in `queries` and the priced values are published
+    // in `priced` so the substitution is auditable.
+    val pricedEntries = results.flatMap { case (k, _, b, _, _, _, _) =>
+      val p = pricedValue(k, b, iterTelemetry.get(k).flatMap(_()))
+      // 10 ms materiality floor: float noise on a clean pass (Σiters a
+      // hair under wall) must not publish a spurious substitution
+      if (b - p > 0.01) Some(k -> p) else None
+    }.toMap
+    val total =
+      if (results.isEmpty) 0.0
+      else results.map { case (k, _, b, _, _, _, _) =>
+        pricedEntries.getOrElse(k, b) }.sum
+    val totalWall = if (results.nonEmpty) results.map(_._3).sum else 0.0
     val totalFirst = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // final over-pin census (r16 verdict #1c): re-run the spike decision
+    // on each query's FINAL state (best after retries, actual run count,
+    // its own iteration telemetry) — exactly the guard's last word
+    val overPin = results.count { case (name, _, best, runs, _, _, _) =>
+      spikeDecision(name, best, runs, expected,
+        iterTelemetry.get(name).flatMap(_()), pinsActive).isDefined
+    }
+    val contended = contendedFlag(overPin, results.size, pinsActive)
+    if (contended)
+      System.err.println(
+        s"[bench] WARNING: $overPin/${results.size} queries ended over " +
+        "1.5x their pins after retries — flagging this pass contended " +
+        "(box-level interference; per-query loadavg/steal in the artifact)")
     if (budgetExhausted)
       System.err.println(
         f"[bench] WARNING: retry budget exhausted (repeat $repeatSpent%.1f/" +
@@ -324,8 +415,20 @@ object Bench {
     val stageTimes =
       if (stageEntries.isEmpty) ""
       else stageEntries.mkString("\"stage_times\":{", ",", "},")
+    // priced substitutions (empty when no telemetry query was priced
+    // below its wall minimum — i.e. on a clean pass where Σiters ≈ wall)
+    val pricedJson =
+      if (pricedEntries.isEmpty) ""
+      else pricedEntries.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + num(v) }
+        .mkString("\"priced\":{", ",", "},")
+    // per-query [loadavg_before, loadavg_after, steal_seconds] — the
+    // environment evidence for adjudicating any over-pin sample
+    val loadJson = results.map { case (k, _, _, _, lb, la, st) =>
+      "\"" + k + "\":[" + num(lb) + "," + num(la) + "," + num(st) + "]"
+    }.mkString("\"load\":{", ",", "},")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","first_run_sum":$totalFirst,"budget_exhausted":$budgetExhausted,"pins_active":$pinsActive,"queries":$qs,"first_runs":$firstRuns,"runs":$runCounts,$iterTimes$stageTimes"sf":"$sfDir","failures":$fails,"protocol":"queries=min of up to $reps runs (repeats only when first<${repeatThreshold}s, global extra budget ${repeatBudget}s; ANY query retries up to twice when best>1.5x its BENCH_EXPECT.json pin — a :cold pin exempts a memoized query's first run, ml04/ml06 are judged on median iter time, and pin retries are disabled entirely when the sf dir is not the pins' _pin_dir (pins_active=false) — budget ${heavyBudget}s); value=de-noised sum of per-query minima, first_run_sum=sum of first runs, first_runs=per-query first (cold) runs, runs=per-query run counts (1 = single cold sample), budget_exhausted=true when a retry budget drained mid-suite"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_wall":$totalWall,"first_run_sum":$totalFirst,"budget_exhausted":$budgetExhausted,"pins_active":$pinsActive,"contended":$contended,"over_pin":$overPin,"queries":$qs,"first_runs":$firstRuns,"runs":$runCounts,$pricedJson$loadJson$iterTimes$stageTimes"sf":"$sfDir","failures":$fails,"protocol":"queries=min of up to $reps runs (repeats only when first<${repeatThreshold}s, global extra budget ${repeatBudget}s; ANY query retries up to twice when best>1.5x its BENCH_EXPECT.json pin — a :cold pin exempts a memoized query's first run, ml04/ml06 are judged on median iter time, and pin retries are disabled entirely when the sf dir is not the pins' _pin_dir (pins_active=false) — budget ${heavyBudget}s); value=de-noised sum of per-query minima with iter-telemetry queries priced at median-iter x n + non-iter overhead (capped at measured best; substitutions in priced), value_wall=same sum unpriced, first_run_sum=sum of first runs, first_runs=per-query first (cold) runs, runs=per-query run counts (1 = single cold sample), load=per-query [loadavg_before,loadavg_after,steal_sec], over_pin=queries ending >1.5x pin after retries, contended=true when over_pin>=10 and >=10% of surface (box-level interference), budget_exhausted=true when a retry budget drained mid-suite"}"""
     // Stop Spark BEFORE printing so no executor/shutdown logging can
     // interleave with (or follow) the metric line; also persist a copy —
     // the round-1 driver failed to tail-parse stdout (sbt appends
@@ -350,7 +453,7 @@ object Bench {
     // always ends with parseable JSON; the per-query map lives in the
     // full line and the committed BENCH_LOCAL.json.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","first_run_sum":$totalFirst,"budget_exhausted":$budgetExhausted,"pins_active":$pinsActive,"sf":"$sfDir","failures":$fails,"n_queries":${results.size},"detail":"per-query map in BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_wall":$totalWall,"first_run_sum":$totalFirst,"budget_exhausted":$budgetExhausted,"pins_active":$pinsActive,"contended":$contended,"over_pin":$overPin,"sf":"$sfDir","failures":$fails,"n_queries":${results.size},"detail":"per-query map in BENCH_LOCAL.json"}"""
     println(s"BENCH_JSON_COMPACT: $compact")
   }
 }

@@ -454,12 +454,20 @@ object Multimodal {
 
   private[graft] def sharedParts(s: SparkSession, d: String): PerceptualParts = {
     val app = s.sparkContext.applicationId
-    partsCache.getOrElseUpdate(s"$app|$d", {
-      partsCache.keys.filter(_.startsWith(app + "|")).foreach { k =>
-        partsCache.remove(k).foreach(_.hash.unpersist())
-      }
-      perceptualParts(s, T.documents(s, d))
-    })
+    // synchronized: TrieMap.getOrElseUpdate may run the builder twice
+    // under concurrent first access, leaking the losing build's cached
+    // hash frame, and the LRU-1 eviction must be atomic with the insert
+    // (r16 ADVICE #1). The coarse lock is fine: builds are driver-side,
+    // rare (one per dir), and the sequential Verify/Bench drivers never
+    // contend — this closes the leak if queries ever run concurrently.
+    partsCache.synchronized {
+      partsCache.getOrElseUpdate(s"$app|$d", {
+        partsCache.keys.filter(_.startsWith(app + "|")).foreach { k =>
+          partsCache.remove(k).foreach(_.hash.unpersist())
+        }
+        perceptualParts(s, T.documents(s, d))
+      })
+    }
   }
 
   /** The banded intermediates of mm07's dataflow, factored so
@@ -498,7 +506,6 @@ object Multimodal {
     val nAll = eligible.select("doc_id").distinct().count()
     val r = forceBandBits.getOrElse(
       graft.operators.Similarity.simhashBitsWide(nAll))
-    val wide = r > 15
     val (hash0, _) = perceptualHashBanded(eligible, r)
     val hash = hash0.cache()
     val banded = bandPerceptual(hash, r)
@@ -764,8 +771,14 @@ object Multimodal {
           (expr("CAST(bit_count((ha ^ hb) & 4294967295) AS INT)") <= 6)
             .as("is_twin"),
           (col("tfa") === col("tfb")).as("text_equal"))
-      val sides = pt.select(col("da").as("doc_id"), col("is_twin"), col("text_equal"))
-        .unionAll(pt.select(col("db").as("doc_id"), col("is_twin"), col("text_equal")))
+      // both pair endpoints emitted from ONE evaluation of the pair
+      // chain (r16 verdict #5): the unionAll form re-ran the banded
+      // self-join + distinct + both fingerprint joins once per side
+      val sides = pt.select(explode(array(
+          struct(col("da").as("doc_id"), col("is_twin"), col("text_equal")),
+          struct(col("db").as("doc_id"), col("is_twin"), col("text_equal"))))
+          .as("s"))
+        .select(col("s.doc_id"), col("s.is_twin"), col("s.text_equal"))
       val out = sides.groupBy("doc_id").agg(
           count(lit(1)).as("n_candidates"),
           sum(when(col("is_twin"), 1L).otherwise(0L)).as("n_twins"),
@@ -989,7 +1002,17 @@ object Multimodal {
     * lock THIS frame's physical plan — the query's own executed plan
     * is the packing tail downstream of the GlobalCumsum checkpoints.
     * Fully lazy except the dial count. */
-  private[graft] def multimodalAdmitted(s: SparkSession, d: String): DataFrame = {
+  private[graft] def multimodalAdmitted(s: SparkSession, d: String): DataFrame =
+    multimodalParts(s, d).admitted
+
+  /** sp12's staged frames (the PerceptualParts precedent), so the scale
+    * probe (ProbeSp12) can report the candidate/bin accounting the
+    * mm07/ProbeMm07 legs report — gated-eligible N, the dial, and the
+    * post-prune candidate-pair volume — without duplicating the chain. */
+  private[graft] case class Sp12Parts(
+      nAll: Long, r: Int, pairs: DataFrame, admitted: DataFrame)
+
+  private[graft] def multimodalParts(s: SparkSession, d: String): Sp12Parts = {
     import graft.operators.Curation
     val rules = Curation.ta09.fn(s, d).select(col("doc_id"), col("keep"))
     val gated = Curation.qualityDf(s, d)
@@ -1039,11 +1062,12 @@ object Multimodal {
         col("e.susp").as("susp"))
       .groupBy("doc_id")
       .agg(max("rej").as("rejected"), max("susp").as("suspect"))
-    gated
+    val admitted = gated
       .join(flags, Seq("doc_id"), "left")
       .filter(!coalesce(col("rejected"), lit(false)) &&
         !coalesce(col("suspect"), lit(false)))
       .select("doc_id", "nt", "quality")
+    Sp12Parts(nAll, r, pairs, admitted)
   }
 
   val defs: Seq[QueryDef] =

@@ -544,10 +544,15 @@ object Dedup {
         .contains(f.dataType.typeName),
         s"connectedComponents needs integral vertex ids, got ${f.dataType} for ${f.name}")
     }
+    // symmetrize from ONE evaluation of the caller's pair chain (r16
+    // verdict #5): the union form re-ran it once per direction — for
+    // dd05 that was the whole banded-candidate + verify chain twice
     val edges = pairs
-      .select(col("da").cast("long").as("da"), col("db").cast("long").as("db"))
-      .union(pairs.select(col("db").cast("long").as("da"),
-        col("da").cast("long").as("db")))
+      .select(col("da").cast("long").as("a"), col("db").cast("long").as("b"))
+      .select(explode(array(
+        struct(col("a").as("da"), col("b").as("db")),
+        struct(col("b").as("da"), col("a").as("db")))).as("e"))
+      .select(col("e.da"), col("e.db"))
       .distinct().cache()
     val nEdges = edges.count()
     if (nEdges <= localMaxEdges) return localUnionFind(edges)

@@ -68,9 +68,14 @@ object Graph {
       .distinct()
     // Partitioned on src once; every iteration join and the degree
     // aggregate reuse this exchange instead of re-shuffling the edges.
+    // both edge directions from ONE evaluation of the orders⋈lineitem
+    // chain (r16 verdict #5): the unionAll form ran that join + distinct
+    // once per direction before the persist materialized it
     val edges = pairs
-      .select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
-      .unionAll(pairs.select((col("sk") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      .select(explode(array(
+        struct((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst")),
+        struct((col("sk") * 2 + 1).as("src"), (col("c") * 2).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
       .repartition(col("src"))
       .persist()
     val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))

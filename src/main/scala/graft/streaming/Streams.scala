@@ -1426,12 +1426,18 @@ object Streams {
 
   private[graft] def st19StandingIndex(s: SparkSession, d: String): St19Index = {
     val app = s.sparkContext.applicationId
-    st19IdxCache.getOrElseUpdate(s"$app|$d", {
-      st19IdxCache.keys.filter(_.startsWith(app + "|")).foreach { k =>
-        st19IdxCache.remove(k).foreach(_.mat.unpersist())
-      }
-      st19StaticIndex(s, T.embeddings(s, d))
-    })
+    // synchronized (r16 ADVICE #1, the sharedParts twin): the builder
+    // persists a frame, so a concurrent double-build would leak the
+    // losing copy, and the LRU-1 eviction must be atomic with the
+    // insert; sequential drivers never contend on this coarse lock
+    st19IdxCache.synchronized {
+      st19IdxCache.getOrElseUpdate(s"$app|$d", {
+        st19IdxCache.keys.filter(_.startsWith(app + "|")).foreach { k =>
+          st19IdxCache.remove(k).foreach(_.mat.unpersist())
+        }
+        st19StaticIndex(s, T.embeddings(s, d))
+      })
+    }
   }
 
   /** st19 — streaming embedding near-dup admission: the embedding-side

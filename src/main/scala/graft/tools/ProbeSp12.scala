@@ -27,9 +27,20 @@ object ProbeSp12 {
       println("[sp12-probe] admission chain executed plan:")
       println(adm.queryExecution.executedPlan.toString)
     }
+    // the COLD wall of the full fused pipeline comes first — the
+    // accounting below re-evaluates stages and would otherwise warm
+    // shuffle files / code caches under the timed run
     val t0 = System.nanoTime()
     val n = graft.multimodal.Multimodal.sp12.fn(spark, sfDir).count()
-    println(f"[sp12-probe] dir=$sfDir bins=$n cold=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val wall = (System.nanoTime() - t0) / 1e9
+    // candidate/bin accounting (r16 verdict #2 — the ProbeMm07
+    // precedent): the numbers that must stay ~linear in corpus size
+    val parts = graft.multimodal.Multimodal.multimodalParts(spark, sfDir)
+    val cand = parts.pairs.count()
+    val admitted = parts.admitted.count()
+    println(f"[sp12-probe] dir=$sfDir%-16s n_elig=${parts.nAll}%8d " +
+      f"r=${parts.r}%2d cand_pairs=$cand%10d admitted=$admitted%8d " +
+      f"bins=$n%6d cold=$wall%7.2f s")
     spark.stop()
   }
 }

@@ -90,6 +90,40 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.spikeDecision("unpinned", 99.0, 1, Map.empty, None).isEmpty)
   }
 
+  test("iter-telemetry queries are PRICED into the headline at median-iter x n (r16 verdict #1a)") {
+    // the r16 driver shape: 518 s wall, median iter 0.99 s over 50
+    // iterations with 4 contention stalls — the headline contribution
+    // must collapse to ~median x n + non-iter overhead, not 518
+    val iters = Seq.fill(46)(0.99) ++ Seq(32.0, 44.0, 163.0, 155.0)
+    val p = Bench.pricedValue(ml04, 450.0, Some(iters))
+    val expectedPriced = 0.99 * 50 + (450.0 - iters.sum)
+    assert(math.abs(p - expectedPriced) < 1e-9 && p < 100.0)
+    // clean pass: Σiters ≈ wall, median x n + overhead ≥ wall → capped
+    // at the measured best, the headline is unchanged (pricing removes
+    // contention, never claims unmeasured speed)
+    val clean = Seq.fill(50)(0.62)
+    assert(math.abs(Bench.pricedValue(ml04, 34.0, Some(clean)) - 34.0) < 1e-9)
+    // missing/empty telemetry → wall passes through
+    assert(Bench.pricedValue(ml04, 518.0, None) == 518.0)
+    assert(Bench.pricedValue(ml04, 518.0, Some(Seq.empty)) == 518.0)
+    // unkeyed queries are never priced, even with telemetry present
+    assert(Bench.pricedValue("q01_pricing_summary", 518.0, Some(iters)) == 518.0)
+  }
+
+  test("contended flag trips on a broad over-pin census, not a localized regression (r16 verdict #1c)") {
+    // the r14/r16 driver shape: 91/179 over pin → contended
+    assert(Bench.contendedFlag(91, 179, pinsActive = true))
+    // a real regression localizes: 6 queries over pin in a 179-surface
+    // pass is a code signal, not box noise
+    assert(!Bench.contendedFlag(6, 179, pinsActive = true))
+    // both legs required: 10 absolute AND 10% of surface
+    assert(!Bench.contendedFlag(12, 179, pinsActive = true))  // <10%
+    assert(!Bench.contendedFlag(5, 20, pinsActive = true))    // <10 abs
+    assert(Bench.contendedFlag(18, 179, pinsActive = true))
+    // off-calibration-dir audits have no pins → never contended
+    assert(!Bench.contendedFlag(91, 179, pinsActive = false))
+  }
+
   test("pinsActive=false disables every pin-based retry (off-dir audits)") {
     // r14 verdict #2: the >=10x audits compared first runs against
     // sf0.1-calibrated pins — structurally futile retries (~138 s per

@@ -72,6 +72,43 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("dd18: planted delta contamination convicted; clean/short admitted; non-delta absent") {
+    import spark.implicits._
+    def bucket(id: Long): Int = Integer.parseInt(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString)
+        .substring(0, 2), 16) % 100
+    val evalId = (0L to 10000L).find(bucket(_) >= 95).get
+    val deltaIds = (0L to 10000L)
+      .filter(i => bucket(i) < 95 && i % 5 == 0 && i != evalId)
+    val Seq(cont, clean, shortD) = deltaIds.take(3)
+    val nonDelta = (0L to 10000L)
+      .find(i => bucket(i) < 95 && i % 5 != 0).get
+    val evalText =
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (evalId, evalText), // the benchmark doc (standing index)
+      (cont, "zz " + evalText), // shares 3 verbatim eval 8-grams
+      (clean, "one two three four five six seven eight nine ten"),
+      (shortD, "tiny doc"), // < 8 tokens: no evidence possible
+      (nonDelta, "yy " + evalText) // contaminated but NOT today's delta
+    ).toDF("doc_id", "text")
+    val out = operators.Curation.decontaminationDelta(spark, docs).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // ledger covers exactly the delta slice — eval and non-delta train
+    // docs never appear, short delta docs DO (admitted, evidence-free)
+    assert(byId.keySet == Set(cont, clean, shortD))
+    val c = byId(cont)
+    assert(!c.getAs[Boolean]("admitted") &&
+      c.getAs[Long]("n_shared_grams") == 3L &&
+      c.getAs[Long]("n_eval_docs") == 1L)
+    val cl = byId(clean)
+    assert(cl.getAs[Boolean]("admitted") &&
+      cl.getAs[Long]("n_shared_grams") == 0L &&
+      cl.getAs[Long]("n_eval_docs") == 0L)
+    assert(byId(shortD).getAs[Boolean]("admitted") &&
+      byId(shortD).getAs[Long]("n_shared_grams") == 0L)
+  }
+
   test("ta08: repetition ratios are well-formed") {
     run("ta08_repetition_profile").collect().foreach { r =>
       val nGrams = r.getAs[Long]("n_grams")

@@ -60,6 +60,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "eval side must broadcast")
   }
 
+  test("dd18: both joins broadcast; never a sort-merge or all-pairs shape") {
+    // the query fn memoizes + caches its ledger, so lock the factored
+    // lazy chain (the admittedCuration precedent): the standing eval
+    // gram index broadcasts into the probe, the contaminated-only hits
+    // frame broadcasts into the spine attach, and nothing plans a
+    // corpus-wide sort-merge or cartesian
+    val p = operators.Curation
+      .decontaminationDeltaChain(spark, Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"standing eval index must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dd18 must not shuffle either join side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dd18 must equi-join on gram fingerprints:\n$p")
+  }
+
   test("q64: AQE splits the skewed join partition at runtime") {
     val kv = operators.Extras.q64SkewConfs
     val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }

@@ -78,6 +78,32 @@ FROM (
 GROUP BY vec_id, embedding
 """
 
+# Verbatim spot-check (r16 ADVICE #3): the staged run substitutes the
+# committed `b` signing CTE with the plane-table form, so by itself it
+# verifies Spark against the SUBSTITUTE. Before trusting it, run the
+# committed `b` body VERBATIM on a deterministic ~100-row sample and
+# assert sig/sig_hi/nrm equality with the plane-table form on the same
+# rows — if the substitute and the committed expression ever diverge,
+# this trips instead of the parity silently passing.
+b_verbatim = dict(ctes)['b']
+t1=time.time()
+con2=duckdb.connect(); con2.execute("SET threads=28")
+con2.execute("CREATE VIEW embeddings AS SELECT * FROM "
+             "'/tmp/widecross_par/embeddings.parquet' WHERE vec_id % 6600 = 0")
+con2.register('pl_df', pl)
+con2.execute("CREATE TABLE planes AS SELECT p, w FROM pl_df")
+vb = con2.execute(f"SELECT vec_id, sig, sig_hi, nrm FROM ({b_verbatim}) "
+                  "ORDER BY vec_id").df()
+pt = con2.execute(f"SELECT vec_id, sig, sig_hi, nrm FROM ({B2}) "
+                  "ORDER BY vec_id").df()
+assert len(vb) > 0 and len(vb) == len(pt), (len(vb), len(pt))
+for c in ['vec_id','sig','sig_hi']:
+    assert (vb[c].values == pt[c].values).all(), f"verbatim-b mismatch on {c}"
+assert (vb['nrm'].values == pt['nrm'].values).all(), "verbatim-b mismatch on nrm"
+print(f"verbatim-b spot-check: {len(vb)} rows bit-equal to plane-table "
+      f"form in {time.time()-t1:.1f}s", flush=True)
+con2.close()
+
 for name, q in ctes:
     t1=time.time()
     if name == 'b':
