@@ -136,6 +136,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ml04's EM checkpointInterval=10 only truncates GraphX lineage
+    // when a checkpoint dir exists (r16 verdict #3 — without one the
+    // PeriodicGraphCheckpointer silently no-ops and per-iteration time
+    // creeps with the growing task binary)
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
     // untimed warmup: JIT + codegen + parquet reader init otherwise land
     // entirely on whichever query runs first (measured ~4 s on dd01)
     try {

@@ -18,6 +18,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ml04's EM checkpointInterval=10 only truncates GraphX lineage
+    // when a checkpoint dir exists (r16 verdict #3 — without one the
+    // PeriodicGraphCheckpointer silently no-ops and per-iteration time
+    // creeps with the growing task binary)
+    spark.sparkContext.setCheckpointDir(
+      Files.createTempDirectory("graft_ckpt").toString)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated name-prefix filter for local iteration,
     // mirroring Bench (unset → full surface; the driver never sets it).

@@ -16,6 +16,10 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // EM LDA's checkpointInterval only truncates lineage when a
+    // checkpoint dir exists (r16 verdict #3) — match Verify/Bench
+    s.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
     s
   }
   val sf = "/root/testdata/sf0.001"
