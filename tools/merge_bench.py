@@ -56,12 +56,19 @@ for i, r in enumerate(runs[1:], start=1):
         f"prefix {fresh}: {sorted(r['queries'])[:5]}")
     overlap = set(merged["queries"]) & set(r["queries"])
     assert not overlap, f"per-query maps overlap: {sorted(overlap)[:5]}"
-    for key in ("queries", "first_runs", "runs"):
-        merged[key] = {**merged.get(key, {}), **r.get(key, {})}
+    # `load` and `priced` joined r17 (per-query loadavg/steal evidence
+    # and median-iter pricing — r16 verdict #1); merged like the other
+    # per-query maps so the family JVM's contention evidence survives
+    for key in ("queries", "first_runs", "runs", "load", "priced"):
+        if key in merged or key in r:
+            merged[key] = {**merged.get(key, {}), **r.get(key, {})}
     merged["value"] += r["value"]
     merged["first_run_sum"] += r["first_run_sum"]
     merged["budget_exhausted"] = (
         merged.get("budget_exhausted", False) or r.get("budget_exhausted", False))
+    merged["over_pin"] = merged.get("over_pin", 0) + r.get("over_pin", 0)
+    merged["contended"] = (
+        merged.get("contended", False) or r.get("contended", False))
     merged["failures"] = merged.get("failures", []) + r.get("failures", [])
     for tkey in ("iter_times", "stage_times"):
         if tkey in r:
