@@ -300,9 +300,16 @@ object MlQueries {
     (s, d) =>
       val tokens = T.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      // checkpointInterval = the Params default 10 (the reference's own
+      // setting, C2): r17 made checkpointing REAL by giving sessions a
+      // checkpoint dir — the old explicit -1 dated from when no dir
+      // existed and truncation was a silent no-op anyway. Measured solo
+      // at sf0.1: the 0.25→0.93 s/iter monotone creep becomes clean
+      // decade resets and the 50-iteration sum drops 29.5 → 14.9 s,
+      // wall 34.7 → 24.7 s (NOTES r17).
       val fitted = LdaPipeline.train(s, tokens,
         LdaPipeline.Params(k = 5, maxIterations = 50, algorithm = "em",
-          checkpointInterval = -1, seed = 42L))
+          seed = 42L))
       ml04IterTimes = LdaPipeline.emIterationTimes(fitted)
       topicsChecked(s, fitted, 10)
   }
