@@ -219,6 +219,39 @@ class ToolsSpec extends AnyFunSuite {
     assert(code3 == 0, s"exit=$code3\n$err3")
   }
 
+  test("merge_bench carries load/priced maps and over_pin/contended (r17)") {
+    // the family JVM's contention evidence (per-query loadavg/steal,
+    // median-iter pricing, the over-pin census) must survive the merge
+    // — the first r17 sf1 artifact dropped the st pass's load map and
+    // the 230-250 s/query steal evidence lived only in /tmp
+    import scala.sys.process._
+    val dir = Files.createTempDirectory("graft_merge3")
+    val main =
+      """{"metric":"total","value":1.0,"unit":"sec","first_run_sum":1.0,
+        | "budget_exhausted":false,"queries":{"q1":1.0},
+        | "first_runs":{"q1":1.0},"runs":{"q1":1},
+        | "load":{"q1":[1.0,2.0,0.5]},"over_pin":2,"contended":false,
+        | "sf":"/tmp/sf1","failures":[]}""".stripMargin
+    write(dir, "main.json", main)
+    write(dir, "st.json", main.replace("\"q1\"", "\"st01\"")
+      .replace(""""over_pin":2,"contended":false""",
+        """"priced":{"st01":0.9},"over_pin":11,"contended":true"""))
+    val cmd = Seq("python3", "tools/merge_bench.py",
+      dir.resolve("main.json").toString, dir.resolve("st.json").toString,
+      "--fresh", "st")
+    val out = new StringBuilder
+    val code = Process(cmd, new java.io.File("."))
+      .!(ProcessLogger(l => out.append(l), _ => ()))
+    assert(code == 0, s"merge failed:\n$out")
+    val merged = out.toString
+    assert(merged.contains("\"over_pin\": 13"), merged)
+    assert(merged.contains("\"contended\": true"), merged)
+    // both passes' load triples present in one map
+    val loadSec = merged.split("\"load\":")(1)
+    assert(loadSec.contains("\"q1\"") && loadSec.contains("\"st01\""), merged)
+    assert(merged.contains("\"priced\": {\"st01\": 0.9}"), merged)
+  }
+
   test("merge_bench refuses when --fresh is omitted (r14 ADVICE #1)") {
     // fresh=[] made the per-artifact prefix check vacuously False, so
     // every merge without the flag failed even on valid disjoint
