@@ -48,7 +48,16 @@ object LdaPipeline {
 
   /** Full train: tokens DataFrame(doc_id, tokens) → fitted LDA + vocab.
     * Mirrors SURVEY.md §3.3's dataflow with Catalyst-planned stages. */
-  def train(spark: SparkSession, tokens: DataFrame, params: Params): Fitted = {
+  def train(spark: SparkSession, tokens: DataFrame, params: Params): Fitted =
+    trainWithPartitions(spark, tokens, params, None)
+
+  /** [[train]] with an explicit corpus partition-count override — the
+    * knob graft.tools.ProbeEmParts sweeps so the small-corpus coalesce
+    * rule below is a measured curve, not one point. Production callers
+    * use [[train]] (override None). */
+  private[graft] def trainWithPartitions(
+      spark: SparkSession, tokens: DataFrame, params: Params,
+      partitionOverride: Option[Int]): Fitted = {
     val nonEmpty = tokens.filter(size(col("tokens")) > 0) // P7
     val counts = Vectorize.wordCounts(nonEmpty)
     val vocab = Vectorize.buildVocab(counts, params.vocabSize)
@@ -61,7 +70,11 @@ object LdaPipeline {
     // the reference EN corpus going 32 → 8 partitions). At real scale
     // the default parallelism stands.
     val scaled = Vectorize.tfidfWithFloor(spark, tf, idf)
-    val corpus = (if (corpusSize < 100000) scaled.coalesce(8) else scaled).cache()
+    val corpus = (partitionOverride match {
+      case Some(p) => scaled.coalesce(p)
+      case None if corpusSize < 100000 => scaled.coalesce(8)
+      case None => scaled
+    }).cache()
 
     val lda = new LDA()
       .setK(params.k)
