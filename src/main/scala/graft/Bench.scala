@@ -89,6 +89,52 @@ object Bench {
       math.min(best, median(ts) * ts.size + math.max(0.0, best - ts.sum))
     }
 
+  /** One-time build stages KEYED by query name (r17 verdict #2): q39
+    * (bucketed CTAS × 2) and q70 (z-order layout write) build a layout
+    * ONCE per session inside their first timed run and publish its
+    * per-stage walls. Only these queries may have a build priced out of
+    * the headline; ml03's stage telemetry stays out — its stats passes
+    * run every invocation, they are not one-time builds. */
+  private[graft] val buildStageTelemetry: Map[String, () => Option[Seq[(String, Double)]]] =
+    Map(
+      "q39_bucketed_join" -> (() => operators.Storage.q39StageTimes),
+      "q70_zorder_clustering" -> (() => operators.Storage.q70StageTimes))
+
+  /** Price a one-time build stage out of a cold-only sample (r17
+    * verdict #2 — pricedValue's discipline extended to build stages):
+    * when a build query's minimum across runs is STILL its cold,
+    * build-inclusive first run (single sample under a drained repeat
+    * budget, or warm repeats all contended), the headline would carry
+    * the build; its steady-state cost is the remainder of the cold wall
+    * after the published build stages. Pricing can only REMOVE the
+    * build: the result is capped at the measured best (a warm-min clean
+    * pass is unchanged because best < first already excludes the build)
+    * and floored at 0. Substitutions are published in `priced`. */
+  private[graft] def buildPricedValue(name: String, first: Double,
+      best: Double, stages: Option[Seq[(String, Double)]]): Double =
+    if (!buildStageTelemetry.contains(name) || best < first) best
+    else stages.filter(_.nonEmpty).fold(best) { ts =>
+      math.min(best, math.max(0.0, best - ts.map(_._2).sum))
+    }
+
+  /** Salvage gate (r17 verdict #1): a salvage attempt may run only when
+    * the immediately-preceding ~1 s probe observed zero hypervisor
+    * steal — measuring under visible steal cannot confirm a pin and
+    * burns the bounded salvage budget blind (exactly how the in-loop
+    * retries spent theirs on the r14/r16/r17 contended passes). A
+    * negative delta means /proc/stat is unavailable: run — absence of
+    * the counter is not evidence of contention. */
+  private[graft] def salvageGate(stealDelta: Long): Boolean = stealDelta <= 0L
+
+  /** Salvage order (r17 verdict #1): cheapest effective pin first — the
+    * bounded budget then confirms the most pins per second spent, and
+    * the heavy trainings (whose pins are iter-median-guarded anyway)
+    * cannot starve fifty sub-second confirmations. Name tiebreak keeps
+    * the order deterministic. */
+  private[graft] def salvagePlan(
+      candidates: Seq[(String, Double)]): Seq[(String, Double)] =
+    candidates.sortBy { case (n, pin) => (pin, n) }
+
   /** Pass-level contention verdict (r16 verdict #1c): when a large
     * slice of the surface exceeds 1.5× its pin in ONE pass, the cause
     * is the box, not the code (r14: 91 and r16: 91 of 179 queries over
@@ -139,9 +185,10 @@ object Bench {
     // ml04's EM checkpointInterval=10 only truncates GraphX lineage
     // when a checkpoint dir exists (r16 verdict #3 — without one the
     // PeriodicGraphCheckpointer silently no-ops and per-iteration time
-    // creeps with the growing task binary)
-    spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+    // creeps with the growing task binary); dir deleted at JVM exit
+    // (r17 verdict #3 — EM writes a full graph checkpoint every 10
+    // iters and repeated passes accumulated them)
+    spark.sparkContext.setCheckpointDir(TempDirs.deleteOnExit("graft_ckpt"))
     // untimed warmup: JIT + codegen + parquet reader init otherwise land
     // entirely on whichever query runs first (measured ~4 s on dd01)
     try {
@@ -271,6 +318,15 @@ object Bench {
     val repeatThreshold = 20.0 // sec: heavier queries run once
     val repeatBudget = math.max(240.0, 1.85 * selected.size) // sec: global cap on extra-run time
     var repeatSpent = 0.0
+    // mutable per-query record: the salvage pass below may fold better
+    // times (and their telemetry) into a query after the main loop
+    final class QRes(
+        val name: String, val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        val first: Double, var best: Double, var runs: Int,
+        val loadBefore: Double, var loadAfter: Double, var stealSec: Double,
+        var bestIter: Option[Seq[Double]],
+        var salvageRuns: Int = 0, var salvageSkippedSteal: Boolean = false,
+        var salvageImproved: Boolean = false)
     val results = selected.map { case (name, fn) =>
       // per-query environment telemetry (r16 verdict #1b): loadavg and
       // steal time bracketing ALL of this query's runs, so a contended
@@ -278,15 +334,23 @@ object Bench {
       // of needing same-day clean-pass forensics
       val loadBefore = loadavg()
       val stealBefore = stealJiffies()
+      val iterNow: () => Option[Seq[Double]] =
+        () => iterTelemetry.get(name).flatMap(_())
       val first = once(name, fn)
       var best = first
       var runs = 1
+      // iteration-telemetry PROVENANCE (r17 ADVICE #3): snapshot the
+      // accessor (which always reflects the most recent fit) right
+      // after every run that holds the minimum, so pricing below uses
+      // the telemetry of the run that produced `best` — not whichever
+      // run happened to be last after a spike retry
+      var bestIter = iterNow()
       if (!failures.contains(name)) {
         var r = 1
         while (r < reps && first < repeatThreshold && repeatSpent < repeatBudget) {
           val t = once(name, fn)
           repeatSpent += t
-          if (t < best) best = t
+          if (t < best) { best = t; bestIter = iterNow() }
           r += 1
           runs += 1
         }
@@ -307,7 +371,7 @@ object Bench {
         // pinned both directions by BenchGuardSpec.
         def spiked(bestSoFar: Double, runsSoFar: Int): Option[Double] =
           spikeDecision(name, bestSoFar, runsSoFar, expected,
-            iterTelemetry.get(name).flatMap(_()), pinsActive)
+            iterNow(), pinsActive)
         var spikeRetries = 0
         var trip = spiked(best, runs)
         while (trip.isDefined && heavySpent < heavyBudget && spikeRetries < 2) {
@@ -320,7 +384,7 @@ object Bench {
           heavySpent += t
           spikeRetries += 1
           runs += 1
-          if (t < best) best = t
+          if (t < best) { best = t; bestIter = iterNow() }
           trip = spiked(best, runs)
         }
       }
@@ -329,16 +393,76 @@ object Bench {
       val stealSec =
         if (stealBefore < 0 || stealAfter < 0) -1.0
         else (stealAfter - stealBefore) / 100.0 // USER_HZ=100 jiffies/s
-      (name, first, best, runs, loadBefore, loadAfter, stealSec)
+      new QRes(name, fn, first, best, runs, loadBefore, loadAfter,
+        stealSec, bestIter)
     }
-    val qs = results.map { case (k, _, b, _, _, _, _) => s"\"" + k + "\":" + b }
+    // ---- steal-aware salvage pass (r17 verdict #1) ----------------
+    // Self-flagging (contended=true + per-query load/steal) adjudicates
+    // a contended pass but cannot CONFIRM pins: three of four recent
+    // driver passes left 60-90 queries pin-unconfirmed with the perf
+    // evidence resting on builder-run clean passes, because the in-loop
+    // retries spend their budget blind to steal. After the main loop,
+    // re-run the still-over-pin queries cheapest-pin-first under a
+    // bounded budget, gating every attempt on a ~1 s steal probe —
+    // attempts only run on a momentarily-quiet box, where a good sample
+    // is actually obtainable. Probe sleeps count against the budget so
+    // a permanently-stolen box bounds the whole pass at salvageBudget.
+    def overPinNow(r: QRes): Option[Double] =
+      spikeDecision(r.name, r.best, r.runs, expected,
+        iterTelemetry.get(r.name).flatMap(_()), pinsActive)
+    val salvageBudget = math.max(120.0, 1.0 * selected.size) // sec
+    var salvageSpent = 0.0
+    val salvageCands = salvagePlan(
+      results.filter(r => !failures.contains(r.name))
+        .flatMap(r => overPinNow(r).map(r.name -> _)))
+    val byName = results.map(r => r.name -> r).toMap
+    if (salvageCands.nonEmpty)
+      System.err.println(
+        f"[bench] salvage pass: ${salvageCands.size} queries over pin " +
+        f"after the main loop - re-running cheapest-pin-first under a " +
+        f"$salvageBudget%.0f s steal-gated budget")
+    salvageCands.foreach { case (name, pin) =>
+      val r = byName(name)
+      var halted = false
+      while (!halted && overPinNow(r).isDefined && r.salvageRuns < 2 &&
+          salvageSpent < salvageBudget) {
+        // ~1 s steal probe before every attempt; up to 3 probes, then
+        // skip this query (the box is visibly stolen right now — spend
+        // the remaining budget on later candidates instead)
+        var probes = 0
+        var clear = false
+        while (!clear && probes < 3 && salvageSpent < salvageBudget) {
+          val s0 = stealJiffies()
+          Thread.sleep(1000)
+          val delta = if (s0 < 0) -1L else stealJiffies() - s0
+          salvageSpent += 1.0
+          probes += 1
+          clear = salvageGate(delta)
+        }
+        if (!clear) {
+          r.salvageSkippedSteal = true
+          halted = true
+        } else {
+          val t = once(name, r.fn)
+          salvageSpent += t
+          r.salvageRuns += 1
+          r.runs += 1
+          if (t < r.best) {
+            r.best = t
+            r.bestIter = iterTelemetry.get(name).flatMap(_())
+            r.salvageImproved = true
+          }
+        }
+      }
+    }
+    val qs = results.map(r => s"\"" + r.name + "\":" + r.best)
       .mkString("{", ",", "}")
     // per-query FIRST runs (r7 verdict item #1): a memoized query's cold
     // cost (dd05's fixpoint, ml01's fit, q39's bucketed-table build) is
     // visible only in its first run; publishing the full map makes cold
     // cost vs memo-hit auditable instead of only the aggregate
     // first_run_sum.
-    val firstRuns = results.map { case (k, f, _, _, _, _, _) => s"\"" + k + "\":" + f }
+    val firstRuns = results.map(r => s"\"" + r.name + "\":" + r.first)
       .mkString("{", ",", "}")
     // per-query RUN COUNTS + budget flag (r10 verdict item #4): when the
     // repeat budget drains mid-suite, the remaining queries' "de-noised"
@@ -347,7 +471,7 @@ object Bench {
     // mixed warm minima with cold singles. runs==1 entries (below the
     // repeat threshold) and budget_exhausted=true make that state
     // explicit in the artifact instead of needing first_runs forensics.
-    val runCounts = results.map { case (k, _, _, r, _, _, _) => s"\"" + k + "\":" + r }
+    val runCounts = results.map(r => s"\"" + r.name + "\":" + r.runs)
       .mkString("{", ",", "}")
     val budgetExhausted = repeatSpent >= repeatBudget || heavySpent >= heavyBudget
     // headline = the DE-NOISED sum (per-query minima): with per-query
@@ -360,31 +484,36 @@ object Bench {
     // capped at the measured best, so only contention is removed; their
     // raw minima stay in `queries` and the priced values are published
     // in `priced` so the substitution is auditable.
-    val pricedEntries = results.flatMap { case (k, _, b, _, _, _, _) =>
-      val p = pricedValue(k, b, iterTelemetry.get(k).flatMap(_()))
+    val pricedEntries = results.flatMap { r =>
+      // iter-telemetry pricing uses the BEST run's own telemetry (r17
+      // ADVICE #3 — not the most recent run's); build-stage pricing
+      // (r17 verdict #2) removes a one-time layout build from a
+      // cold-only minimum
+      val p = math.min(
+        pricedValue(r.name, r.best, r.bestIter),
+        buildPricedValue(r.name, r.first, r.best,
+          buildStageTelemetry.get(r.name).flatMap(_())))
       // 10 ms materiality floor: float noise on a clean pass (Σiters a
       // hair under wall) must not publish a spurious substitution
-      if (b - p > 0.01) Some(k -> p) else None
+      if (r.best - p > 0.01) Some(r.name -> p) else None
     }.toMap
     val total =
       if (results.isEmpty) 0.0
-      else results.map { case (k, _, b, _, _, _, _) =>
-        pricedEntries.getOrElse(k, b) }.sum
-    val totalWall = if (results.nonEmpty) results.map(_._3).sum else 0.0
-    val totalFirst = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      else results.map(r => pricedEntries.getOrElse(r.name, r.best)).sum
+    val totalWall = if (results.nonEmpty) results.map(_.best).sum else 0.0
+    val totalFirst = if (results.nonEmpty) results.map(_.first).sum else 0.0
     // final over-pin census (r16 verdict #1c): re-run the spike decision
-    // on each query's FINAL state (best after retries, actual run count,
-    // its own iteration telemetry) — exactly the guard's last word
-    val overPin = results.count { case (name, _, best, runs, _, _, _) =>
-      spikeDecision(name, best, runs, expected,
-        iterTelemetry.get(name).flatMap(_()), pinsActive).isDefined
-    }
+    // on each query's FINAL state (best after retries AND salvage,
+    // actual run count, its own iteration telemetry) — exactly the
+    // guard's last word
+    val overPin = results.count(r => overPinNow(r).isDefined)
     val contended = contendedFlag(overPin, results.size, pinsActive)
     if (contended)
       System.err.println(
         s"[bench] WARNING: $overPin/${results.size} queries ended over " +
-        "1.5x their pins after retries — flagging this pass contended " +
-        "(box-level interference; per-query loadavg/steal in the artifact)")
+        "1.5x their pins after retries AND the salvage pass — flagging " +
+        "this pass contended (box-level interference; per-query " +
+        "loadavg/steal and the salvage record are in the artifact)")
     if (budgetExhausted)
       System.err.println(
         f"[bench] WARNING: retry budget exhausted (repeat $repeatSpent%.1f/" +
@@ -409,10 +538,9 @@ object Bench {
     // stage telemetry: cold per-stage wall times so a slow first run
     // self-adjudicates — ml03's stats passes (r13 verdict #2) and q39's
     // bucketed-table build vs join (r14 verdict #4)
-    val stageSources: Seq[(String, Option[Seq[(String, Double)]])] = Seq(
-      "ml03_lda_model_stats" -> operators.MlQueries.ml03StageTimes,
-      "q39_bucketed_join" -> operators.Storage.q39StageTimes,
-      "q70_zorder_clustering" -> operators.Storage.q70StageTimes)
+    val stageSources: Seq[(String, Option[Seq[(String, Double)]])] =
+      ("ml03_lda_model_stats" -> operators.MlQueries.ml03StageTimes) +:
+        buildStageTelemetry.toSeq.sortBy(_._1).map { case (k, get) => k -> get() }
     val stageEntries = stageSources.flatMap { case (q, tsOpt) =>
       tsOpt.map(ts => "\"" + q + "\":{" + ts.map { case (k, v) =>
         "\"" + k + "\":" + num(v)
@@ -430,11 +558,28 @@ object Bench {
         .mkString("\"priced\":{", ",", "},")
     // per-query [loadavg_before, loadavg_after, steal_seconds] — the
     // environment evidence for adjudicating any over-pin sample
-    val loadJson = results.map { case (k, _, _, _, lb, la, st) =>
-      "\"" + k + "\":[" + num(lb) + "," + num(la) + "," + num(st) + "]"
+    val loadJson = results.map { r =>
+      "\"" + r.name + "\":[" + num(r.loadBefore) + "," + num(r.loadAfter) +
+        "," + num(r.stealSec) + "]"
     }.mkString("\"load\":{", ",", "},")
+    // salvage record (r17 verdict #1): per-candidate
+    // [salvage_runs, skipped_steal, improved] plus the budget spent, so
+    // the artifact shows WHICH pins the salvage pass confirmed, which
+    // attempts the steal gate refused, and what the pass cost
+    val salvageJson =
+      if (salvageCands.isEmpty) ""
+      else {
+        val entries = salvageCands.map { case (name, _) =>
+          val r = byName(name)
+          "\"" + name + "\":[" + r.salvageRuns + "," +
+            (if (r.salvageSkippedSteal) 1 else 0) + "," +
+            (if (r.salvageImproved) 1 else 0) + "]"
+        }
+        entries.mkString("\"salvage\":{", ",", "},") +
+          "\"salvage_spent\":" + num(salvageSpent) + ","
+      }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_wall":$totalWall,"first_run_sum":$totalFirst,"budget_exhausted":$budgetExhausted,"pins_active":$pinsActive,"contended":$contended,"over_pin":$overPin,"queries":$qs,"first_runs":$firstRuns,"runs":$runCounts,$pricedJson$loadJson$iterTimes$stageTimes"sf":"$sfDir","failures":$fails,"protocol":"queries=min of up to $reps runs (repeats only when first<${repeatThreshold}s, global extra budget ${repeatBudget}s; ANY query retries up to twice when best>1.5x its BENCH_EXPECT.json pin — a :cold pin exempts a memoized query's first run, ml04/ml06 are judged on median iter time, and pin retries are disabled entirely when the sf dir is not the pins' _pin_dir (pins_active=false) — budget ${heavyBudget}s); value=de-noised sum of per-query minima with iter-telemetry queries priced at median-iter x n + non-iter overhead (capped at measured best; substitutions in priced), value_wall=same sum unpriced, first_run_sum=sum of first runs, first_runs=per-query first (cold) runs, runs=per-query run counts (1 = single cold sample), load=per-query [loadavg_before,loadavg_after,steal_sec], over_pin=queries ending >1.5x pin after retries, contended=true when over_pin>=10 and >=10% of surface (box-level interference), budget_exhausted=true when a retry budget drained mid-suite"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_wall":$totalWall,"first_run_sum":$totalFirst,"budget_exhausted":$budgetExhausted,"pins_active":$pinsActive,"contended":$contended,"over_pin":$overPin,"queries":$qs,"first_runs":$firstRuns,"runs":$runCounts,$pricedJson$loadJson$salvageJson$iterTimes$stageTimes"sf":"$sfDir","failures":$fails,"protocol":"queries=min of up to $reps runs (repeats only when first<${repeatThreshold}s, global extra budget ${repeatBudget}s; ANY query retries up to twice when best>1.5x its BENCH_EXPECT.json pin — a :cold pin exempts a memoized query's first run, ml04/ml06 are judged on median iter time, and pin retries are disabled entirely when the sf dir is not the pins' _pin_dir (pins_active=false) — budget ${heavyBudget}s); after the main loop a steal-gated salvage pass re-runs still-over-pin queries cheapest-pin-first (up to 2 runs each, every attempt preceded by a ~1s zero-steal probe, budget ${salvageBudget}s incl. probe sleeps; per-candidate [runs,skipped_steal,improved] in salvage); value=de-noised sum of per-query minima with iter-telemetry queries priced at median-iter x n + non-iter overhead using the BEST run's telemetry, and q39/q70 priced at cold wall minus their one-time build stages when the minimum is still the cold run (all pricing capped at measured best; substitutions in priced), value_wall=same sum unpriced, first_run_sum=sum of first runs, first_runs=per-query first (cold) runs, runs=per-query run counts (1 = single cold sample), load=per-query [loadavg_before,loadavg_after,steal_sec], over_pin=queries ending >1.5x pin after retries+salvage, contended=true when over_pin>=10 and >=10% of surface (box-level interference), budget_exhausted=true when a retry budget drained mid-suite"}"""
     // Stop Spark BEFORE printing so no executor/shutdown logging can
     // interleave with (or follow) the metric line; also persist a copy —
     // the round-1 driver failed to tail-parse stdout (sbt appends
@@ -458,8 +603,9 @@ object Bench {
     // "parsed": null. Print a compact, complete record LAST so the tail
     // always ends with parseable JSON; the per-query map lives in the
     // full line and the committed BENCH_LOCAL.json.
+    val salvImproved = results.count(_.salvageImproved)
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_wall":$totalWall,"first_run_sum":$totalFirst,"budget_exhausted":$budgetExhausted,"pins_active":$pinsActive,"contended":$contended,"over_pin":$overPin,"sf":"$sfDir","failures":$fails,"n_queries":${results.size},"detail":"per-query map in BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_wall":$totalWall,"first_run_sum":$totalFirst,"budget_exhausted":$budgetExhausted,"pins_active":$pinsActive,"contended":$contended,"over_pin":$overPin,"salvage_attempted":${salvageCands.size},"salvage_improved":$salvImproved,"sf":"$sfDir","failures":$fails,"n_queries":${results.size},"detail":"per-query map in BENCH_LOCAL.json"}"""
     println(s"BENCH_JSON_COMPACT: $compact")
   }
 }

@@ -21,9 +21,9 @@ object Verify {
     // ml04's EM checkpointInterval=10 only truncates GraphX lineage
     // when a checkpoint dir exists (r16 verdict #3 — without one the
     // PeriodicGraphCheckpointer silently no-ops and per-iteration time
-    // creeps with the growing task binary)
-    spark.sparkContext.setCheckpointDir(
-      Files.createTempDirectory("graft_ckpt").toString)
+    // creeps with the growing task binary); dir deleted at JVM exit
+    // (r17 verdict #3)
+    spark.sparkContext.setCheckpointDir(TempDirs.deleteOnExit("graft_ckpt"))
     new java.io.File(outDir).mkdirs()
     // optional comma-separated name-prefix filter for local iteration,
     // mirroring Bench (unset → full surface; the driver never sets it).

@@ -385,9 +385,13 @@ object Curation {
       |ORDER BY ids.doc_id""".stripMargin) { (s, d) =>
     // decisions memoized per (application, dir) — the dd16 rationale:
     // one small cached ledger per dir instead of a fresh storage entry
-    // per bench rep
-    dd18Cache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d",
-      decontaminationDelta(s, T.documents(s, d)))
+    // per bench rep. synchronized + LRU-1 eviction via MemoLru (r17
+    // verdict #6 / ADVICE #2 — the sharedParts/st19 discipline): a
+    // concurrent double-build would leak the losing build's cached
+    // ledger, and a new dir for the same app unpersists the previous
+    // dir's frame.
+    graft.MemoLru.getOrBuild(dd18Cache, s.sparkContext.applicationId, d)(
+      _.unpersist())(decontaminationDelta(s, T.documents(s, d)))
   }
 
   private val dd18Cache =

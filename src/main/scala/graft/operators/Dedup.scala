@@ -1062,8 +1062,12 @@ object Dedup {
     // delta doc, but re-running the dataflow per bench rep left a fresh
     // storage entry alive for the JVM each time — exactly the
     // accumulated suite-JVM state the r12 streaming adjudication blamed
-    dd16Cache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d",
-      incrementalBandIndex(s, T.documents(s, d)))
+    // synchronized + LRU-1 eviction via MemoLru (r17 verdict #6 — the
+    // sharedParts/st19 discipline, latent here since r13): a concurrent
+    // double-build would leak the losing build's cached ledger, and a
+    // new dir for the same app unpersists the previous dir's frame.
+    graft.MemoLru.getOrBuild(dd16Cache, s.sparkContext.applicationId, d)(
+      _.unpersist())(incrementalBandIndex(s, T.documents(s, d)))
   }
 
   private val dd16Cache =

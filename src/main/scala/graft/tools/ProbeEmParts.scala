@@ -27,7 +27,7 @@ object ProbeEmParts {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+      graft.TempDirs.deleteOnExit("graft_ckpt"))
 
     val tokens = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("tokens"))
@@ -39,9 +39,12 @@ object ProbeEmParts {
           algorithm = "em", seed = 42L), Some(p))
       val wall = (System.nanoTime() - t0) / 1e9
       val iters = graft.ml.LdaPipeline.emIterationTimes(fitted).getOrElse(Seq.empty)
+      // r17 ADVICE #5: empty telemetry (accessor miss) must report the
+      // partition point, not crash the sweep mid-run
+      val medianIter =
+        if (iters.nonEmpty) iters.sorted.apply(iters.size / 2) else Double.NaN
       println(f"[em-parts] dir=$sfDir parts=$p%2d wall=$wall%7.1f s " +
-        f"iterSum=${iters.sum}%6.1f s medianIter=${
-          iters.sorted.apply(iters.size / 2)}%5.2f s")
+        f"iterSum=${iters.sum}%6.1f s medianIter=$medianIter%5.2f s")
       fitted.release()
     }
     spark.stop()

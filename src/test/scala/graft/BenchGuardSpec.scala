@@ -124,6 +124,52 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.contendedFlag(91, 179, pinsActive = false))
   }
 
+  test("one-time build stages are priced out of a cold-only minimum (r17 verdict #2)") {
+    val q39 = "q39_bucketed_join"
+    val stages = Some(Seq("build_bucketed_orders" -> 2.5,
+      "build_bucketed_lineitem" -> 6.3))
+    // both build queries are keyed; ml03's per-invocation stats passes
+    // are deliberately NOT (they run every time — nothing one-time to
+    // remove)
+    assert(Bench.buildStageTelemetry.contains(q39) &&
+      Bench.buildStageTelemetry.contains("q70_zorder_clustering") &&
+      !Bench.buildStageTelemetry.contains("ml03_lda_model_stats"))
+    // the r17 contended-pass shape: a single cold 9.1 s sample carrying
+    // a 8.8 s build vs a 0.33 s query pin — priced at the remainder
+    assert(math.abs(Bench.buildPricedValue(q39, 9.1, 9.1, stages) - 0.3) < 1e-9)
+    // clean pass: a warm run holds the minimum (best < first) → the
+    // build is already excluded, pricing must not touch it
+    assert(Bench.buildPricedValue(q39, 9.1, 0.33, stages) == 0.33)
+    // floor at 0: stages can't price a sample negative
+    assert(Bench.buildPricedValue(q39, 5.0, 5.0,
+      Some(Seq("a" -> 9.0))) == 0.0)
+    // missing/empty telemetry → wall passes through
+    assert(Bench.buildPricedValue(q39, 9.1, 9.1, None) == 9.1)
+    assert(Bench.buildPricedValue(q39, 9.1, 9.1, Some(Seq.empty)) == 9.1)
+    // unkeyed queries are never priced, even with telemetry present
+    assert(Bench.buildPricedValue("q01_pricing_summary", 9.1, 9.1, stages) == 9.1)
+  }
+
+  test("salvage gate runs only on an observed-quiet box (r17 verdict #1)") {
+    // zero steal over the ~1 s probe → the attempt may run
+    assert(Bench.salvageGate(0L))
+    // ANY positive steal → skip (a sample taken under visible steal
+    // cannot confirm a pin; it burns the bounded budget blind)
+    assert(!Bench.salvageGate(1L))
+    assert(!Bench.salvageGate(250L))
+    // /proc/stat unavailable (delta sentinel -1) → run: absence of the
+    // counter is not evidence of contention
+    assert(Bench.salvageGate(-1L))
+  }
+
+  test("salvage order is cheapest-pin-first with a deterministic tiebreak") {
+    val cands = Seq("ml04_lda_em_train" -> 29.0, "q22_x" -> 0.11,
+      "dd05_y" -> 0.11, "st14_z" -> 3.7)
+    assert(Bench.salvagePlan(cands).map(_._1) ==
+      Seq("dd05_y", "q22_x", "st14_z", "ml04_lda_em_train"))
+    assert(Bench.salvagePlan(Seq.empty).isEmpty)
+  }
+
   test("pinsActive=false disables every pin-based retry (off-dir audits)") {
     // r14 verdict #2: the >=10x audits compared first runs against
     // sf0.1-calibrated pins — structurally futile retries (~138 s per

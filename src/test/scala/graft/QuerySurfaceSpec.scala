@@ -17,9 +17,9 @@ object TestSpark {
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     // EM LDA's checkpointInterval only truncates lineage when a
-    // checkpoint dir exists (r16 verdict #3) — match Verify/Bench
-    s.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+    // checkpoint dir exists (r16 verdict #3) — match Verify/Bench;
+    // deleted at JVM exit (r17 verdict #3)
+    s.sparkContext.setCheckpointDir(TempDirs.deleteOnExit("graft_ckpt"))
     s
   }
   val sf = "/root/testdata/sf0.001"

@@ -227,13 +227,14 @@ class ToolsSpec extends AnyFunSuite {
     import scala.sys.process._
     val dir = Files.createTempDirectory("graft_merge3")
     val main =
-      """{"metric":"total","value":1.0,"unit":"sec","first_run_sum":1.0,
+      """{"metric":"total","value":1.0,"unit":"sec","value_wall":1.2,"first_run_sum":1.0,
         | "budget_exhausted":false,"queries":{"q1":1.0},
         | "first_runs":{"q1":1.0},"runs":{"q1":1},
         | "load":{"q1":[1.0,2.0,0.5]},"over_pin":2,"contended":false,
         | "sf":"/tmp/sf1","failures":[]}""".stripMargin
     write(dir, "main.json", main)
     write(dir, "st.json", main.replace("\"q1\"", "\"st01\"")
+      .replace(""""value_wall":1.2,""", "") // pre-r17 family artifact: falls back to value
       .replace(""""over_pin":2,"contended":false""",
         """"priced":{"st01":0.9},"over_pin":11,"contended":true"""))
     val cmd = Seq("python3", "tools/merge_bench.py",
@@ -250,6 +251,10 @@ class ToolsSpec extends AnyFunSuite {
     val loadSec = merged.split("\"load\":")(1)
     assert(loadSec.contains("\"q1\"") && loadSec.contains("\"st01\""), merged)
     assert(merged.contains("\"priced\": {\"st01\": 0.9}"), merged)
+    // value_wall is SUMMED like value (r17 ADVICE #1: dict(runs[0]) kept
+    // only the main pass's 1.2); the family artifact predates the field,
+    // so its side falls back to its value (1.0) → 2.2
+    assert(merged.contains("\"value_wall\": 2.2"), merged)
   }
 
   test("merge_bench refuses when --fresh is omitted (r14 ADVICE #1)") {

@@ -62,6 +62,14 @@ for i, r in enumerate(runs[1:], start=1):
     for key in ("queries", "first_runs", "runs", "load", "priced"):
         if key in merged or key in r:
             merged[key] = {**merged.get(key, {}), **r.get(key, {})}
+    # value_wall joined r17 (unpriced sum): older artifacts lack it, in
+    # which case value == value_wall by construction — fall back to
+    # value on BOTH sides so a merged record never covers a fraction of
+    # the surface while the protocol string claims the full unpriced sum
+    # (r17 ADVICE #1: dict(runs[0]) kept only the main pass's value_wall)
+    merged["value_wall"] = (
+        merged.get("value_wall", merged["value"])
+        + r.get("value_wall", r["value"]))
     merged["value"] += r["value"]
     merged["first_run_sum"] += r["first_run_sum"]
     merged["budget_exhausted"] = (
