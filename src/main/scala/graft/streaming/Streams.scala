@@ -1597,7 +1597,210 @@ object Streams {
       .orderBy("vec_id")
   }
 
+  // ---- st21: streaming temporal-frame near-dup admission ----------
+
+  /** Frames of a (doc_id, text) payload frame — mm08's 16-byte frame
+    * model — signed and banded map-only: `nf` (frame count, 0 for
+    * ineligible < 32-byte payloads) is a scalar projection, the frame
+    * unpivot and the 2×16-bit band unpivot are stateless generators
+    * (posexplode_outer so an evidence-free payload still owns a ledger
+    * row — the dd16/dd18 one-row-per-delta-doc contract), and the
+    * fingerprint is the native codegen'd `frame_simhash32` (mm08's
+    * exact per-frame 32-bit majority SimHash, fused — see
+    * [[graft.functions.FrameSimhashUtil.compute]]; the composed
+    * higher-order-function form cost 32 interpreted aggregate()
+    * lambdas per frame). No shuffle anywhere; spec-pinned native ≡
+    * batch explode/groupBy. */
+  private[graft] def st21Framed(docs: DataFrame, id: String): DataFrame = {
+    graft.functions.FrameSimhash.register(docs.sparkSession)
+    val framed = docs.select(
+        col("doc_id").as(id),
+        expr("CASE WHEN length(text) >= 32 THEN " +
+          "CAST(length(text) div 16 AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+          .as("nf"),
+        posexplode_outer(expr(
+          "CASE WHEN length(text) >= 32 THEN " +
+            "transform(sequence(0, CAST(length(text) div 16 AS INT) - 1), " +
+            "i -> substring(text, i * 16 + 1, 16)) " +
+            "ELSE CAST(array() AS array<string>) END")))
+      .withColumnRenamed("pos", "fi")
+      .withColumnRenamed("col", "frame")
+    framed
+      .withColumn("ph", expr("frame_simhash32(frame)"))
+      .drop("frame")
+      .select(col(id), col("nf"), col("fi"), col("ph"),
+        posexplode_outer(when(col("ph").isNotNull, expr(
+          "array(ph & CAST(65535 AS BIGINT), " +
+            "shiftright(ph, 16) & CAST(65535 AS BIGINT))"))))
+      .withColumnRenamed("pos", "k")
+      .withColumnRenamed("col", "band")
+  }
+
+  /** A built st21 standing frame index: `mat` is the PERSISTED pruned
+    * band table (unpersist goes through it), `hinted` is what the
+    * stream joins against (st19's measured broadcast dial). */
+  private[graft] case class St21Index(mat: DataFrame, hinted: DataFrame)
+
+  /** st21's standing corpus frame index (factored so the spec can plant
+    * frame-sharing extremes): every ≥ 32-byte corpus payload's frames
+    * signed with [[framePhExpr]] and banded 2×16 bits. Bands hotter
+    * than max(100, 32·Nf/2^16) — black frames, constant fill, station
+    * logos: ONE hot band links every payload pair that carries it — are
+    * pruned from the standing side before the stream starts (the
+    * st19/mm07 relative cut; Nf is the index frame count, computed as a
+    * cheap narrow aggregate over payload lengths — index metadata at
+    * 100 TB). The framed corpus is cached for the build's two passes
+    * (df stats + prune) and released once the index materializes. */
+  private[graft] def st21StaticIndex(s: SparkSession, docs: DataFrame): St21Index = {
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    // Nf without touching the fingerprint pipeline: frames per eligible
+    // payload are length div 16 by construction
+    val nfRow = corpus.filter(length(col("text")) >= 32)
+      .agg(sum(expr("CAST(length(text) div 16 AS BIGINT)"))).head()
+    val nf = if (nfRow.isNullAt(0)) 0L else nfRow.getLong(0)
+    val corp = st21Framed(T.widened(corpus), "corpus_id")
+      .filter(col("ph").isNotNull)
+      .select(col("corpus_id"), col("ph").as("cph"), col("k"), col("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stop = corp.groupBy("k", "band").agg(count(lit(1)).as("bdf"))
+        .filter(col("bdf") > greatest(lit(100.0), lit(32.0 * nf / 65536.0)))
+        .select("k", "band")
+      val pruned = corp.join(broadcast(stop), Seq("k", "band"), "left_anti")
+      val mat = pruned
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nIdx = mat.count()
+      // measured broadcast dial (st19's r13 ADVICE #4 discipline — not
+      // Catalyst's scan-stats guess): 3 longs + an int + row overhead
+      val hinted = if (nIdx * 48L < (128L << 20)) broadcast(mat) else mat
+      St21Index(mat, hinted)
+    } finally corp.unpersist()
+  }
+
+  private val st21IdxCache =
+    scala.collection.concurrent.TrieMap.empty[String, St21Index]
+
+  /** st21's standing index memoized per (application, dir) — the
+    * MemoLru discipline (one materialized copy per dir, LRU-1). */
+  private[graft] def st21StandingIndex(s: SparkSession, d: String): St21Index =
+    graft.MemoLru.getOrBuild(st21IdxCache, s.sparkContext.applicationId, d)(
+      _.mat.unpersist())(st21StaticIndex(s, T.documents(s, d)))
+
+  /** st21's per-batch ledger over an arbitrary delta frame (factored
+    * for the planted spec and the plan lock): frames left-join the
+    * standing index on (k, band) — left outer so evidence-free payloads
+    * keep their row — twin-verify at Hamming ≤ 6 (mm07's cut on the
+    * frame granularity), then ONE per-payload aggregate. Distinct
+    * twin-frame / corpus-doc counts use collect_set (streaming
+    * aggregation forbids COUNT DISTINCT; sets are bounded by frames per
+    * payload, which is bounded by the payload size at any corpus
+    * scale). A payload more than half of whose frames already exist in
+    * the corpus is temporal boilerplate — rejected. */
+  private[graft] def st21Ledger(delta: DataFrame, index: DataFrame): DataFrame =
+    st21Framed(delta, "doc_id")
+      .join(index, Seq("k", "band"), "left_outer")
+      .withColumn("twin",
+        col("cph").isNotNull &&
+          expr("CAST(bit_count(ph ^ cph) AS INT)") <= 6)
+      .groupBy("doc_id", "nf")
+      .agg(
+        size(collect_set(when(col("twin"), col("fi")))).cast("long")
+          .as("n_twin_frames"),
+        size(collect_set(when(col("twin"), col("corpus_id")))).cast("long")
+          .as("n_corpus_docs"))
+      .select(col("doc_id"), col("nf").as("n_frames"),
+        col("n_twin_frames"), col("n_corpus_docs"))
+      .withColumn("matched_ratio",
+        when(col("n_frames") === 0L, lit(0.0))
+          .otherwise(col("n_twin_frames").cast("double") / col("n_frames")))
+      .withColumn("admitted", col("matched_ratio") < 0.5)
+
+  /** st21 — streaming temporal-frame near-dup ADMISSION: mm08's stream
+    * twin (r17 verdict optional #5), closing the streaming × multimodal
+    * composition the admission matrix still had open — st14 probes a
+    * MinHash text index, st19 a SimHash embedding index, st20 the IVFPQ
+    * index, st21 the corpus FRAME index: each micro-batch payload
+    * (doc_id % 5 = 0 plays the crawl delta) has its 16-byte frames
+    * signed map-only with mm08's exact per-frame 32-bit SimHash and
+    * probed against the standing frame index of the existing corpus —
+    * a delta clip reusing footage that already exists in the corpus is
+    * exactly what a video-curation pipeline must catch BEFORE paying to
+    * embed every frame. Ledger contract is dd16/dd18's: one row per
+    * delta payload with frame/twin/corpus-doc counts, the matched-frame
+    * ratio, and the admitted bit (< half the frames already known). At
+    * 100 TB the frame index is yesterday's bucketed table keyed by
+    * (k, band); the corpus payloads are never re-read. All md5-derived,
+    * so DuckDB re-derives every fingerprint, prune, twin verdict, and
+    * admission bit-exactly. */
+  val st21 = QueryDef.sql("st21_stream_framedup_admission",
+    """WITH fr AS (
+      |  SELECT doc_id, i AS fi, substr(text, CAST(i*16+1 AS INT), 16) AS frame
+      |  FROM (SELECT doc_id, text,
+      |          UNNEST(range(0, CAST(length(text) // 16 AS INT))) AS i
+      |        FROM documents WHERE length(text) >= 32)),
+      |sh AS (SELECT doc_id, fi,
+      |         CAST(('0x' || substr(md5(substr(frame, CAST(j+1 AS INT), 4)), 1, 8)) AS BIGINT) AS f
+      |       FROM fr, generate_series(0, 12) g(j)),
+      |bits AS (SELECT doc_id, fi, b,
+      |           SUM(CASE WHEN (f >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sb
+      |         FROM sh, generate_series(0, 31) gb(b) GROUP BY doc_id, fi, b),
+      |fh AS (SELECT doc_id, fi,
+      |         CAST(SUM(CASE WHEN sb > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS ph
+      |       FROM bits GROUP BY doc_id, fi),
+      |cb AS (SELECT doc_id AS corpus_id, fi, ph, k,
+      |         CASE WHEN k = 0 THEN ph & 65535 ELSE (ph >> 16) & 65535 END AS band
+      |       FROM fh, generate_series(0, 1) gk(k) WHERE doc_id % 5 <> 0),
+      |nfi AS (SELECT COUNT(*) AS n FROM fh WHERE doc_id % 5 <> 0),
+      |stop AS (SELECT k, band FROM
+      |           (SELECT k, band, COUNT(*) AS bdf FROM cb GROUP BY 1, 2) sdf, nfi
+      |         WHERE bdf > GREATEST(100.0, 32.0 * n / 65536.0)),
+      |cbp AS (SELECT cb.* FROM cb WHERE NOT EXISTS
+      |          (SELECT 1 FROM stop WHERE stop.k = cb.k AND stop.band = cb.band)),
+      |db AS (SELECT doc_id, fi, ph, k,
+      |         CASE WHEN k = 0 THEN ph & 65535 ELSE (ph >> 16) & 65535 END AS band
+      |       FROM fh, generate_series(0, 1) gk(k) WHERE doc_id % 5 = 0),
+      |tw AS (SELECT DISTINCT db.doc_id, db.fi, cbp.corpus_id
+      |       FROM db JOIN cbp ON db.k = cbp.k AND db.band = cbp.band
+      |       WHERE bit_count(xor(db.ph, cbp.ph)) <= 6),
+      |led AS (SELECT doc_id, COUNT(DISTINCT fi) AS ntf,
+      |          COUNT(DISTINCT corpus_id) AS ncd
+      |        FROM tw GROUP BY doc_id),
+      |ids AS (SELECT doc_id,
+      |          CASE WHEN length(text) >= 32 THEN CAST(length(text) // 16 AS BIGINT)
+      |               ELSE CAST(0 AS BIGINT) END AS nf
+      |        FROM documents WHERE doc_id % 5 = 0)
+      |SELECT ids.doc_id,
+      |  ids.nf AS n_frames,
+      |  CAST(COALESCE(led.ntf, 0) AS BIGINT) AS n_twin_frames,
+      |  CAST(COALESCE(led.ncd, 0) AS BIGINT) AS n_corpus_docs,
+      |  CASE WHEN ids.nf = 0 THEN 0e0
+      |       ELSE CAST(COALESCE(led.ntf, 0) AS DOUBLE) / ids.nf END AS matched_ratio,
+      |  (CASE WHEN ids.nf = 0 THEN 0e0
+      |        ELSE CAST(COALESCE(led.ntf, 0) AS DOUBLE) / ids.nf END) < 0.5e0 AS admitted
+      |FROM ids LEFT JOIN led ON ids.doc_id = led.doc_id
+      |ORDER BY ids.doc_id""".stripMargin) { (s0, d) =>
+    val s = scopedSession(s0, StreamParts)
+    // standing state, materialized + counted BEFORE the stream starts
+    val idx = st21StandingIndex(s, d)
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val ledger = st21Ledger(stream.filter(col("doc_id") % 5 === 0), idx.hinted)
+    val name = s"st21_sink_${System.nanoTime()}"
+    val q = ledger.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("doc_id"), col("n_frames"), col("n_twin_frames"),
+        col("n_corpus_docs"), col("matched_ratio"), col("admitted"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(st01, st01b, st02, st03, st04, st05, st06, st07, st08, st09, st10,
-      st11, st12, st13, st14, st15, st16, st17, st18, st19, st20)
+      st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21)
 }

@@ -77,6 +77,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"dd18 must equi-join on gram fingerprints:\n$p")
   }
 
+  test("st21: frame ledger broadcasts the standing index; map-only before the join") {
+    // the per-batch shape: the delta's frames are signed+banded by
+    // scalar projections and stateless generators (no Exchange before
+    // the stream-static join), the standing frame index broadcasts
+    // (measured dial), and the only shuffle is the per-payload
+    // aggregate — never a sort-merge or all-pairs shape
+    val idx = streaming.Streams.st21StaticIndex(spark, Tables.documents(spark, sf))
+    try {
+      val led = streaming.Streams.st21Ledger(
+        Tables.documents(spark, sf)
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0),
+        idx.hinted)
+      val p = led.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"standing frame index must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"st21 must not shuffle either join side:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"st21 must equi-join on (k, band):\n$p")
+    } finally idx.mat.unpersist()
+  }
+
   test("q64: AQE splits the skewed join partition at runtime") {
     val kv = operators.Extras.q64SkewConfs
     val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }

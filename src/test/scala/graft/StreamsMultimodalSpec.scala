@@ -225,6 +225,119 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("st21: streamed frame admission equals the batch explode/groupBy form") {
+    // The streaming side signs each 16-byte frame with ONE scalar
+    // expression chain (13 md5 shingle hashes folded by 32 aggregate()
+    // majorities — map-only); this comparator takes mm08's classical
+    // batch route (explode 13 shingles -> groupBy(doc, fi) bit-sum ->
+    // majority pack) over the same frames and rebuilds the whole
+    // ledger with batch COUNT DISTINCT. Agreement proves the scalar
+    // fingerprint IS mm08's, and that the stream-static left join +
+    // collect_set complete-mode aggregate reproduce the batch ledger.
+    val streamed = streaming.Streams.st21.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        java.lang.Double.doubleToLongBits(r.getDouble(4)), r.getBoolean(5)))
+      .toSeq
+    val docs = Tables.documents(spark, sf)
+    val frames = docs.filter(length(col("text")) >= 32)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, CAST(length(text) div 16 AS INT) - 1), " +
+          "i -> substring(text, i*16+1, 16))")))
+      .withColumnRenamed("pos", "fi").withColumnRenamed("col", "frame")
+    val sh = frames.select(col("doc_id"), col("fi"), explode(expr(
+        "transform(sequence(0, 12), j -> substring(frame, j+1, 4))")).as("g"))
+      .select(col("doc_id"), col("fi"),
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("f"))
+    val bitAggs = (0 to 31).map { j =>
+      sum(expr(s"CASE WHEN (shiftright(f, $j) & 1) = 1 THEN 1 ELSE -1 END"))
+        .as(s"sb$j")
+    }
+    val fh = sh.groupBy("doc_id", "fi").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), col("fi"),
+        (0 to 31).map { j =>
+          expr(s"CASE WHEN sb$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) " +
+            s"ELSE CAST(0 AS BIGINT) END")
+        }.reduce(_ + _).as("ph"))
+    def banded(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("fi"), col("ph"),
+        explode(expr("sequence(0, 1)")).as("k"))
+      .withColumn("band", expr(
+        "CASE WHEN k = 0 THEN ph & 65535 ELSE shiftright(ph, 16) & 65535 END"))
+    val nfIdx = fh.filter(col("doc_id") % 5 =!= 0).count()
+    val cb = banded(fh.filter(col("doc_id") % 5 =!= 0))
+      .select(col("doc_id").as("corpus_id"), col("ph").as("cph"),
+        col("k"), col("band"))
+    val stop = cb.groupBy("k", "band").agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") > greatest(lit(100.0), lit(32.0 * nfIdx / 65536.0)))
+      .select("k", "band")
+    val tw = banded(fh.filter(col("doc_id") % 5 === 0))
+      .join(cb.join(stop, Seq("k", "band"), "left_anti"), Seq("k", "band"))
+      .filter(expr("CAST(bit_count(ph ^ cph) AS INT)") <= 6)
+      .select("doc_id", "fi", "corpus_id").distinct()
+    val led = tw.groupBy("doc_id").agg(
+      countDistinct("fi").as("ntf"), countDistinct("corpus_id").as("ncd"))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), expr("CASE WHEN length(text) >= 32 THEN " +
+        "CAST(length(text) div 16 AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .as("nf"))
+      .join(led, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nf"),
+        coalesce(col("ntf"), lit(0L)).as("ntf"),
+        coalesce(col("ncd"), lit(0L)).as("ncd"))
+      .withColumn("ratio", when(col("nf") === 0L, lit(0.0))
+        .otherwise(col("ntf").cast("double") / col("nf")))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        java.lang.Double.doubleToLongBits(r.getDouble(4)),
+        r.getDouble(4) < 0.5)).toSeq
+    assert(streamed.exists(_._3 > 0),
+      "fixture should produce at least one twin frame")
+    assert(streamed == batch)
+  }
+
+  test("st21: planted frame extremes — copy rejected, partial/unrelated/short admitted") {
+    import spark.implicits._
+    def blocks(cs: String): String = cs.map(c => c.toString * 16).mkString
+    // corpus payload 1 owns frames A B C D; delta 5 is a full copy with
+    // the LAST BYTE of every frame perturbed (12-vs-1 shingle majority
+    // -> identical per-frame SimHash: Hamming 0, still a twin); delta
+    // 10 shares one frame of four; delta 15 shares nothing (constant
+    // blocks are >= 9 Hamming apart — verified at authoring); delta 20
+    // is too short to carry frames (evidence-free, admitted)
+    val copy = "ABCD".map(c => c.toString * 15 + "x").mkString
+    val docs = Seq(
+      1L -> blocks("ABCD"),
+      5L -> copy,
+      10L -> blocks("AXYZ"),
+      15L -> blocks("PQRS"),
+      20L -> "tiny"
+    ).toDF("doc_id", "text")
+    val idx = streaming.Streams.st21StaticIndex(spark, docs)
+    try {
+      val led = streaming.Streams
+        .st21Ledger(docs.filter(col("doc_id") % 5 === 0), idx.hinted)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(led.keySet == Set(5L, 10L, 15L, 20L))
+      val full = led(5L)
+      assert(full.getAs[Long]("n_frames") == 4L &&
+        full.getAs[Long]("n_twin_frames") == 4L &&
+        full.getAs[Long]("n_corpus_docs") == 1L &&
+        !full.getAs[Boolean]("admitted"), s"full copy must be rejected: $full")
+      val part = led(10L)
+      assert(part.getAs[Long]("n_twin_frames") == 1L &&
+        part.getAs[Double]("matched_ratio") == 0.25 &&
+        part.getAs[Boolean]("admitted"), s"partial overlap admits: $part")
+      val none = led(15L)
+      assert(none.getAs[Long]("n_twin_frames") == 0L &&
+        none.getAs[Boolean]("admitted"), s"unrelated admits clean: $none")
+      val short = led(20L)
+      assert(short.getAs[Long]("n_frames") == 0L &&
+        short.getAs[Long]("n_twin_frames") == 0L &&
+        short.getAs[Boolean]("admitted"), s"short doc is evidence-free: $short")
+    } finally idx.mat.unpersist()
+  }
+
   test("st19: streamed SimHash admission equals the batch banded form") {
     // The streaming side signs each vector with the 2·r-plane scalar
     // expression and probes the static band index per micro-batch; this
