@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatDot, FloatL2, FloatSq8, FrameSimhash, PolyHash, SimHashSig, TopKIds, TopKVals}
+import graft.functions.{FloatDot, FloatL2, FloatSq8, FrameSimhash, PerceptualHash, PolyHash, SimHashSig, TopKIds, TopKVals}
 
 /** SparkSessionExtensions entry point — the idiomatic deployment path
   * for this engine's native expressions: users add
@@ -51,5 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("frame_simhash32"),
       new ExpressionInfo(classOf[FrameSimhash].getName, "frame_simhash32"),
       (children: Seq[Expression]) => FrameSimhash(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("perceptual_hash120"),
+      new ExpressionInfo(classOf[PerceptualHash].getName, "perceptual_hash120"),
+      (children: Seq[Expression]) => PerceptualHash(children.head)))
   }
 }

@@ -548,50 +548,26 @@ object Multimodal {
   private[graft] def perceptualHashBanded(
       eligible: DataFrame, r: Int): (DataFrame, DataFrame) = {
     val wide = r > 15
-    // tile fingerprints: compute-dense md5 kernel over a possibly
-    // single-file scan — widened (guarded no-op at real scale)
-    val tiles = T.widened(eligible)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, CAST(length(text) div 16 AS INT) - 1), " +
-          "i -> substring(text, i*16+1, 16))")).as("tile"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("tile")), 1, 15), 16, 10).cast("long").as("h"))
-      .distinct()
-    // 60-bit tile feature (r14 verdict #1): the LOW 32 bits are the
-    // legacy feature (md5 hex 1..8) so the small-N band layout and the
-    // reported Hamming window stay bit-identical to the fixed-band era;
-    // hex 9..15 stack 28 more bits on top so the adaptive layout
-    // (4 bands × r ≤ 15 bits = 60) has room to widen with the corpus.
-    // In wide mode hex 16..30 mint a SECOND 60-bit feature word from
-    // the same md5 call — the 120-bit fingerprint the 4 × 30-bit lane
-    // layout bands over.
-    val md = tiles.withColumn("md", md5(col("h").cast("string")))
-    val th0 = md.withColumn("f",
-      (conv(substring(col("md"), 9, 7), 16, 10)
-        .cast("long") * lit(4294967296L)) +
-        conv(substring(col("md"), 1, 8), 16, 10).cast("long"))
-    val th = if (!wide) th0 else th0.withColumn("f2",
-      (conv(substring(col("md"), 24, 7), 16, 10)
-        .cast("long") * lit(4294967296L)) +
-        conv(substring(col("md"), 16, 8), 16, 10).cast("long"))
-    // all bit-sums in ONE groupBy pass (the dd04 shape — the
-    // explode(sequence(0,59)) form shuffles the tile table ×60)
-    val bitAggs = (0 to 59).map { j =>
-      sum(expr(s"CASE WHEN (shiftright(f, $j) & 1) = 1 THEN 1 ELSE -1 END"))
-        .as(s"sb$j")
-    } ++ (if (!wide) Nil else (0 to 59).map { j =>
-      sum(expr(s"CASE WHEN (shiftright(f2, $j) & 1) = 1 THEN 1 ELSE -1 END"))
-        .as(s"sc$j")
-    })
-    def packed(pfx: String): org.apache.spark.sql.Column =
-      (0 to 59).map { j =>
-        expr(s"CASE WHEN $pfx$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) " +
-          s"ELSE CAST(0 AS BIGINT) END")
-      }.reduce(_ + _)
-    val phCols = col("doc_id") +: (packed("sb").as("ph") +:
-      (if (!wide) Nil else Seq(packed("sc").as("ph_hi"))))
-    val hash = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-      .select(phCols: _*)
+    // the whole tile → distinct → md5-feature → bit-majority chain is
+    // ONE native codegen'd call per payload (r18,
+    // graft.functions.PerceptualHashUtil — bit-identical to the
+    // exploded SQL form it fuses, the formula every mm07/dd17/sp12
+    // oracle still re-derives): the composed form paid two corpus-wide
+    // exchanges per build — explode tiles → (doc_id, h) DISTINCT, then
+    // a per-doc groupBy with 60/120 bit-sum aggregates. The per-doc
+    // tile set is bounded by the payload size, so the hash build is
+    // embarrassingly parallel; still widened (guarded no-op at real
+    // scale) because the kernel is compute-dense over a possibly
+    // single-file scan. The 60-bit feature layout (r14 verdict #1 low
+    // 32 legacy bits + 28 stacked; wide mode's second word from the
+    // same md5) is documented at the kernel.
+    graft.functions.PerceptualHash.register(eligible.sparkSession)
+    val signed = T.widened(eligible)
+      .select(col("doc_id"), expr("perceptual_hash120(text)").as("pw"))
+    val hash =
+      if (!wide) signed.select(col("doc_id"), col("pw")(0).as("ph"))
+      else signed.select(col("doc_id"), col("pw")(0).as("ph"),
+        col("pw")(1).as("ph_hi"))
     (hash, bandPerceptual(hash, r))
   }
 
@@ -813,22 +789,17 @@ object Multimodal {
     // per-frame 32-bit SimHash over the frame's 13 character 4-grams:
     // md5 of the whole frame would destroy locality (one changed byte →
     // ~16 Hamming bits); shingle-level SimHash keeps near-identical
-    // frames within a few bits — the property the delta thresholds need
-    val sh = frames
-      .select(col("doc_id"), col("fi"), explode(expr(
-        "transform(sequence(0, 12), j -> substring(frame, j+1, 4))")).as("g"))
-      .select(col("doc_id"), col("fi"),
-        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("f"))
-    val bitAggs = (0 to 31).map { j =>
-      sum(expr(s"CASE WHEN (shiftright(f, $j) & 1) = 1 THEN 1 ELSE -1 END"))
-        .as(s"sb$j")
-    }
-    val fh = sh.groupBy("doc_id", "fi").agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"), col("fi"),
-        (0 to 31).map { j =>
-          expr(s"CASE WHEN sb$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) " +
-            s"ELSE CAST(0 AS BIGINT) END")
-        }.reduce(_ + _).as("ph"))
+    // frames within a few bits — the property the delta thresholds need.
+    // Computed by the native codegen'd frame_simhash32 kernel (r18 —
+    // st21's stream-signing function, shared): the old explode +
+    // groupBy(doc, fi) form materialized 13 shingle ROWS per frame and
+    // paid a corpus-wide (doc, fi) exchange for the 32 bit-sums; the
+    // fused kernel is one map-side call per frame, bit-identical
+    // (st21's spec pins native ≡ the exploded SQL route; the DuckDB
+    // oracle below still re-derives via the exploded formula).
+    graft.functions.FrameSimhash.register(s)
+    val fh = frames.select(col("doc_id"), col("fi"),
+      expr("frame_simhash32(frame)").as("ph"))
     // consecutive-frame Hamming deltas: windows are PARTITIONED BY
     // doc_id (frames per payload are bounded by the payload size, so
     // no partition can outgrow an executor at any corpus scale). The

@@ -296,6 +296,47 @@ class StreamsMultimodalSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("perceptual_hash120: native kernel equals the composed explode/groupBy form") {
+    // r18: the tile -> distinct -> md5-feature -> bit-majority chain is
+    // one native call per payload; this comparator is the pre-r18
+    // composed dataflow verbatim (two exchanges), run in WIDE mode so
+    // BOTH fingerprint words are pinned. Agreement on every doc proves
+    // the fused kernel is bit-identical — the same formula every
+    // mm07/dd17/sp12 oracle re-derives in DuckDB.
+    val eligible = Tables.documents(spark, sf).filter(length(col("text")) >= 16)
+    val (hash, _) = multimodal.Multimodal.perceptualHashBanded(eligible, 20)
+    val native = hash.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val tiles = eligible
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, CAST(length(text) div 16 AS INT) - 1), " +
+          "i -> substring(text, i*16+1, 16))")).as("tile"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tile")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val th = tiles.withColumn("md", md5(col("h").cast("string")))
+      .withColumn("f",
+        (conv(substring(col("md"), 9, 7), 16, 10).cast("long") * lit(4294967296L)) +
+          conv(substring(col("md"), 1, 8), 16, 10).cast("long"))
+      .withColumn("f2",
+        (conv(substring(col("md"), 24, 7), 16, 10).cast("long") * lit(4294967296L)) +
+          conv(substring(col("md"), 16, 8), 16, 10).cast("long"))
+    val bitAggs = (0 to 59).map { j =>
+      sum(expr(s"CASE WHEN (shiftright(f, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"sb$j")
+    } ++ (0 to 59).map { j =>
+      sum(expr(s"CASE WHEN (shiftright(f2, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"sc$j")
+    }
+    def packed(pfx: String) = (0 to 59).map { j =>
+      expr(s"CASE WHEN $pfx$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) " +
+        s"ELSE CAST(0 AS BIGINT) END")
+    }.reduce(_ + _)
+    val composed = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), packed("sb").as("ph"), packed("sc").as("ph_hi"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(native.nonEmpty && native == composed)
+  }
+
   test("st21: planted frame extremes — copy rejected, partial/unrelated/short admitted") {
     import spark.implicits._
     def blocks(cs: String): String = cs.map(c => c.toString * 16).mkString

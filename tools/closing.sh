@@ -90,6 +90,34 @@ print(f"sf3 dd/ss: {len(d['queries'])} queries, {len(d['failures'])} failures, "
       f"first-run sum {d['first_run_sum']:.1f}s (/tmp/closing_sf3.json)")
 assert not d["failures"], f"sf3 audit failures: {d['failures']}"
 PY
+  echo "== 6. sf3 FULL-surface audit (30x, r17 verdict #4) =="
+  # all tables at 30x sf0.1 via the parameterized sf1 generator (mult=3)
+  # so the 0.1/1/3 scale curve sits on identical distributions; st
+  # family in its own JVM like the sf1 audit, merged into the committed
+  # artifact
+  [ -d /tmp/sf3full ] || python3 tools/gen_sf1.py /tmp/sf3full 3
+  SPARK_GRAFT_EXCLUDE=st SPARK_GRAFT_SF_DIR=/tmp/sf3full SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_BENCH_REPS=1 \
+    sbt -batch 'runMain graft.Bench' > /tmp/closing_sf3full_main.log 2>/dev/null
+  grep '^BENCH_JSON: ' /tmp/closing_sf3full_main.log | tail -1 \
+    | sed 's/^BENCH_JSON: //' > /tmp/closing_sf3full_main.json
+  SPARK_GRAFT_ONLY=st SPARK_GRAFT_SF_DIR=/tmp/sf3full SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_BENCH_REPS=1 \
+    sbt -batch 'runMain graft.Bench' > /tmp/closing_sf3full_st.log 2>/dev/null
+  grep '^BENCH_JSON: ' /tmp/closing_sf3full_st.log | tail -1 \
+    | sed 's/^BENCH_JSON: //' > /tmp/closing_sf3full_st.json
+  python3 tools/merge_bench.py /tmp/closing_sf3full_main.json \
+    /tmp/closing_sf3full_st.json --fresh st > BENCH_SF3_LOCAL.json
+  python3 - <<'PY'
+import json
+d = json.load(open("BENCH_SF3_LOCAL.json"))
+st = sum(v for k, v in d["queries"].items() if k.startswith("st"))
+print(f"sf3 full: {len(d['queries'])} queries, {len(d['failures'])} failures, "
+      f"total {d['value']:.1f}s (first {d['first_run_sum']:.1f}s; "
+      f"st family {st:.1f}s in its own JVM)")
+assert not d["failures"], f"sf3 audit failures: {d['failures']}"
+assert d.get("fresh_jvm_families") == ["st"], "merge marker missing"
+PY
 fi
 
 echo "== closing protocol complete =="

@@ -16,7 +16,13 @@ measures: Spark-vs-DuckDB agreement and bench scaling on the SAME
 data — fixture fidelity to the driver's rows is neither possible nor
 needed. Deterministic: numpy seed 42.
 
-Usage: python3 tools/gen_sf1.py [outdir=/tmp/sf1]
+Usage: python3 tools/gen_sf1.py [outdir=/tmp/sf1] [mult=1]
+
+`mult` multiplies every generated row count (r17 verdict #4: the full-
+surface sf3 audit needs ALL tables at 30x sf0.1, i.e. mult=3 — one
+generator keeps the sf1 and sf3 points on identical distributions so
+the 0.1/1/3 scale curve is apples-to-apples). mult=1 reproduces the
+historical sf1 fixture byte-for-byte (same seed, same rng call order).
 """
 import sys
 import shutil
@@ -25,8 +31,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+MULT = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 SRC = "/root/testdata/sf0.1"
-SCALE = 10
+SCALE = 10 * MULT
 rng = np.random.RandomState(42)
 
 import os
@@ -41,9 +48,9 @@ for t in ("region", "nation"):
     shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
     print(f"{t}: copied")
 
-N_CUST, N_SUPP, N_PART = 150_000, 10_000, 200_000
-N_ORD, N_EVT = 1_500_000, 1_000_000
-N_DOC, N_EMB = 50_000, 20_000
+N_CUST, N_SUPP, N_PART = 150_000 * MULT, 10_000 * MULT, 200_000 * MULT
+N_ORD, N_EVT = 1_500_000 * MULT, 1_000_000 * MULT
+N_DOC, N_EMB = 50_000 * MULT, 20_000 * MULT
 
 # ---- customer / supplier / part --------------------------------------
 seg = np.array(["MACHINERY", "BUILDING", "FURNITURE", "AUTOMOBILE", "HOUSEHOLD"])
