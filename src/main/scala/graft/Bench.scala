@@ -177,6 +177,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // scan-split parallelism (r18, guide §2.2/§6.1): the default
+      // openCostInBytes=4m FLOORS the split size at 4 MB, so a
+      // single-file sf fixture scans with ≤3 tasks on a 32-core box
+      // and every scan-bound stage runs ~10× under-parallel (measured:
+      // q01 −18%, gr01 −41% with 64k). With a small open cost the
+      // split size falls back to totalBytes/defaultParallelism — scan
+      // parallelism TRACKS the core count (scale-adaptive, §2.5). At
+      // cluster scale bytesPerCore ≫ maxPartitionBytes, so the 128 MB
+      // cap governs and this knob is inert; for many-tiny-files
+      // ingest layouts raise it back via the env override.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "65536"))
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")

@@ -15,9 +15,41 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Parquet schema memo — the catalog pattern (guide §5: the driver
+    * should do almost no data work). A bare `spark.read.parquet(path)`
+    * infers the schema by reading footers through a Spark JOB: measured
+    * 130–300 ms of driver+scheduler latency per call at sf0.1, paid by
+    * EVERY query invocation (multi-table queries several times over —
+    * constructing just the lazy q/ta/tf surface cost 47 s of pure
+    * metadata re-reads per bench pass). Supplying the schema skips the
+    * inference job (~10 ms). The memo caches ONLY input metadata of an
+    * immutable fixture file — never results — and the key carries the
+    * file's (mtime, size) so a rewritten file can never serve a stale
+    * schema; at 100 TB this is exactly what reading through a metastore
+    * catalog does instead of per-query footer inference. Keyed by
+    * applicationId like every other memo (fresh JVM → fresh cache). */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+
+  private[graft] def fileSchema(
+      s: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    val stamp = try {
+      val a = java.nio.file.Files.readAttributes(
+        java.nio.file.Paths.get(path),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"${a.lastModifiedTime.toMillis}|${a.size}"
+    } catch { case _: Throwable => "nofile" }
+    schemaCache.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}|$path|$stamp",
+      s.read.parquet(path).schema)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else {
+      val p = s"$dir/$name.parquet"
+      spark.read.schema(fileSchema(spark, p)).parquet(p)
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -40,8 +72,9 @@ object Tables {
     *     hashes match the nanos-era output bit-for-bit);
     *   - TimestampType → pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
-    val raw = s.read.parquet(s"$d/events.parquet")
-    raw.withColumn("ts", eventsTsCol(raw.schema))
+    val schema = fileSchema(s, s"$d/events.parquet")
+    val raw = s.read.schema(schema).parquet(s"$d/events.parquet")
+    raw.withColumn("ts", eventsTsCol(schema))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
@@ -64,7 +97,7 @@ object Tables {
     * every streaming operator sees the identical contract
     * (ts: TimestampType) regardless of the fixture's physical encoding. */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val rawSchema = fileSchema(s, s"$d/events.parquet")
     s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .withColumn("ts", eventsTsCol(rawSchema))

@@ -36,8 +36,13 @@ object Extras {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin) { (s, d) =>
     val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
-    T.documents(s, d).write.mode("overwrite").json(tmp)
-    s.read.json(tmp)
+    val docs = T.documents(s, d)
+    docs.write.mode("overwrite").json(tmp)
+    // supply the schema (q59/q48's existing pattern): a schemaless JSON
+    // read INFERS by scanning all the data once before the real read —
+    // a full extra pass per run (r18; value loss in the writer/reader
+    // still breaks the oracle hash, which compares the values)
+    s.read.schema(docs.schema).json(tmp)
       .groupBy("lang")
       .agg(count(lit(1)).as("n"),
         countDistinct(md5(col("text"))).as("n_unique"),

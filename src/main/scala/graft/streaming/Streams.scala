@@ -629,7 +629,7 @@ object Streams {
     val inDir = stageLateReplay(s, d)
     // staged files are written from the adaptive loader: ts is already
     // a normalized TimestampType column
-    val schema = s.read.parquet(inDir).schema
+    val schema = graft.Tables.fileSchema(s, inDir)
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
@@ -844,7 +844,7 @@ object Streams {
     val s = scopedSession(s0, StreamParts)
     val inDir = stageLateReplay(s, d)
     val outDir = java.nio.file.Files.createTempDirectory("graft_st09").toString
-    val schema = s.read.parquet(inDir).schema
+    val schema = graft.Tables.fileSchema(s, inDir)
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     val q = stream.writeStream
@@ -854,7 +854,10 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.read.parquet(outDir)
+    // the landed table's schema IS the stream's schema — supplying it
+    // skips a footer-inference job over the just-written files (r18;
+    // the memo can't help here, outDir is fresh per invocation)
+    s.read.schema(schema).parquet(outDir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy("event_type")
@@ -1008,7 +1011,7 @@ object Streams {
       .agg(count(lit(1)).as("bdf")).filter(col("bdf") > 100)
       .select("i", "m")
     val corpusIndex = corpusIndex0.join(broadcast(stop14), Seq("i", "m"), "left_anti")
-    val batchSchema = s.read.parquet(s"$d/documents.parquet").schema
+    val batchSchema = graft.Tables.fileSchema(s, s"$d/documents.parquet")
     val stream = s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
     val admitted = scalarSignatures(stream.filter(col("doc_id") % 5 === 0))
@@ -1517,7 +1520,7 @@ object Streams {
     Sim.regDot(s)
     val idx = st19StandingIndex(s, d)
     val (corpIdx, r19) = (idx.hinted, idx.r)
-    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val schema = graft.Tables.fileSchema(s, s"$d/embeddings.parquet")
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(d)
     val admitted = st19Banded(stream.filter(col("vec_id") % 5 === 0), r19,
@@ -1578,7 +1581,7 @@ object Streams {
     // yesterday's bucketed table, standing state the micro-batches
     // probe, not per-query work
     val index = Sim.standingIvfpqIndex(s, d)
-    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val schema = graft.Tables.fileSchema(s, s"$d/embeddings.parquet")
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(d)
     val admitted = Sim.ivfCellAdmission(
@@ -1782,7 +1785,7 @@ object Streams {
     val s = scopedSession(s0, StreamParts)
     // standing state, materialized + counted BEFORE the stream starts
     val idx = st21StandingIndex(s, d)
-    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val schema = graft.Tables.fileSchema(s, s"$d/documents.parquet")
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
     val ledger = st21Ledger(stream.filter(col("doc_id") % 5 === 0), idx.hinted)

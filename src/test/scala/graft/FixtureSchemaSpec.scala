@@ -74,4 +74,32 @@ class FixtureSchemaSpec extends AnyFunSuite {
     val ts = Tables.events(spark, sf).schema("ts").dataType
     assert(ts == TimestampType, s"events.ts must load as TimestampType, got $ts")
   }
+
+  test("fileSchema memo: equals fresh inference, and a rewrite invalidates it") {
+    // r18 optimization: Tables.load supplies the schema from a memo
+    // instead of paying a footer-inference Spark job per construction
+    // (measured 130-300 ms/load). The memo must (a) return exactly what
+    // inference returns, (b) never serve a stale schema after the file
+    // changes — the key carries (mtime, size).
+    for (name <- Tables.all) {
+      val p = s"$sf/$name.parquet"
+      assert(Tables.fileSchema(spark, p) == spark.read.parquet(p).schema,
+        s"$name: memoized schema differs from fresh inference")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_schema_memo")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "s").write.mode("overwrite").parquet(p)
+    val s1 = Tables.fileSchema(spark, p)
+    assert(s1.fieldNames.toSeq == Seq("id", "s"))
+    // rewrite with a DIFFERENT schema and a different mtime/size
+    Seq((2L, 3.0, true)).toDF("id", "d", "b").write.mode("overwrite").parquet(p)
+    // parquet dir mtime may have second granularity on some filesystems;
+    // force a distinct stamp
+    val f = new java.io.File(p)
+    f.setLastModified(f.lastModified() + 2000)
+    val s2 = Tables.fileSchema(spark, p)
+    assert(s2.fieldNames.toSeq == Seq("id", "d", "b"),
+      s"stale schema served after rewrite: $s2")
+  }
 }
