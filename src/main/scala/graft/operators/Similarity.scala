@@ -1413,18 +1413,27 @@ object Similarity {
     val (cand, aligned0) = marginAnnFromAssign(s, aAsg, bAsg)
     val aligned = aligned0.cache()
     try {
-      val e = T.embeddings(s, d)
-      val nA = e.filter(col("label") === 0).count()
-      val nB = e.filter(col("label") === 1).count()
-      val nOut = aligned.count()
+      // side sizes from the CACHED assignment frames (one row per
+      // vector by construction) — the former embeddings.filter.count()
+      // pair re-scanned the parquet twice for numbers the cache already
+      // holds, and counting here also materializes the caches exactly
+      // where every later audit pass wants them warm (r18, guide §1.2)
+      val nA = aAsg.count()
+      val nB = bAsg.count()
       val nPairs = cand.count()
-      // ±Infinity is possible if the top-4 normalizer (ka+kb) sums to ~0
-      // (negative cosines cancelling in a sparse cell) — isNaN alone
-      // would pass it, violating the oracle's "finite" intent
-      val badMargin = aligned
-        .filter(col("margin").isNull || col("margin").isNaN ||
+      // one fused pass over the cached alignment instead of a count()
+      // plus a separate filter().count() (r18). ±Infinity is possible if
+      // the top-4 normalizer (ka+kb) sums to ~0 (negative cosines
+      // cancelling in a sparse cell) — isNaN alone would pass it,
+      // violating the oracle's "finite" intent
+      val statsRow = aligned.agg(
+        count(lit(1)).as("n_out"),
+        sum(when(col("margin").isNull || col("margin").isNaN ||
           col("margin") === Double.PositiveInfinity ||
-          col("margin") === Double.NegativeInfinity).count()
+          col("margin") === Double.NegativeInfinity, 1L).otherwise(0L))
+          .as("bad")).head()
+      val nOut = statsRow.getLong(0)
+      val badMargin = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
       // Recall audit universe: the exact miner is |A|·|B| dot products
       // plus windows over the full cross product — the verification
       // harness, not the production path, and the ONLY quadratic left in
