@@ -106,26 +106,118 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Row-group counts of the parquet files feeding `df`'s plan — the
+    * TRUE upper bound on scan-row parallelism. A parquet row group is
+    * indivisible: no matter how many byte splits the scan is cut into,
+    * every row of a group lands in the ONE task whose split holds the
+    * group's offset. The sf fixtures are one row group per file (and
+    * gen_sf1.py's legs a handful), so counting splits wildly
+    * over-estimates realized parallelism — after the r18 openCost
+    * change lineitem "scans with 32 tasks", but 31 of them carry zero
+    * rows. Footer-only read, memoized per (appId, path, mtime, size)
+    * exactly like [[fileSchema]] (input METADATA of an immutable file,
+    * never results; a rewrite is a guaranteed miss). */
+  private val rowGroupCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  private[graft] def fileRowGroups(s: SparkSession, path: String): Int = {
+    val stamp = try {
+      val a = java.nio.file.Files.readAttributes(
+        java.nio.file.Paths.get(path.stripPrefix("file:")),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"${a.lastModifiedTime.toMillis}|${a.size}"
+    } catch { case _: Throwable => "nofile" }
+    rowGroupCache.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}|$path|$stamp", {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path),
+          s.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size() finally r.close()
+      })
+  }
+
+  /** Σ row groups over every parquet file scanned by `df`'s plan, or
+    * None when the bound does not apply: a non-file source (in-memory
+    * relations, streaming), or any width-changing node between scan and
+    * top (joins, aggregates, repartitions — after an exchange the
+    * physical partition count IS the realized parallelism, and looking
+    * through it to the source would re-widen an already-wide frame).
+    * Callers fall back to the split count then. */
+  private def planRowGroups(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val narrow = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => Some(l.relation)
+      case _: Project | _: Filter | _: Generate | _: Expand |
+           _: SubqueryAlias | _: LocalLimit | _: GlobalLimit => None
+      case _ => Some(null) // width-changing node: bound does not apply
+    }
+    val rels = narrow.flatten
+    if (rels.contains(null)) None
+    else {
+      val fileRels = rels.collect { case f: HadoopFsRelation => f }
+      if (fileRels.isEmpty || fileRels.size != rels.size) None
+      else Some(fileRels.flatMap(_.location.inputFiles)
+        .filter(_.endsWith(".parquet"))
+        .map(fileRowGroups(df.sparkSession, _)).sum)
+    }
+  }
+
   /** Widen a NARROW scan before a CPU-dense per-row kernel (md5 n-gram
-    * hashing, MinHash signatures): file-split sizing targets IO — a
-    * 50 MB single-file corpus is one 128 MB split, i.e. ONE task — so a
-    * compute-bound map over it runs single-threaded no matter how many
-    * cores the executor has (measured: the whole sf1 st14 signature
-    * pass on one core). Repartitions ONLY when the scan's task count is
-    * under half the cores: at real scale a 100 TB table already scans
-    * with thousands of splits, and this helper inserts NO shuffle
+    * hashing, MinHash signatures): a parquet row group is indivisible,
+    * so a single-row-group corpus file feeds every row to ONE task and
+    * a compute-bound map over it runs single-threaded no matter how
+    * many cores the executor has (measured: the whole sf1 st14
+    * signature pass on one core; q01's fused 8-way decimal agg 3.0 s
+    * single-task vs 0.9 s widened). Repartitions ONLY when the scan's
+    * realized parallelism — min(splits, Σ source row groups), NOT the
+    * split count, which openCost sizing inflates with empty splits —
+    * is under half the cores: at real scale a 100 TB table carries
+    * thousands of row groups, and this helper inserts NO shuffle
     * there — the guard is what keeps the local fix from becoming an
     * at-scale full-corpus round trip. */
-  def widened(df: DataFrame): DataFrame = {
+  def widened(df: DataFrame, minBytes: Long = 2L << 20): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // size floor: below ~2 MB of scan input the repartition itself costs
     // more than the single-task kernel it parallelizes (the r9 pin guard
     // caught exactly this: dd04/dd10/dd13 +0.5 s at sf0.1 for kernels
     // that finish in 0.3 s) — widen only when there is real work to
-    // spread AND the scan is narrower than half the cores
+    // spread AND the scan is narrower than half the cores. Call sites
+    // whose kernel cost per input byte is MEASURED to dwarf the
+    // repartition (md5 shingle chains, vector codebook encodes) pass
+    // [[DenseKernelFloor]]: work density, not input bytes, is what the
+    // floor is a proxy for, and the 2 MB default mis-sizes kernels that
+    // do thousands of hash ops per row (dd02's shingle build: 13.4 s
+    // single-task vs ~3 s widened over a 0.6 MB corpus file).
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes >= (2L << 20) && df.rdd.getNumPartitions * 2 <= target)
+    val splits = df.rdd.getNumPartitions
+    val realized = planRowGroups(df).fold(splits)(math.min(_, splits))
+    if (bytes >= minBytes && realized * 2 <= target)
       df.repartition(target)
+    else df
+  }
+
+  /** Size floor for [[widened]] at compute-DENSE call sites (per-row
+    * kernels measured ≫ repartition cost): skips only the tiny
+    * correctness-scale fixtures (sf0.001/sf0.01), where there is no
+    * work worth spreading. */
+  val DenseKernelFloor: Long = 256L << 10
+
+  /** [[widened]] distributing by HASH of `keys` instead of round-robin.
+    * Keyless repartition pays sortBeforeRepartition's local sort of the
+    * ENTIRE input inside the (single) upstream task — for a wide row
+    * that sort can cost more than the parallelism buys (measured: q53's
+    * 16-column ORC rewrite regressed +0.3 s round-robin-widened). Hash
+    * distribution on a near-unique key spreads rows with no sort. Same
+    * realized-parallelism guard: no-op at real scale. */
+  def widenedBy(df: DataFrame, minBytes: Long, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val splits = df.rdd.getNumPartitions
+    val realized = planRowGroups(df).fold(splits)(math.min(_, splits))
+    if (bytes >= minBytes && realized * 2 <= target)
+      df.repartition(target, keys: _*)
     else df
   }
 

@@ -58,7 +58,13 @@ object LdaPipeline {
   private[graft] def trainWithPartitions(
       spark: SparkSession, tokens: DataFrame, params: Params,
       partitionOverride: Option[Int]): Fitted = {
-    val nonEmpty = tokens.filter(size(col("tokens")) > 0) // P7
+    // widened (guide §2.5): the TF·IDF prep (explode + count partial
+    // aggs, count-vector build) otherwise fuses into the corpus scan
+    // task — one task for a single-row-group corpus file. Counts and
+    // vectors are exact per doc_id, so the prep result is
+    // partition-independent; fit oracles are invariant-booleans.
+    val widened = graft.Tables.widened(tokens, graft.Tables.DenseKernelFloor)
+    val nonEmpty = widened.filter(size(col("tokens")) > 0) // P7
     val counts = Vectorize.wordCounts(nonEmpty)
     val vocab = Vectorize.buildVocab(counts, params.vocabSize)
     val tf = Vectorize.countVectors(nonEmpty, vocab)

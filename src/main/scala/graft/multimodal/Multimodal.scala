@@ -562,7 +562,7 @@ object Multimodal {
     // 32 legacy bits + 28 stacked; wide mode's second word from the
     // same md5) is documented at the kernel.
     graft.functions.PerceptualHash.register(eligible.sparkSession)
-    val signed = T.widened(eligible)
+    val signed = T.widened(eligible, graft.Tables.DenseKernelFloor)
       .select(col("doc_id"), expr("perceptual_hash120(text)").as("pw"))
     val hash =
       if (!wide) signed.select(col("doc_id"), col("pw")(0).as("ph"))
@@ -780,7 +780,7 @@ object Multimodal {
     val eligible = docs.filter(length(col("text")) >= 32)
     // frames IN ORDER (vs mm07's order-free tile SET): posexplode keeps
     // the frame index the temporal deltas are defined over
-    val frames = T.widened(eligible)
+    val frames = T.widened(eligible, graft.Tables.DenseKernelFloor)
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, CAST(length(text) div 16 AS INT) - 1), " +
           "i -> substring(text, i*16+1, 16))")))

@@ -77,7 +77,7 @@ object Curation {
       |  (max_rep * 1e0) / n_grams > 0.05e0 AS is_repetitive
       |FROM p
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val grams = T.widened(T.documents(s, d))
+    val grams = T.widened(T.documents(s, d), T.DenseKernelFloor)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(
@@ -302,9 +302,9 @@ object Curation {
     // matches; both countDistinct outputs are unchanged by the dedup)
     graft.functions.ShingleHashes.register(s)
     val withB = bucketed(T.documents(s, d))
-    val ev = gram8(T.widened(withB.filter(col("b") >= 95)))
+    val ev = gram8(T.widened(withB.filter(col("b") >= 95), T.DenseKernelFloor))
       .withColumnRenamed("doc_id", "eval_doc")
-    val tr = gram8(T.widened(withB.filter(col("b") < 95)))
+    val tr = gram8(T.widened(withB.filter(col("b") < 95), T.DenseKernelFloor))
     tr.join(broadcast(ev), "h")
       .groupBy(col("doc_id").as("train_doc"))
       .agg(countDistinct("h").as("n_shared_grams"),
@@ -419,7 +419,7 @@ object Curation {
     val withB = bucketed(docs)
     // standing eval index: compute-dense build, widened (in production
     // this is maintained state keyed by the benchmark release)
-    val ev = gram8(T.widened(withB.filter(col("b") >= 95)))
+    val ev = gram8(T.widened(withB.filter(col("b") >= 95), T.DenseKernelFloor))
       .withColumnRenamed("doc_id", "eval_doc")
     // the day's delta: map-only grams, NOT widened, no pre-join shuffle
     val delta = gram8(withB.filter(col("b") < 95 && col("doc_id") % 5 === 0))

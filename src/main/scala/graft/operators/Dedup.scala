@@ -72,7 +72,7 @@ object Dedup {
     graft.functions.ShingleHashes.register(docs.sparkSession)
     // widened: the md5 kernel is compute-bound and a single-file corpus
     // scans as ONE task (see Tables.widened — guarded, no-op at scale)
-    val dh = T.widened(docs)
+    val dh = T.widened(docs, T.DenseKernelFloor)
       .select(col("doc_id"), expr("shingle_hashes(text)").as("hs"))
       .cache()
     // the per-doc hash-array cache only needs to live across the DAG
@@ -723,7 +723,7 @@ object Dedup {
     // transform(...) + corpus-wide DISTINCT was the dominant dd10 cost
     // once the index itself is memo-warm
     graft.functions.ShingleHashes.register(s)
-    val allDf = T.widened(T.documents(s, d))
+    val allDf = T.widened(T.documents(s, d)) // dense floor regressed dd10 +0.34 s (memo-warm kernel too small)
       .select(col("doc_id"), expr("shingle_hashes(text)").as("hs"))
       .filter(size(col("hs")) > 0)
       .selectExpr("doc_id", "hs", "explode(sequence(0, size(hs) - 1)) AS i")
@@ -794,7 +794,7 @@ object Dedup {
     graft.functions.ShingleStats.register(s)
     // index-explode + subscript (ProbeGen: 2.7× vs the kernel as the
     // generator child, which the Generate path partially re-evaluates)
-    val sp = T.widened(T.documents(s, d))
+    val sp = T.widened(T.documents(s, d), T.DenseKernelFloor)
       .select(col("doc_id"), expr("shingle_stats(text, 8)").as("gs"))
       .filter(size(col("gs")) > 0)
       .selectExpr("doc_id", "gs", "explode(sequence(0, size(gs) - 1)) AS i")
@@ -869,7 +869,7 @@ object Dedup {
       |LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id) cv
       |  USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
-    val toks = T.widened(T.documents(s, d))
+    val toks = T.widened(T.documents(s, d)) // dense floor regressed dd11 +0.30 s (span hash too cheap)
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
     // cached: the span table feeds BOTH the repeated-hash count and the
     // coverage join — without the cache the DAG fork re-scans documents
@@ -1089,7 +1089,7 @@ object Dedup {
     val inc = St.scalarSignatures(docs.filter(col("doc_id") % 5 === 0))
       .cache()
     val corp = St.scalarSignatures(
-      T.widened(docs.filter(col("doc_id") % 5 =!= 0)))
+      T.widened(docs.filter(col("doc_id") % 5 =!= 0), T.DenseKernelFloor))
       .withColumnRenamed("doc_id", "db")
       .cache()
     try {

@@ -1833,7 +1833,7 @@ object Similarity {
     // 8 Lloyd iterations is plenty — codebook quality is not a
     // correctness input (every decision boolean holds for ANY epoch
     // model). Materialize-and-release, the shinglesOf pattern.
-    val wide = T.widened(corpus).cache()
+    val wide = T.widened(corpus, T.DenseKernelFloor).cache()
     try {
       wide.count()
       // the five fits are independent seeded models over the same cached
@@ -1976,7 +1976,7 @@ object Similarity {
     standingIdxCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d", {
       val (km, pq) = epochModels(s, d)
       val idx = ivfpqIndexFrame(km, pq,
-        T.widened(T.embeddings(s, d).filter(col("vec_id") % 5 =!= 0))).cache()
+        T.widened(T.embeddings(s, d).filter(col("vec_id") % 5 =!= 0), T.DenseKernelFloor)).cache()
       idx.count()
       idx
     })
@@ -2044,8 +2044,8 @@ object Similarity {
     // widened: both encodes are compute-dense per-row kernels (k-cell
     // argmin over 64 dims) over single-file local fixtures that scan as
     // a handful of splits; the guard makes this a no-op at real scale
-    val corpus = T.widened(emb.filter(col("vec_id") % 5 =!= 0))
-    val delta = T.widened(emb.filter(col("vec_id") % 5 === 0))
+    val corpus = T.widened(emb.filter(col("vec_id") % 5 =!= 0), T.DenseKernelFloor)
+    val delta = T.widened(emb.filter(col("vec_id") % 5 === 0), T.DenseKernelFloor)
     // the standing index: (nid, cell, code0..3) — at 100 TB this is
     // yesterday's bucketed table keyed by cell, rebuilt here only
     // because the bench holds no cross-run state; nothing downstream

@@ -204,7 +204,10 @@ object Storage {
       |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_disc
       |FROM m
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    T.lineitem(s, d)
+    // widened: 5 decimal product-sums fused into the single-row-group
+    // scan task otherwise (guide §2.5; order-independent by ExactAgg)
+    T.widened(T.lineitem(s, d)
+        .select("l_returnflag", "l_quantity", "l_discount"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         dsum(col("l_quantity")).as("sx"),
@@ -232,7 +235,16 @@ object Storage {
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     val tmp = scratchDir("graft_orc", d)
     val li = T.lineitem(s, d)
-    li.write.mode("overwrite").orc(tmp)
+    // widened by HASH key, not round-robin (guide §2.5): the per-run
+    // ORC encode of the full table otherwise runs in the single
+    // row-carrying scan task and the read-back agg in the single
+    // resulting stripe. Keyless repartition would first pay
+    // sortBeforeRepartition's local sort of 600k wide rows INSIDE that
+    // single task; hash-distributing on the near-unique l_orderkey
+    // spreads without the sort. The agg's values are
+    // file-layout-independent (count/dsum/min).
+    T.widenedBy(li, 2L << 20, col("l_orderkey"))
+      .write.mode("overwrite").orc(tmp)
     // schema supplied (q48's CSV pattern): skips a footer-inference job
     // per run; the value round-trip is still what the oracle hashes (r18)
     s.read.schema(li.schema).orc(tmp)

@@ -165,7 +165,7 @@ object TextAnalysis {
       |  GROUP BY s) c
       |ORDER BY df DESC, shingle
       |LIMIT 20""".stripMargin) { (s, d) =>
-    T.widened(T.documents(s, d))
+    T.widened(T.documents(s, d), T.DenseKernelFloor)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(
@@ -325,7 +325,7 @@ object TextAnalysis {
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val fp = (c: org.apache.spark.sql.Column) =>
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    val bg = T.widened(T.documents(s, d))
+    val bg = T.widened(T.documents(s, d), T.DenseKernelFloor)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("t"),
@@ -335,7 +335,7 @@ object TextAnalysis {
         fp(expr("concat(t[i], ' ', t[i+1])")).as("h12"))
     val cnt12 = bg.groupBy("h12").agg(count(lit(1)).as("c12"))
     val cnt1 = bg.groupBy("h1").agg(count(lit(1)).as("c1"))
-    val v = T.widened(T.documents(s, d))
+    val v = T.widened(T.documents(s, d), T.DenseKernelFloor)
       .select(explode(split(col("text"), " ")).as("tok"))
       .agg(countDistinct(col("tok")).as("vsz"))
     bg.join(cnt12, "h12").join(cnt1, "h1").crossJoin(broadcast(v))
@@ -502,7 +502,7 @@ object TextAnalysis {
     def bucket(dCol: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
       conv(substring(md5(concat(dCol.cast("string"), lit("|"), tok)), 1, 8),
         16, 10).cast("long") % 256
-    val tok = T.widened(T.documents(s, d))
+    val tok = T.widened(T.documents(s, d), T.DenseKernelFloor)
       .select(explode(split(col("text"), " ")).as("tok"))
     // sketch build: raw stream → (d, bucket) → sum; partial aggregation
     // bounds every map task's output at depth·width rows

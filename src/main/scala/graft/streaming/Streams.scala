@@ -997,7 +997,7 @@ object Streams {
     // side stays map-only by design (no pre-join shuffle), so it is
     // filtered but never repartitioned
     val corpusIndex0 = scalarSignatures(
-        T.widened(T.documents(s, d).filter(col("doc_id") % 5 =!= 0)))
+        T.widened(T.documents(s, d).filter(col("doc_id") % 5 =!= 0), T.DenseKernelFloor))
       .withColumnRenamed("doc_id", "corpus_id")
     // stop-band prune (r13 verdict #1, dd16's exact policy on the same
     // signature kernel): a band held by >100 standing-index docs is
@@ -1380,7 +1380,7 @@ object Streams {
     val corp = eb.filter(col("vec_id") % 5 =!= 0)
     val nCorp = corp.count()
     val r = forceBits.getOrElse(Sim.simhashBitsWide(nCorp))
-    val corpIdx0 = st19Banded(T.widened(corp), r, "corpus_id", "ce", "cnrm")
+    val corpIdx0 = st19Banded(T.widened(corp, T.DenseKernelFloor), r, "corpus_id", "ce", "cnrm")
     val stop = corpIdx0.groupBy("k", "band").agg(count(lit(1)).as("bdf"))
       .filter(col("bdf") >
         greatest(lit(100.0), lit(32.0 * nCorp / (1L << r))))
@@ -1661,7 +1661,7 @@ object Streams {
     val nfRow = corpus.filter(length(col("text")) >= 32)
       .agg(sum(expr("CAST(length(text) div 16 AS BIGINT)"))).head()
     val nf = if (nfRow.isNullAt(0)) 0L else nfRow.getLong(0)
-    val corp = st21Framed(T.widened(corpus), "corpus_id")
+    val corp = st21Framed(T.widened(corpus, T.DenseKernelFloor), "corpus_id")
       .filter(col("ph").isNotNull)
       .select(col("corpus_id"), col("ph").as("cph"), col("k"), col("band"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

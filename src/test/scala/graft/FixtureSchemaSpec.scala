@@ -102,4 +102,38 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(s2.fieldNames.toSeq == Seq("id", "d", "b"),
       s"stale schema served after rewrite: $s2")
   }
+
+  test("widened: row-group-aware guard repartitions a single-row-group scan") {
+    // r18 optimization: a parquet row group is indivisible, so the
+    // widened() guard must key on min(splits, Σ source row groups) —
+    // split count alone over-estimates realized scan parallelism
+    // (openCost sizing cuts a single-row-group file into N-1 EMPTY
+    // splits). The sf fixtures are one row group per file.
+    val target = spark.sparkContext.defaultParallelism
+    for (name <- Seq("lineitem", "documents")) {
+      val p = s"$sf/$name.parquet"
+      assert(Tables.fileRowGroups(spark, p) >= 1)
+    }
+    // single-row-group scan ABOVE the size floor: must widen to target
+    val li = Tables.lineitem(spark, sf)
+    if (Tables.fileRowGroups(spark, s"$sf/lineitem.parquet") * 2 <= target) {
+      val w = Tables.widened(li, 1L)
+      assert(w.rdd.getNumPartitions == target,
+        s"widened() did not repartition a single-row-group scan " +
+          s"(got ${w.rdd.getNumPartitions}, want $target)")
+      // and row content is preserved exactly (count + keyed checksum)
+      import org.apache.spark.sql.functions._
+      val a = li.agg(count(lit(1)), sum(col("l_orderkey"))).head
+      val b = w.agg(count(lit(1)), sum(col("l_orderkey"))).head
+      assert(a == b, s"widened() changed scan contents: $a vs $b")
+    }
+    // below the size floor: untouched
+    val small = Tables.region(spark, sf)
+    assert(Tables.widened(small).rdd.getNumPartitions ==
+      small.rdd.getNumPartitions, "widened() touched a sub-floor scan")
+    // an already-wide frame (realized parallelism >= target/2): untouched
+    val wide = li.repartition(target)
+    assert(Tables.widened(wide, 1L).rdd.getNumPartitions == target,
+      "widened() must not re-shuffle an already-wide frame")
+  }
 }
