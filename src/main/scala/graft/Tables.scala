@@ -204,6 +204,34 @@ object Tables {
     * work worth spreading. */
   val DenseKernelFloor: Long = 256L << 10
 
+  /** Stream-side [[widened]]: a streaming frame exposes no RDD (and no
+    * realized partitioning) to measure, but a FILE-stream source's
+    * layout is known before the stream starts — widen when the backing
+    * files' total row-group count under-parallelizes the cores, the
+    * same indivisibility argument as the batch guard (every micro-batch
+    * decodes a row group in one task, and a compute-dense kernel fused
+    * onto it runs single-threaded). Distributes by HASH of `key` (a
+    * near-unique id — no round-robin sort barrier inside the scan
+    * task). At scale an ingest dir carries many files/row groups → the
+    * guard inserts no shuffle, keeping the stream map-only as designed. */
+  def widenedStream(df: DataFrame, key: org.apache.spark.sql.Column,
+      paths: String*): DataFrame = {
+    val s = df.sparkSession
+    val target = s.sparkContext.defaultParallelism
+    val groups = paths.map(p =>
+      try fileRowGroups(s, p) catch { case _: Throwable => Int.MaxValue / paths.size }).sum
+    // size floor (the batch widened's 2 MB lesson, measured again here:
+    // at sf0.1 the per-batch kernel is ~0.1-0.3 s and the added stream
+    // shuffle cost more than it spread — st14 +0.28 s, st20 +0.36 s —
+    // while at 30x the same sites won 7-13 s/query)
+    val bytes = paths.map(p =>
+      try java.nio.file.Files.size(java.nio.file.Paths.get(p))
+      catch { case _: Throwable => 0L }).sum
+    if (bytes >= (2L << 20) && groups * 2 <= target)
+      df.repartition(target, key)
+    else df
+  }
+
   /** [[widened]] distributing by HASH of `keys` instead of round-robin.
     * Keyless repartition pays sortBeforeRepartition's local sort of the
     * ENTIRE input inside the (single) upstream task — for a wide row
