@@ -514,6 +514,21 @@ object Bench {
       else results.map(r => pricedEntries.getOrElse(r.name, r.best)).sum
     val totalWall = if (results.nonEmpty) results.map(_.best).sum else 0.0
     val totalFirst = if (results.nonEmpty) results.map(_.first).sum else 0.0
+    // cold-inclusive headline (r18 verdict #7): the de-noised `value`
+    // excludes memoized standing builds (their warm minima enter the
+    // sum; the cold build cost is visible only in first_runs), and the
+    // raw first_run_sum carries JIT/codegen noise on EVERY query — so
+    // the warm-memo vs cold-build gap needed forensics. cold_value makes
+    // it first-class: the priced headline with each MEMOIZED query (the
+    // ones whose clean protocol pins a separate `<name>:cold` value —
+    // exactly the set whose first run includes a standing build) priced
+    // at its cold first run instead of its warm minimum. No pins file →
+    // no :cold keys → cold_value == value.
+    val totalCold =
+      if (results.isEmpty) 0.0
+      else results.map(r =>
+        if (expected.contains(r.name + ":cold")) r.first
+        else pricedEntries.getOrElse(r.name, r.best)).sum
     // final over-pin census (r16 verdict #1c): re-run the spike decision
     // on each query's FINAL state (best after retries AND salvage,
     // actual run count, its own iteration telemetry) — exactly the
@@ -591,7 +606,7 @@ object Bench {
           "\"salvage_spent\":" + num(salvageSpent) + ","
       }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_wall":$totalWall,"first_run_sum":$totalFirst,"budget_exhausted":$budgetExhausted,"pins_active":$pinsActive,"contended":$contended,"over_pin":$overPin,"queries":$qs,"first_runs":$firstRuns,"runs":$runCounts,$pricedJson$loadJson$salvageJson$iterTimes$stageTimes"sf":"$sfDir","failures":$fails,"protocol":"queries=min of up to $reps runs (repeats only when first<${repeatThreshold}s, global extra budget ${repeatBudget}s; ANY query retries up to twice when best>1.5x its BENCH_EXPECT.json pin — a :cold pin exempts a memoized query's first run, ml04/ml06 are judged on median iter time, and pin retries are disabled entirely when the sf dir is not the pins' _pin_dir (pins_active=false) — budget ${heavyBudget}s); after the main loop a steal-gated salvage pass re-runs still-over-pin queries cheapest-pin-first (up to 2 runs each, every attempt preceded by a ~1s zero-steal probe, budget ${salvageBudget}s incl. probe sleeps; per-candidate [runs,skipped_steal,improved] in salvage); value=de-noised sum of per-query minima with iter-telemetry queries priced at median-iter x n + non-iter overhead using the BEST run's telemetry, and q39/q70 priced at cold wall minus their one-time build stages when the minimum is still the cold run (all pricing capped at measured best; substitutions in priced), value_wall=same sum unpriced, first_run_sum=sum of first runs, first_runs=per-query first (cold) runs, runs=per-query run counts (1 = single cold sample), load=per-query [loadavg_before,loadavg_after,steal_sec], over_pin=queries ending >1.5x pin after retries+salvage, contended=true when over_pin>=10 and >=10% of surface (box-level interference), budget_exhausted=true when a retry budget drained mid-suite"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_wall":$totalWall,"first_run_sum":$totalFirst,"cold_value":$totalCold,"budget_exhausted":$budgetExhausted,"pins_active":$pinsActive,"contended":$contended,"over_pin":$overPin,"queries":$qs,"first_runs":$firstRuns,"runs":$runCounts,$pricedJson$loadJson$salvageJson$iterTimes$stageTimes"sf":"$sfDir","failures":$fails,"protocol":"queries=min of up to $reps runs (repeats only when first<${repeatThreshold}s, global extra budget ${repeatBudget}s; ANY query retries up to twice when best>1.5x its BENCH_EXPECT.json pin — a :cold pin exempts a memoized query's first run, ml04/ml06 are judged on median iter time, and pin retries are disabled entirely when the sf dir is not the pins' _pin_dir (pins_active=false) — budget ${heavyBudget}s); after the main loop a steal-gated salvage pass re-runs still-over-pin queries cheapest-pin-first (up to 2 runs each, every attempt preceded by a ~1s zero-steal probe, budget ${salvageBudget}s incl. probe sleeps; per-candidate [runs,skipped_steal,improved] in salvage); value=de-noised sum of per-query minima with iter-telemetry queries priced at median-iter x n + non-iter overhead using the BEST run's telemetry, and q39/q70 priced at cold wall minus their one-time build stages when the minimum is still the cold run (all pricing capped at measured best; substitutions in priced), value_wall=same sum unpriced, cold_value=the priced sum with every query carrying a <name>:cold pin (the memoized standing builds) priced at its cold FIRST run instead of its warm minimum — the cold-inclusive headline, first_run_sum=sum of first runs, first_runs=per-query first (cold) runs, runs=per-query run counts (1 = single cold sample), load=per-query [loadavg_before,loadavg_after,steal_sec], over_pin=queries ending >1.5x pin after retries+salvage, contended=true when over_pin>=10 and >=10% of surface (box-level interference), budget_exhausted=true when a retry budget drained mid-suite"}"""
     // Stop Spark BEFORE printing so no executor/shutdown logging can
     // interleave with (or follow) the metric line; also persist a copy —
     // the round-1 driver failed to tail-parse stdout (sbt appends
@@ -617,7 +632,7 @@ object Bench {
     // full line and the committed BENCH_LOCAL.json.
     val salvImproved = results.count(_.salvageImproved)
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_wall":$totalWall,"first_run_sum":$totalFirst,"budget_exhausted":$budgetExhausted,"pins_active":$pinsActive,"contended":$contended,"over_pin":$overPin,"salvage_attempted":${salvageCands.size},"salvage_improved":$salvImproved,"sf":"$sfDir","failures":$fails,"n_queries":${results.size},"detail":"per-query map in BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_wall":$totalWall,"first_run_sum":$totalFirst,"cold_value":$totalCold,"budget_exhausted":$budgetExhausted,"pins_active":$pinsActive,"contended":$contended,"over_pin":$overPin,"salvage_attempted":${salvageCands.size},"salvage_improved":$salvImproved,"sf":"$sfDir","failures":$fails,"n_queries":${results.size},"detail":"per-query map in BENCH_LOCAL.json"}"""
     println(s"BENCH_JSON_COMPACT: $compact")
   }
 }

@@ -76,9 +76,25 @@ object LdaPipeline {
     // the reference EN corpus going 32 → 8 partitions). At real scale
     // the default parallelism stands.
     val scaled = Vectorize.tfidfWithFloor(spark, tf, idf)
+    val online = params.algorithm.equalsIgnoreCase("online")
+    // ONLINE partitioning tracks the MINIBATCH, not the corpus (r19,
+    // guide §2.6 — fill the scheduler, don't flood it): each of the
+    // ~2-3 jobs/iteration aggregates only the sampled minibatch
+    // (≈ subsamplingRate × corpus ≈ 0.05·N docs), so per-job task
+    // count is fixed cost multiplied by ~3×maxIter. Measured curve
+    // (ProbeOnlineParts): 5k docs (≈250-doc minibatch) runs best at
+    // 1 partition (8.9 → 6.0 s warm vs 8), 50k docs (≈2.5k minibatch)
+    // at 8 (19.8 s at 2 parts — compute-bound — vs 11.3 at 8); ≈300
+    // minibatch docs per task sits on both optima. Corpora ≥100k keep
+    // the prep's own partitioning as before (at real scale the
+    // minibatch is huge and default parallelism stands).
+    val onlineParts =
+      math.max(1L, math.min(corpusSize,
+        math.ceil((0.05 * corpusSize + 1.0) / 300.0).toLong)).toInt
     val corpus = (partitionOverride match {
       case Some(p) => scaled.coalesce(p)
-      case None if corpusSize < 100000 => scaled.coalesce(8)
+      case None if corpusSize < 100000 =>
+        scaled.coalesce(if (online) onlineParts else 8)
       case None => scaled
     }).cache()
 

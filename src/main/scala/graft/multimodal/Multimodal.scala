@@ -997,7 +997,19 @@ object Multimodal {
     // so it is definitionally the oracle's hash-frame COUNT(*)
     val nAll = elig.select("doc_id").distinct().count()
     val r = graft.operators.Similarity.simhashBitsWide(nAll)
-    val (_, banded) = perceptualHashBanded(elig, r)
+    // ONE exchange keyed the way every consumer needs it (guide §2.4):
+    // the stop-band census, the banded self-join's two sides, and the
+    // anti-join probe all key on (k, band), but with the exchange BELOW
+    // the fingerprint kernel each consumer re-ran perceptual_hash120
+    // over the whole gated corpus (measured: two 32-task kernel stages
+    // of ~11.6 s summed task time each per sp12 run — the "binary
+    // feature decode repeated per branch" cost). Repartitioning the
+    // banded frame by (k, band) puts one shared exchange ABOVE the
+    // kernel: the decode+hash runs once, and the census/self-join read
+    // co-partitioned post-kernel rows (4 small columns, not payloads —
+    // the §8 rule: shuffle the proxy, decode the heavy bytes once).
+    val (_, banded0) = perceptualHashBanded(elig, r)
+    val banded = banded0.repartition(col("k"), col("band"))
     val stop = banded.groupBy("k", "band").agg(count(lit(1)).as("bdf"))
       .filter(col("bdf") >
         greatest(lit(100.0), lit(32.0 * nAll / (1L << r))))
@@ -1009,8 +1021,16 @@ object Multimodal {
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
         col("x.ph").as("ha"), col("y.ph").as("hb"))
       .distinct()
-    val tf = elig.select(col("doc_id"),
-      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("tf"))
+    // text fingerprints from the RAW documents table, not the gated
+    // frame: the inner joins below probe tf only at pair endpoints, and
+    // every endpoint is a gated eligible doc, so fingerprinting the
+    // superset (same length>=16 filter, doc_id unique) joins to the
+    // identical rows — while the tf branch no longer re-evaluates the
+    // quality+rules gate chain (guide §1.2: don't recompute what a
+    // cheaper equivalent input already provides)
+    val tf = T.documents(s, d).filter(length(col("text")) >= 16)
+      .select(col("doc_id"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("tf"))
     val pt = pairs
       .join(tf.select(col("doc_id").as("da"), col("tf").as("tfa")), Seq("da"))
       .join(tf.select(col("doc_id").as("db"), col("tf").as("tfb")), Seq("db"))

@@ -919,8 +919,18 @@ object Curation {
       .join(rules, "doc_id").filter(col("keep"))
       .join(T.documents(s, d).select("doc_id", "text"), "doc_id")
       .select("doc_id", "nt", "quality", "text")
-    // dd16's admission evidence, inlined and fully lazy
+    // dd16's admission evidence, inlined and fully lazy.
+    // ONE exchange keyed the way every consumer needs it (guide §2.4):
+    // the stop-band census, the corpus-evidence join, and the batch
+    // self-join all key on (i, m), but with the exchange BELOW the
+    // signature kernel each consumer re-ran the minhash_sigs shingle
+    // chain over the whole gated corpus (three kernel stages per sp11
+    // run). Repartitioning the long-form signatures by (i, m) puts one
+    // shared exchange ABOVE the kernel: the shingle+md5 chain runs
+    // once and all three consumers read co-partitioned (doc_id, i, m)
+    // rows — 3 small columns, never the text payload (guide §8).
     val sigs = St.scalarSignatures(gated.select("doc_id", "text"))
+      .repartition(col("i"), col("m"))
     val inc = sigs.filter(col("doc_id") % 5 === 0)
     val corp = sigs.filter(col("doc_id") % 5 =!= 0)
       .withColumnRenamed("doc_id", "db")

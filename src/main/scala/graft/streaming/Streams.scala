@@ -182,7 +182,14 @@ object Streams {
     * deployment sizes this dial UP with key cardinality / state bytes —
     * same knob, opposite direction — and picks it ONCE per query, since
     * changing it later needs a checkpoint reset. */
-  private val StreamParts = "spark.sql.shuffle.partitions" -> "4"
+  /** Env-dialable (r19; the r18 verdict's "re-sweep the StreamParts
+    * dial at sf1/sf3" needs the dial reachable): default stays the
+    * r9-measured 4 so the driver's bench is unchanged; audits and
+    * deployments size it via SPARK_GRAFT_STREAM_PARTS (UP with key
+    * cardinality/state bytes — each shuffle partition instantiates
+    * per-operator state stores per micro-batch). */
+  private val StreamParts = "spark.sql.shuffle.partitions" ->
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
 
   private def scopedSession(s: SparkSession, confs: (String, String)*): SparkSession = {
     val ss = s.newSession()

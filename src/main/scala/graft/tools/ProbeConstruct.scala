@@ -58,6 +58,19 @@ object ProbeConstruct {
     perQ.result().sortBy(-_._2).take(25).foreach { case (n, t) =>
       println(f"[construct]   $n%-42s ${t}%7.1f ms")
     }
+    // scoped-session construction (r18 verdict #6): q64/q69 clone the
+    // session per invocation (conf-scoped AQE-skew / bloom settings) —
+    // confirm the clone (a) is cheap to create and (b) rides the
+    // appId-keyed schema memo instead of re-inferring per clone
+    val reps = (1 to 5).map { _ =>
+      timeMs {
+        val ss = spark.newSession()
+        graft.operators.Extras.q64SkewConfs.foreach { case (k, v) => ss.conf.set(k, v) }
+        graft.operators.Extras.skewJoined(ss, sfDir).schema
+      }
+    }
+    println(f"[construct] scoped-session q64 chain (clone+confs+build): " +
+      f"min=${reps.min}%6.1f ms med=${reps.sorted.apply(2)}%6.1f ms")
     spark.stop()
   }
 }
