@@ -52,10 +52,10 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
+    sortedLocal(s.table(name)
       .select(col("window.start").as("window_start"), col("event_type"),
-        col("n"), col("total_value"))
-      .orderBy("window_start", "event_type")
+        col("n"), col("total_value")),
+      col("window_start"), col("event_type"))
   }
 
   /** st01b — st01 in its production shape: the same hourly aggregation
@@ -93,10 +93,10 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
+    sortedLocal(s.table(name)
       .select(col("window.start").as("window_start"), col("event_type"),
-        col("n"), col("total_value"))
-      .orderBy("window_start", "event_type")
+        col("n"), col("total_value")),
+      col("window_start"), col("event_type"))
   }
 
   /** st02 — gap-based sessionization (30-min inactivity) as window
@@ -126,7 +126,7 @@ object Streams {
           .otherwise(0))
       .groupBy("user_id")
       .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
-      .orderBy("user_id")
+      .transform(sortedLocal(_, col("user_id")))
   }
 
   // public: Catalyst's generated encoder projections can't touch
@@ -197,6 +197,21 @@ object Streams {
     ss
   }
 
+  /** Total-order the memory-sink read-back in ONE task. The sink has
+    * already collected the (small, bounded by state cardinality) result
+    * to the driver; `orderBy` over it plans a range exchange — a
+    * defaultParallelism-task sampling job plus a same-width shuffle map
+    * — per invocation, pure scheduling overhead at this row count
+    * (guide §2.4: an orderBy "used only to make output deterministic"
+    * is an Exchange to remove). coalesce(1) narrows the local scan
+    * without a shuffle and the per-partition sort over one partition IS
+    * the total order; every caller sorts on unique keys (group keys or
+    * unique id pairs), so the row order is identical to orderBy's. At
+    * production scale the sink is a real store and this read-back
+    * doesn't exist; the helper only touches the demo's final hop. */
+  private def sortedLocal(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(keys: _*)
+
   /** The stateful sessionization kernel shared by [[stateful]] (st03)
     * and StreamRecoverySpec, which kills a query running this exact
     * dataflow between micro-batches and proves a new query resumed from
@@ -253,12 +268,12 @@ object Streams {
     finally q.stop()
     // update-mode memory sink appends one row per user PER micro-batch;
     // keep only the latest state (n_events is monotone within a user)
-    s.table(name)
+    sortedLocal(s.table(name)
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("n_sessions"))).as("st"))
       .select(col("user_id"), col("st.n_sessions").as("n_sessions"),
-        col("st.n_events").as("n_events"))
-      .orderBy("user_id")
+        col("st.n_events").as("n_events")),
+      col("user_id"))
   }
 
   final case class Ev2(user_id: Long, tsMicros: Long, event_id: Long)
@@ -345,13 +360,13 @@ object Streams {
     finally q.stop()
     // keep the latest emission per (user, session): n_events is monotone
     // within a session, so max(struct) picks the final view
-    s.table(name)
+    sortedLocal(s.table(name)
       .groupBy("user_id", "session_idx")
       .agg(max(struct(col("n_events"), col("end_us"), col("start_us"))).as("x"))
       .select(col("user_id"), col("session_idx"),
         col("x.start_us").as("start_us"), col("x.end_us").as("end_us"),
-        col("x.n_events").as("n_events"))
-      .orderBy("user_id", "session_idx")
+        col("x.n_events").as("n_events")),
+      col("user_id"), col("session_idx"))
   }
 
   /** st05 — streaming deduplication: dropDuplicates over a stream keyed
@@ -380,7 +395,7 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name).orderBy("event_type")
+    sortedLocal(s.table(name), col("event_type"))
   }
 
   /** st11 — dropDuplicatesWithinWatermark: the BOUNDED-STATE shape of
@@ -414,10 +429,10 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
+    sortedLocal(s.table(name)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_unique_users"))
-      .orderBy("event_type")
+      .agg(count(lit(1)).as("n_unique_users")),
+      col("event_type"))
   }
 
   /** st12 — watermarked SLIDING-window aggregation (1 h window, 15 min
@@ -466,10 +481,10 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
+    sortedLocal(s.table(name)
       .select(col("window.start").as("window_start"), col("event_type"),
-        col("n"), col("total_value"))
-      .orderBy("window_start", "event_type")
+        col("n"), col("total_value")),
+      col("window_start"), col("event_type"))
   }
 
   /** st13 — NATIVE session windows (`session_window`, gap 30 min) with
@@ -522,12 +537,12 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
+    sortedLocal(s.table(name)
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
-        col("n_events"))
-      .orderBy("user_id", "session_start")
+        col("n_events")),
+      col("user_id"), col("session_start"))
   }
 
   /** Staged three-file replay layout for st06, built once per sf dir.
@@ -652,10 +667,10 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
+    sortedLocal(s.table(name)
       .select(col("window.start").as("window_start"), col("event_type"),
-        col("n"), col("total_value"))
-      .orderBy("window_start", "event_type")
+        col("n"), col("total_value")),
+      col("window_start"), col("event_type"))
   }
 
   /** st07 — stream-static join: the event stream enriched against a
@@ -697,7 +712,7 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name).orderBy("category")
+    sortedLocal(s.table(name), col("category"))
   }
 
   /** st08 — stream-stream interval join: view→purchase conversion pairs
@@ -751,10 +766,10 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    ss.table(name)
+    sortedLocal(ss.table(name)
       .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
-        col("view_ts"), col("purchase_ts"))
-      .orderBy("view_id", "purchase_id")
+        col("view_ts"), col("purchase_ts")),
+      col("view_id"), col("purchase_id"))
   }
 
   /** st15 — stream-stream LEFT OUTER interval join: st08 plus the
@@ -829,10 +844,10 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    ss.table(name)
+    sortedLocal(ss.table(name)
       .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
-        col("view_ts"), col("purchase_ts"))
-      .orderBy(col("view_id"), col("purchase_id").asc_nulls_first)
+        col("view_ts"), col("purchase_ts")),
+      col("view_id"), col("purchase_id").asc_nulls_first)
   }
 
   /** st09 — foreachBatch sink: the production escape hatch for sinks
@@ -864,10 +879,10 @@ object Streams {
     // the landed table's schema IS the stream's schema — supplying it
     // skips a footer-inference job over the just-written files (r18;
     // the memo can't help here, outDir is fresh per invocation)
-    s.read.schema(schema).parquet(outDir)
+    sortedLocal(s.read.schema(schema).parquet(outDir)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
-      .orderBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value")),
+      col("event_type"))
   }
 
   /** Spark 4 transformWithState processor: st03's O(1)-per-user
@@ -933,12 +948,12 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    ss.table(name)
+    sortedLocal(ss.table(name)
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("n_sessions"))).as("st"))
       .select(col("user_id"), col("st.n_sessions").as("n_sessions"),
-        col("st.n_events").as("n_events"))
-      .orderBy("user_id")
+        col("st.n_events").as("n_events")),
+      col("user_id"))
   }
 
   /** st14 — streaming near-dup ADMISSION: the ingestion-time shape of
@@ -1038,10 +1053,10 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
+    sortedLocal(s.table(name)
       .select(col("incoming_id"), col("corpus_id"), col("shared_bands"),
-        (col("shared_bands") * lit(1.0) / 8).as("est_sim"))
-      .orderBy("incoming_id", "corpus_id")
+        (col("shared_bands") * lit(1.0) / 8).as("est_sim")),
+      col("incoming_id"), col("corpus_id"))
   }
 
   /** Map-only k=8 MinHash signatures in long form (doc_id, i, m): the
@@ -1136,7 +1151,7 @@ object Streams {
     val ev = T.events(s, d)
     val top10 = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
-    top10
+    sortedLocal(top10
       .select(col("user_id"), col("exact_cnt"),
         explode(expr("array(0, 1, 2, 3)")).as("d"))
       .withColumn("bucket", bucket(col("d"), col("user_id")))
@@ -1146,8 +1161,8 @@ object Streams {
       .crossJoin(broadcast(nRow))
       .withColumn("within_eps",
         col("est_cnt") - col("exact_cnt") <= lit(2L) * col("n_ev") / lit(256L))
-      .select("user_id", "exact_cnt", "est_cnt", "overcount", "within_eps")
-      .orderBy(col("exact_cnt").desc, col("user_id"))
+      .select("user_id", "exact_cnt", "est_cnt", "overcount", "within_eps"),
+      col("exact_cnt").desc, col("user_id"))
   }
 
   /** st17 — session-window JOIN (r10 verdict item #7): st13's native
@@ -1212,12 +1227,12 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
+    sortedLocal(s.table(name)
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
-        col("n_events"), col("total_value"), col("segment"))
-      .orderBy("user_id", "session_start")
+        col("n_events"), col("total_value"), col("segment")),
+      col("user_id"), col("session_start"))
   }
 
   /** O(1) state per OPEN (user, day) key: admitted/rejected counters
@@ -1298,7 +1313,7 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
+    sortedLocal(s.table(name)
       .groupBy("user_id", "win_us")
       .agg(max(struct(col("n_admitted") + col("n_rejected"),
         col("n_admitted"), col("n_rejected"), col("max_admitted_event"))).as("st"))
@@ -1306,8 +1321,8 @@ object Streams {
         timestamp_micros(col("win_us")).as("window_start"),
         col("st.n_admitted").as("n_admitted"),
         col("st.n_rejected").as("n_rejected"),
-        col("st.max_admitted_event").as("max_admitted_event"))
-      .orderBy("user_id", "window_start")
+        col("st.max_admitted_event").as("max_admitted_event")),
+      col("user_id"), col("window_start"))
   }
 
   /** Shared 2×r-bit SimHash banding for st19's two sides (and the
@@ -1553,10 +1568,10 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
+    sortedLocal(s.table(name)
       .select(col("incoming_id"), col("corpus_id"), col("shared_bands"),
-        col("cos_sim"), (col("cos_sim") >= 0.35).as("is_neardup"))
-      .orderBy("incoming_id", "corpus_id")
+        col("cos_sim"), (col("cos_sim") >= 0.35).as("is_neardup")),
+      col("incoming_id"), col("corpus_id"))
   }
 
   /** st20 — streaming IVF-cell admission: ss15's stream twin (r13
@@ -1611,10 +1626,10 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
+    sortedLocal(s.table(name)
       .select(col("vec_id"), col("n_probe_cells"), col("cell_is_argmin"),
-        col("adc_cos_in_range"))
-      .orderBy("vec_id")
+        col("adc_cos_in_range")),
+      col("vec_id"))
   }
 
   // ---- st21: streaming temporal-frame near-dup admission ----------
@@ -1841,10 +1856,10 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
+    sortedLocal(s.table(name)
       .select(col("doc_id"), col("n_frames"), col("n_twin_frames"),
-        col("n_corpus_docs"), col("matched_ratio"), col("admitted"))
-      .orderBy("doc_id")
+        col("n_corpus_docs"), col("matched_ratio"), col("admitted")),
+      col("doc_id"))
   }
 
   val defs: Seq[QueryDef] =
