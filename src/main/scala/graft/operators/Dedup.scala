@@ -302,6 +302,13 @@ object Dedup {
     val sigWide = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val sig = sigWide.select(col("doc_id"), expr(
       "stack(8, " + (0 to 7).map(i => s"$i, m$i").mkString(", ") + ") AS (i, m)"))
+    // NOT pre-repartitioned on (i, m): the self-join's two sides are
+    // canonically identical, so ReuseExchange already collapses their
+    // ENSURE_REQUIREMENTS exchanges — the kernel runs ONCE as-is (r19
+    // stage probe: identical 10-job/10-stage graph with and without an
+    // explicit repartition; the dd04 variant ADDED 3 jobs and +57%
+    // taskSum). The sp11/sp12 pattern only pays when consumers need the
+    // kernel under DIFFERENT keys.
     val cand = sig.as("a")
       .join(sig.as("b"),
         col("a.i") === col("b.i") && col("a.m") === col("b.m") &&
@@ -351,6 +358,10 @@ object Dedup {
     val sigAggs = (0 until 16).map { i =>
       min(md5(concat(lit(s"$i:"), col("h").cast("string")))).as(s"m$i")
     }
+    // NOT pre-repartitioned on doc_id: the da/db sides are canonically
+    // identical projections of sigW, so ReuseExchange already shares one
+    // kernel execution (r19 A/B: an explicit repartition measured +0.4 s
+    // worst-case, never faster — see the dd03 comment)
     val sigW = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val a = sigW.select(col("doc_id").as("da") +:
       (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
@@ -410,6 +421,10 @@ object Dedup {
     val banded = hash
       .select(col("doc_id"), col("sim_hash"), explode(expr("sequence(0, 3)")).as("k"))
       .withColumn("band", expr("shiftright(sim_hash, 8*k) & 255"))
+    // NOT pre-repartitioned on (k, band): self-join sides are canonically
+    // identical → ReuseExchange shares the fingerprint kernel already; an
+    // explicit repartition measured 6 → 9 jobs, taskSum 24.5 → 38.3 s,
+    // wall 2.27 → 3.06 s (r19 stage probe) and was reverted
     val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.k") === col("y.k") && col("x.band") === col("y.band") &&
